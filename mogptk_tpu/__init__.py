@@ -1,0 +1,16 @@
+"""mogptk_tpu — a TPU-native multi-output Gaussian process toolkit.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of MOGPTK
+(GAMES-UChile/mogptk): multi-channel time-series data management, single- and
+multi-output spectral kernels, exact and sparse/variational inference, a
+likelihood zoo with Gauss-Hermite quadrature, spectral parameter
+initialization, training, prediction, metrics, and plotting.
+
+The namespace is flattened like the reference (mogptk/__init__.py:4-18).
+"""
+from . import gpr
+from .gpr import (config, use_half_precision, use_single_precision,
+                  use_double_precision, use_cpu, use_gpu, use_tpu,
+                  print_gpu_information, set_positive_minimum)
+
+__version__ = "0.1.0"

@@ -1,0 +1,127 @@
+"""Global configuration for dtype, device policy, and RNG.
+
+Mirrors the capability surface of the reference config (mogptk/gpr/config.py:3-73)
+but is designed for JAX/XLA: dtype is resolved at trace time (static), device
+placement uses JAX's default-device mechanism, and randomness is explicit via a
+process-level PRNG key that callers can override.
+"""
+import jax
+import jax.numpy as jnp
+
+
+class Config:
+    """Process-global configuration singleton.
+
+    Attributes:
+        positive_minimum: Lower bound used for positive-constrained parameters.
+        seed: Seed for the process-level PRNG key used when no key is passed.
+    """
+
+    def __init__(self):
+        self._dtype = None  # None → auto: float64 iff x64 is enabled
+        self.positive_minimum = 1e-8
+        self.seed = 0
+        self._key = None
+        # Bumped whenever any Parameter's *structure* changes (transform,
+        # trainability, pegging). Models use this to invalidate jit caches.
+        self.structure_version = 0
+
+    @property
+    def dtype(self):
+        if self._dtype is not None:
+            return self._dtype
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    @dtype.setter
+    def dtype(self, value):
+        self._dtype = value
+
+    @property
+    def device(self):
+        devs = jax.devices()
+        return devs[0] if devs else None
+
+    def bump(self):
+        self.structure_version += 1
+
+    def next_key(self):
+        """Return a fresh PRNG key derived from the process-level key."""
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self.seed)
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def set_seed(self, seed):
+        self.seed = seed
+        self._key = jax.random.PRNGKey(seed)
+
+
+config = Config()
+
+
+def use_half_precision():
+    """Use bfloat16 data type (TPU-native half precision) for computations."""
+    jax.config.update("jax_enable_x64", False)
+    config.dtype = jnp.bfloat16
+    config.bump()
+
+
+def use_single_precision():
+    """Use float32 data type for computations (TPU MXU native)."""
+    jax.config.update("jax_enable_x64", False)
+    config.dtype = jnp.float32
+    config.bump()
+
+
+def use_double_precision():
+    """Use float64 data type for computations.
+
+    Matches the reference default (mogptk/gpr/config.py:4). On TPU float64 is
+    emulated and slow; prefer float32 there unless validating numerics.
+    """
+    jax.config.update("jax_enable_x64", True)
+    config.dtype = jnp.float64
+    config.bump()
+
+
+def use_cpu(n=None):
+    """Run computations on the CPU (mirrors mogptk/gpr/config.py:32-39)."""
+    cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", cpus[n or 0])
+    config.bump()
+
+
+def use_gpu(n=None):
+    """Run computations on an accelerator if available (gpr/config.py:41-52).
+
+    On this framework the accelerator is a TPU; the name is kept for API
+    compatibility with the reference.
+    """
+    try:
+        devs = jax.devices("tpu")
+    except RuntimeError:
+        try:
+            devs = jax.devices("gpu")
+        except RuntimeError:
+            devs = jax.devices()
+    jax.config.update("jax_default_device", devs[n or 0])
+    config.bump()
+
+
+use_tpu = use_gpu
+
+
+def print_gpu_information():
+    """Print accelerator information (mirrors gpr/config.py:54-67)."""
+    for i, dev in enumerate(jax.devices()):
+        print("%d  %s (%s)" % (i, dev.device_kind, dev.platform))
+
+
+print_tpu_information = print_gpu_information
+
+
+def set_positive_minimum(val):
+    """Set the minimum value for positive-constrained parameters
+    (mirrors gpr/config.py:69-73)."""
+    config.positive_minimum = val
+    config.bump()

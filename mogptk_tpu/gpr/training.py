@@ -1,0 +1,130 @@
+"""Optimizer-driven training for GPR models.
+
+The reference trains with a per-iteration Python loop dispatching torch ops
+(mogptk/model.py:441-579, gpr/model.py:279-292). Here the whole optimizer
+step — kernel eval, Cholesky, gradient, optax update — is one jitted program,
+and multiple steps are batched with lax.scan so the host dispatches once per
+chunk instead of once per iteration. Supports Adam/SGD/AdaGrad/LBFGS like the
+reference (mogptk/model.py:541-566).
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import config
+
+
+def _make_optimizer(method, lr, **kwargs):
+    method_l = method.lower().replace("-", "")
+    if method_l == "adam":
+        return optax.adam(lr, **kwargs), False
+    elif method_l == "sgd":
+        return optax.sgd(lr, **kwargs), False
+    elif method_l == "adagrad":
+        return optax.adagrad(lr, **kwargs), False
+    elif method_l == "lbfgs":
+        return optax.lbfgs(), True
+    raise ValueError("optimizer method %s unknown; use Adam, SGD, AdaGrad, or LBFGS" % method)
+
+
+def train(model, method="Adam", lr=0.1, iters=500, verbose=False, callback=None,
+          chunk=None, **kwargs):
+    """Train a gpr model in place; returns (losses, elapsed_seconds).
+
+    Args:
+        model: a mogptk_tpu.gpr.Model.
+        method: 'Adam', 'SGD', 'AdaGrad', or 'LBFGS'.
+        lr: Learning rate (ignored for LBFGS which uses a line search).
+        iters: Number of optimizer steps.
+        verbose: Print progress.
+        callback: Called with (iteration, loss) after each chunk boundary.
+        chunk: Steps fused per compiled scan (defaults to a heuristic).
+    """
+    iters = int(iters)
+    if iters < 0:
+        raise ValueError("iters must be non-negative")
+    optimizer, is_lbfgs = _make_optimizer(method, lr, **kwargs)
+
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+    if len(train0) == 0 or iters == 0:
+        return np.zeros(0), 0.0
+
+    if chunk is None:
+        chunk = max(1, min(iters, 100 if not verbose and callback is None else 10))
+
+    if is_lbfgs:
+        def fun(params):
+            return loss_fn(params, fixed)
+
+        value_and_grad = optax.value_and_grad_from_state(fun)
+
+        @jax.jit
+        def step(params, opt_state):
+            value, grad = value_and_grad(params, state=opt_state)
+            updates, opt_state = optimizer.update(
+                grad, opt_state, params, value=value, grad=grad, value_fn=fun)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, value
+
+        params = train0
+        opt_state = optimizer.init(params)
+        losses = []
+        start = time.time()
+        for i in range(iters):
+            params, opt_state, value = step(params, opt_state)
+            losses.append(float(value))
+            if verbose and (i % max(1, iters // 20) == 0 or i == iters - 1):
+                print("  iter %5d/%d  loss %.6g" % (i + 1, iters, losses[-1]))
+            if callback is not None:
+                callback(i, losses[-1])
+        elapsed = time.time() - start
+        model.set_train_raws(params)
+        model.check_numerics(losses[-1])
+        return np.asarray(losses), elapsed
+
+    vg = jax.value_and_grad(loss_fn, argnums=0)
+
+    def one_step(carry, _):
+        params, opt_state = carry
+        value, grads = vg(params, fixed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), value
+
+    @jax.jit
+    def run_chunk(params, opt_state, n_steps_dummy):
+        (params, opt_state), values = jax.lax.scan(
+            one_step, (params, opt_state), None, length=chunk)
+        return params, opt_state, values
+
+    params = train0
+    opt_state = optimizer.init(params)
+    losses = []
+    start = time.time()
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        if n < chunk:
+            # tail smaller than chunk: run single steps jitted
+            @jax.jit
+            def run_tail(params, opt_state):
+                (params, opt_state), values = jax.lax.scan(
+                    one_step, (params, opt_state), None, length=n)
+                return params, opt_state, values
+            params, opt_state, values = run_tail(params, opt_state)
+        else:
+            params, opt_state, values = run_chunk(params, opt_state, None)
+        values = np.asarray(values)
+        losses.extend(values.tolist())
+        done += n
+        if verbose:
+            print("  iter %5d/%d  loss %.6g" % (done, iters, losses[-1]))
+        if callback is not None:
+            callback(done - 1, losses[-1])
+    elapsed = time.time() - start
+    model.set_train_raws(params)
+    model.check_numerics(losses[-1])
+    return np.asarray(losses), elapsed
