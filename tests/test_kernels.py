@@ -131,7 +131,7 @@ def test_mosm_diag_block_reduces_to_spectral():
     X = np.concatenate([np.zeros((4, 1)), X1], axis=1)
     K_mosm = np.asarray(mosm(X))
     K_s = np.asarray(sk(X1))
-    np.testing.assert_allclose(K_mosm, K_s, rtol=5e-7)
+    np.testing.assert_allclose(K_mosm, K_s, rtol=5e-7, atol=1e-12)
 
 
 def test_lmc_equals_weighted_sum():
