@@ -12,5 +12,18 @@ from . import gpr
 from .gpr import (config, use_half_precision, use_single_precision,
                   use_double_precision, use_cpu, use_gpu, use_tpu,
                   print_gpu_information, set_positive_minimum)
+from .transformer import (Transformer, TransformBase, TransformDetrend,
+                          TransformLinear, TransformNormalize, TransformLog,
+                          TransformStandard)
+from .util import (mean_absolute_error, mean_absolute_percentage_error,
+                   symmetric_mean_absolute_percentage_error,
+                   mean_squared_error, root_mean_squared_error, error,
+                   plot_spectrum)
+from .data import Data, LoadFunction, LoadSplitData
+from .dataset import DataSet, LoadCSV, LoadDataFrame
+from .init import BNSE
+from .model import (Model, Exact, Snelson, OpperArchambeau, Titsias, Hensman,
+                    LoadModel, kernels)
+from .models import SM, MOSM, CSM, SM_LMC, CONV, MOHSM
 
 __version__ = "0.1.0"

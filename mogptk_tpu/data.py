@@ -665,6 +665,7 @@ class Data:
             y_err = (y_err_upper - y_err_lower) / 2.0
         for i in range(input_dims):
             w, psd, _ = BNSE(x[:, i], y, y_err=y_err, max_freq=nyquist[i], n=n, iters=iters)
+            psd = np.array(psd)
             # empirical PSD normalization carried over from the reference
             # (mogptk/data.py:1035-1037)
             psd /= (np.max(x[:, i]) - np.min(x[:, i])) ** 2

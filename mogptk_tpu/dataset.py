@@ -80,8 +80,9 @@ def LoadDataFrame(df, x_col=0, y_col=1, y_err_col=None, name=None):
             channel[y_col[i]].values,
             Y_err=y_err,
             name=name[i],
-            x_labels=x_col,
-            y_label=y_col[i],
+            # headerless CSVs yield integer column labels; coerce to str
+            x_labels=[str(col) for col in x_col],
+            y_label=str(y_col[i]),
         ))
     if dataset.get_output_dims() == 1:
         return dataset[0]

@@ -247,11 +247,19 @@ class GaussianLikelihood(Likelihood):
         if self.scale.ndim == 1:
             self.output_dims = self.scale.shape[0]
 
-    def _scale_per_point(self, X):
+    def _scale_per_point(self, X, like=None, n_axis=0):
+        """Per-point noise scale, shaped to broadcast against `like` with the
+        data axis at `n_axis` (f is (N,deg) in log_prob, (S,N[,1]) in
+        conditional_sample)."""
         s = self.scale()
-        if self.output_dims is not None and s.ndim == 1:
-            return s[X[:, 0].astype(jnp.int32)][:, None]  # Nx1
-        return s
+        if self.output_dims is None or s.ndim != 1:
+            return s
+        s = s[X[:, 0].astype(jnp.int32)]  # N
+        if like is None:
+            return s[:, None]
+        shape = [1] * like.ndim
+        shape[n_axis] = X.shape[0]
+        return s.reshape(shape)
 
     def log_prob(self, X, y, f):
         s = self._scale_per_point(X)
@@ -270,7 +278,8 @@ class GaussianLikelihood(Likelihood):
     def conditional_sample(self, X, f, key=None):
         if key is None:
             key = config.next_key()
-        s = self._scale_per_point(X)
+        n_axis = 1 if f.ndim >= 2 and f.shape[0] != X.shape[0] else 0
+        s = self._scale_per_point(X, like=f, n_axis=n_axis)
         return f + s * jax.random.normal(key, f.shape, dtype=config.dtype)
 
     def predict(self, X, mu, var, ci=None, sigma=None, n=10000, key=None):

@@ -145,6 +145,21 @@ class Model(Module):
         self.input_dims = X.shape[1]
         object.__setattr__(self, "_jit_cache", {})
 
+    # pickle support: drop the jit cache, move arrays to host
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_jit_cache"] = {}
+        for key in ("X", "y", "data_variance"):
+            if key in state and state[key] is not None:
+                state[key] = np.asarray(state[key])
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        for key in ("X", "y", "data_variance"):
+            if getattr(self, key, None) is not None:
+                object.__setattr__(self, key, jnp.asarray(getattr(self, key), dtype=config.dtype))
+
     # -- data plumbing -------------------------------------------------------
     def _check_input(self, X, y=None):
         X = jnp.asarray(X, dtype=config.dtype)

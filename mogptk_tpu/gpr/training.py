@@ -17,19 +17,21 @@ from .config import config
 
 
 def _make_optimizer(method, lr, **kwargs):
+    # default learning rates follow the torch optimizers the reference uses
+    # (mogptk/model.py:541-561): Adam 1e-3, SGD/AdaGrad 1e-2
     method_l = method.lower().replace("-", "")
     if method_l == "adam":
-        return optax.adam(lr, **kwargs), False
+        return optax.adam(1e-3 if lr is None else lr, **kwargs), False
     elif method_l == "sgd":
-        return optax.sgd(lr, **kwargs), False
+        return optax.sgd(1e-2 if lr is None else lr, **kwargs), False
     elif method_l == "adagrad":
-        return optax.adagrad(lr, **kwargs), False
+        return optax.adagrad(1e-2 if lr is None else lr, **kwargs), False
     elif method_l == "lbfgs":
         return optax.lbfgs(), True
     raise ValueError("optimizer method %s unknown; use Adam, SGD, AdaGrad, or LBFGS" % method)
 
 
-def train(model, method="Adam", lr=0.1, iters=500, verbose=False, callback=None,
+def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None,
           chunk=None, **kwargs):
     """Train a gpr model in place; returns (losses, elapsed_seconds).
 

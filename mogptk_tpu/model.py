@@ -1,0 +1,780 @@
+"""User-facing Model: glues a DataSet, a kernel, and an inference scheme;
+training, prediction, metrics, persistence, and plots.
+
+Capability parity with mogptk/model.py (kernel registry 23-60, LoadModel
+62-74, inference selectors 76-178, Model 180-1037). Training swaps the
+reference's per-iteration Python loop + torch autograd (model.py:441-579)
+for one jitted optax step batched with lax.scan, so the host dispatches once
+per chunk instead of once per iteration.
+"""
+import os
+import time
+import math
+import pickle
+import inspect
+import logging
+import numpy as np
+
+from . import gpr
+from .dataset import DataSet
+from .util import (mean_absolute_error, mean_absolute_percentage_error,
+                   symmetric_mean_absolute_percentage_error,
+                   mean_squared_error, root_mean_squared_error)
+
+logger = logging.getLogger("mogptk_tpu")
+
+
+class Kernels(dict):
+    __getattr__ = dict.get
+
+
+# name → kernel class registry with aliases (reference: mogptk/model.py:23-60)
+kernels = Kernels({
+    "White": gpr.WhiteKernel,
+    "Constant": gpr.ConstantKernel,
+    "Linear": gpr.LinearKernel,
+    "Polynomial": gpr.PolynomialKernel,
+    "Function": gpr.FunctionKernel,
+    "Exponential": gpr.ExponentialKernel,
+    "Exp": gpr.ExponentialKernel,
+    "SquaredExponential": gpr.SquaredExponentialKernel,
+    "SqExp": gpr.SquaredExponentialKernel,
+    "SE": gpr.SquaredExponentialKernel,
+    "RBF": gpr.SquaredExponentialKernel,
+    "RationalQuadratic": gpr.RationalQuadraticKernel,
+    "RQ": gpr.RationalQuadraticKernel,
+    "Periodic": gpr.PeriodicKernel,
+    "ExpSineSquared": gpr.PeriodicKernel,
+    "LocallyPeriodic": gpr.LocallyPeriodicKernel,
+    "Cosine": gpr.CosineKernel,
+    "Sinc": gpr.SincKernel,
+    "Spectral": gpr.SpectralKernel,
+    "SpectralMixture": gpr.SpectralMixtureKernel,
+    "Matern": gpr.MaternKernel,
+    "IndependentMultiOutput": gpr.IndependentMultiOutputKernel,
+    "IMO": gpr.IndependentMultiOutputKernel,
+    "MultiOutputSpectral": gpr.MultiOutputSpectralKernel,
+    "MultiOutputSpectralMixture": gpr.MultiOutputSpectralMixtureKernel,
+    "MOSM": gpr.MultiOutputSpectralMixtureKernel,
+    "UncoupledMultiOutputSpectral": gpr.UncoupledMultiOutputSpectralKernel,
+    "uMOS": gpr.UncoupledMultiOutputSpectralKernel,
+    "MultiOutputHarmonizableSpectral": gpr.MultiOutputHarmonizableSpectralKernel,
+    "MOHS": gpr.MultiOutputHarmonizableSpectralKernel,
+    "CrossSpectral": gpr.CrossSpectralKernel,
+    "LinearModelOfCoregionalization": gpr.LinearModelOfCoregionalizationKernel,
+    "LMC": gpr.LinearModelOfCoregionalizationKernel,
+    "GaussianConvolutionProcess": gpr.GaussianConvolutionProcessKernel,
+    "CONV": gpr.GaussianConvolutionProcessKernel,
+    "GCP": gpr.GaussianConvolutionProcessKernel,
+})
+
+
+def LoadModel(filename):
+    """Load a model previously saved with model.save()
+    (reference: mogptk/model.py:62-74)."""
+    filename += ".npy"
+    with open(filename, "rb") as r:
+        return pickle.load(r)
+
+
+class Exact:
+    """Exact inference selector (reference: mogptk/model.py:76-100)."""
+
+    def __init__(self, variance=None, data_variance=None, jitter=1e-8):
+        self.variance = variance
+        self.data_variance = data_variance
+        self.jitter = jitter
+
+    def _build(self, kernel, x, y, y_err=None, mean=None):
+        variance = self.variance
+        if variance is None:
+            if kernel.output_dims is not None:
+                variance = [1.0] * kernel.output_dims
+            else:
+                variance = 1.0
+        data_variance = self.data_variance
+        if data_variance is None and y_err is not None:
+            data_variance = y_err ** 2
+        return gpr.Exact(kernel, x, y, variance=variance, data_variance=data_variance,
+                         jitter=self.jitter, mean=mean)
+
+
+class Snelson:
+    """Snelson & Ghahramani FITC inference selector
+    (reference: mogptk/model.py:102-123)."""
+
+    def __init__(self, inducing_points=10, init_inducing_points="grid", variance=None, jitter=1e-6):
+        self.inducing_points = inducing_points
+        self.init_inducing_points = init_inducing_points
+        self.variance = variance
+        self.jitter = jitter
+
+    def _build(self, kernel, x, y, y_err=None, mean=None):
+        variance = self.variance
+        if variance is None:
+            variance = 1.0
+            if kernel.output_dims is not None:
+                variance = [1.0] * kernel.output_dims
+        return gpr.Snelson(kernel, x, y, Z=self.inducing_points,
+                           Z_init=self.init_inducing_points, variance=variance,
+                           jitter=self.jitter, mean=mean)
+
+
+class OpperArchambeau:
+    """Opper & Archambeau variational inference selector
+    (reference: mogptk/model.py:125-138)."""
+
+    def __init__(self, likelihood=None, jitter=1e-6):
+        self.likelihood = likelihood if likelihood is not None else gpr.GaussianLikelihood(1.0)
+        self.jitter = jitter
+
+    def _build(self, kernel, x, y, y_err=None, mean=None):
+        return gpr.OpperArchambeau(kernel, x, y, likelihood=self.likelihood,
+                                   jitter=self.jitter, mean=mean)
+
+
+class Titsias:
+    """Titsias collapsed sparse variational inference selector
+    (reference: mogptk/model.py:140-157)."""
+
+    def __init__(self, inducing_points=10, init_inducing_points="grid", variance=1.0, jitter=1e-6):
+        self.inducing_points = inducing_points
+        self.init_inducing_points = init_inducing_points
+        self.variance = variance
+        self.jitter = jitter
+
+    def _build(self, kernel, x, y, y_err=None, mean=None):
+        return gpr.Titsias(kernel, x, y, Z=self.inducing_points,
+                           Z_init=self.init_inducing_points, variance=self.variance,
+                           jitter=self.jitter, mean=mean)
+
+
+class Hensman:
+    """Hensman SVGP inference selector (reference: mogptk/model.py:159-178)."""
+
+    def __init__(self, inducing_points=None, init_inducing_points="grid", likelihood=None, jitter=1e-6):
+        self.inducing_points = inducing_points
+        self.init_inducing_points = init_inducing_points
+        self.likelihood = likelihood if likelihood is not None else gpr.GaussianLikelihood(1.0)
+        self.jitter = jitter
+
+    def _build(self, kernel, x, y, y_err=None, mean=None):
+        if self.inducing_points is None:
+            return gpr.Hensman(kernel, x, y, likelihood=self.likelihood,
+                               jitter=self.jitter, mean=mean)
+        return gpr.SparseHensman(kernel, x, y, Z=self.inducing_points,
+                                 Z_init=self.init_inducing_points,
+                                 likelihood=self.likelihood, jitter=self.jitter, mean=mean)
+
+
+class Model:
+    """Multi-output GP model over a DataSet (reference: mogptk/model.py:180-1037).
+
+    Attributes:
+        dataset: The DataSet.
+        gpr: The underlying gpr.Model.
+        times, losses, errors: Per-iteration training history arrays.
+    """
+
+    def __init__(self, dataset, kernel, inference=None, mean=None, name=None):
+        if inference is None:
+            inference = Exact()
+        if not isinstance(dataset, DataSet):
+            dataset = DataSet(dataset)
+        if dataset.get_output_dims() == 0:
+            raise ValueError("dataset must have at least one channel")
+        names = [n for n in dataset.get_names() if n is not None]
+        if len(set(names)) != len(names):
+            raise ValueError("all data channels must have unique names")
+
+        self.name = name
+        self.dataset = dataset
+        self.is_multioutput = kernel.output_dims is not None
+
+        X, Y = self.dataset.get_train_data()
+        x, y = self._to_kernel_format(X, Y)
+
+        y_err = None
+        if all(channel.Y_err is not None for channel in self.dataset):
+            Y_err = [channel.Y_err[channel.mask] for channel in self.dataset]
+            Y_tr = [channel.Y[channel.mask] for channel in self.dataset]
+            Y_err_lower = [self.dataset[j].Y_transformer.forward(Y_tr[j] - Y_err[j], X[j]) for j in range(len(self.dataset))]
+            Y_err_upper = [self.dataset[j].Y_transformer.forward(Y_tr[j] + Y_err[j], X[j]) for j in range(len(self.dataset))]
+            y_err_lower = np.concatenate(Y_err_lower, axis=0)
+            y_err_upper = np.concatenate(Y_err_upper, axis=0)
+            y_err = (y_err_upper - y_err_lower) / 2.0
+
+        self.gpr = inference._build(kernel, x, y, y_err, mean)
+
+        self.iters = 0
+        self.times = np.zeros(0)
+        self.losses = np.zeros(0)
+        self.errors = np.zeros(0)
+
+    # -- introspection -------------------------------------------------------
+    def __str__(self):
+        s = "Model: %s\n" % self.gpr.name()
+        s += "- Kernel: %s\n" % self.gpr.kernel.name()
+        s += "- Likelihood: %s\n" % self.gpr.likelihood.name()
+        if self.gpr.mean is not None:
+            s += "- Mean: %s\n" % self.gpr.mean.name()
+        s += "- Parameters: %d\n" % self.num_parameters()
+        for p in self.gpr.parameters():
+            s += "  - %s %s\n" % (p._name, tuple(p.shape))
+        s += "- Channels: %d\n" % len(self.dataset)
+        s += "- Training points: %d\n" % self.num_training_points()
+        return s
+
+    def print_parameters(self):
+        self.gpr.print_parameters()
+
+    def parameters(self):
+        return self.gpr.parameters()
+
+    def load_kernel_parameters(self, other):
+        """Warm-start: copy kernel parameter values from another model
+        (reference: mogptk/model.py:282-294)."""
+        if not isinstance(other, Model):
+            raise ValueError("other must be of type Model")
+        if type(self.gpr.kernel) is not type(other.gpr.kernel):
+            raise ValueError("other must have the same kernel")
+        mine = self.gpr.kernel.parameters()
+        theirs = other.gpr.kernel.parameters()
+        if len(mine) != len(theirs):
+            raise ValueError("kernels must have the same number of parameters")
+        for p, q in zip(mine, theirs):
+            if p.shape != q.shape:
+                raise ValueError("kernel parameters must have matching shapes")
+            p._raw = q._raw
+
+    def num_parameters(self):
+        return sum(p.num_parameters if p.train else 0 for p in self.gpr.parameters())
+
+    def num_training_points(self):
+        return sum(len(channel.get_train_data()[1]) for channel in self.dataset)
+
+    def save(self, filename):
+        """Pickle the whole model to <filename>.npy (reference: mogptk/model.py:320-336)."""
+        filename += ".npy"
+        try:
+            os.remove(filename)
+        except OSError:
+            pass
+        with open(filename, "wb") as w:
+            pickle.dump(self, w)
+
+    def log_marginal_likelihood(self):
+        return float(self.gpr.log_marginal_likelihood())
+
+    def BIC(self):
+        """Bayesian information criterion (reference: mogptk/model.py:350-360)."""
+        return self.num_parameters() * np.log(self.num_training_points()) - 2.0 * self.log_marginal_likelihood()
+
+    def AIC(self):
+        """Akaike information criterion (reference: mogptk/model.py:362-372)."""
+        return 2.0 * self.num_parameters() - 2.0 * self.log_marginal_likelihood()
+
+    def loss(self):
+        return float(self.gpr.loss())
+
+    def error(self, method="MAE", use_all_data=False):
+        """Prediction error on the removed (test) points
+        (reference: mogptk/model.py:386-439)."""
+        if callable(method) and len(inspect.signature(method).parameters) == 1:
+            return method(self)
+
+        if use_all_data or not any(self.dataset.has_test_data()):
+            X, Y_true = self.dataset.get_data()
+        else:
+            X, Y_true = self.dataset.get_test_data()
+
+        x = self._to_kernel_format(X)
+        y_pred = np.asarray(self.gpr.predict_y(x))
+
+        i = 0
+        Y_pred = []
+        for j in range(self.dataset.get_output_dims()):
+            N = X[j].shape[0]
+            Y_pred.append(self.dataset[j].Y_transformer.backward(np.squeeze(y_pred[i:i + N]), X[j]))
+            i += N
+
+        y_true = np.concatenate(Y_true)
+        y_pred = np.concatenate(Y_pred)
+
+        if callable(method):
+            return method(y_true, y_pred)
+        elif method.lower() == "mae":
+            return mean_absolute_error(y_true, y_pred)
+        elif method.lower() == "mape":
+            return mean_absolute_percentage_error(y_true, y_pred)
+        elif method.lower() == "smape":
+            return symmetric_mean_absolute_percentage_error(y_true, y_pred)
+        elif method.lower() == "mse":
+            return mean_squared_error(y_true, y_pred)
+        elif method.lower() == "rmse":
+            return root_mean_squared_error(y_true, y_pred)
+        else:
+            raise ValueError("valid error calculation methods are MAE, MAPE, sMAPE, MSE, and RMSE")
+
+    def train(self, method="Adam", iters=500, verbose=False, error=None, plot=False,
+              jit=None, **kwargs):
+        """Optimize the kernel/likelihood hyperparameters
+        (reference: mogptk/model.py:441-579).
+
+        The whole optimizer step runs as one jitted XLA program; steps are
+        batched with lax.scan. `jit` is accepted for API compatibility and
+        ignored — everything is always compiled.
+
+        Returns:
+            (losses, errors): per-iteration arrays of length iters+1.
+        """
+        error_use_all_data = False
+        if error is not None and all(not channel.has_test_data() for channel in self.dataset):
+            error_use_all_data = True
+
+        if method.lower() in ("l-bfgs", "lbfgs", "l-bfgs-b", "lbfgsb"):
+            method = "LBFGS"
+        elif method.lower() == "adam":
+            method = "Adam"
+        elif method.lower() == "sgd":
+            method = "SGD"
+        elif method.lower() == "adagrad":
+            method = "AdaGrad"
+        else:
+            raise ValueError("optimizer must be LBFGS, Adam, SGD, or AdaGrad")
+
+        if verbose:
+            print("Starting optimization using", method)
+            print("- Model: %s" % self.gpr.name())
+            print("  - Kernel: %s" % self.gpr.kernel.name())
+            print("  - Likelihood: %s" % self.gpr.likelihood.name())
+            if self.gpr.mean is not None:
+                print("  - Mean: %s" % self.gpr.mean.name())
+            print("- Channels: %d" % len(self.dataset))
+            print("- Parameters: %d" % self.num_parameters())
+            print("- Training points: %d" % self.num_training_points())
+            print("- Iterations: %d" % iters)
+
+        iters = int(iters)
+        iter_offset = 0
+        times = np.zeros((iters + 1,))
+        losses = np.zeros((iters + 1,))
+        errors = np.zeros((iters + 1,))
+        if self.times.shape[0] != 0:
+            iter_offset = self.times.shape[0] - 1
+            times = np.concatenate((self.times[:-1], times))
+            losses = np.concatenate((self.losses[:-1], losses))
+            errors = np.concatenate((self.errors[:-1], errors))
+        initial_time = time.time()
+
+        losses[iter_offset] = self.loss()
+        times[iter_offset] = time.time() - initial_time
+        if error is not None:
+            errors[iter_offset] = float(self.error(error, error_use_all_data))
+
+        # per-iteration error tracking forces stepwise host sync like the
+        # reference; otherwise fuse many steps per dispatch
+        chunk = 1 if error is not None else None
+
+        collected = {"i": iter_offset}
+
+        def callback(i, loss):
+            idx = iter_offset + 1 + i
+            if idx < len(times):
+                times[idx] = time.time() - initial_time
+                if error is not None:
+                    errors[idx] = float(self.error(error, error_use_all_data))
+                if verbose and (i % max(1, iters // 10) == 0 or i == iters - 1):
+                    msg = "  %d/%d %s  loss=%12g" % (i + 1, iters, _format_time(times[idx]), loss)
+                    if error is not None:
+                        msg += "  error=%12g" % errors[idx]
+                    print(msg)
+
+        step_losses, elapsed = gpr.train(self.gpr, method=method,
+                                         lr=kwargs.pop("lr", None), iters=iters,
+                                         verbose=False, callback=callback,
+                                         chunk=chunk, **kwargs)
+        n_done = len(step_losses)
+        losses[iter_offset + 1: iter_offset + 1 + n_done] = step_losses
+        # per-iteration times are only exact at chunk boundaries; interpolate
+        filled = times[iter_offset: iter_offset + 1 + n_done]
+        nz = np.nonzero(filled)[0]
+        if len(nz) and nz[-1] != n_done:
+            times[iter_offset + 1 + len(nz): iter_offset + 1 + n_done] = elapsed
+        if times[iter_offset + n_done] == 0.0:
+            times[iter_offset + n_done] = time.time() - initial_time
+
+        if verbose:
+            print("Optimization finished in %s" % _format_duration(time.time() - initial_time))
+
+        self.iters = iter_offset + n_done
+        self.times = times[: iter_offset + n_done + 1]
+        self.losses = losses[: iter_offset + n_done + 1]
+        if error is not None:
+            self.errors = errors[: iter_offset + n_done + 1]
+        if plot:
+            self.plot_losses()
+        return losses, errors
+
+    # -- prediction -----------------------------------------------------------
+    def _to_kernel_format(self, X, Y=None):
+        """Concatenate per-channel data and prepend channel IDs for
+        multi-output kernels (reference: mogptk/model.py:585-606)."""
+        x = np.concatenate([np.asarray(Xj, dtype=np.float64) for Xj in X], axis=0)
+        if self.is_multioutput:
+            chan = [j * np.ones(len(X[j])) for j in range(len(X))]
+            chan = np.concatenate(chan).reshape(-1, 1)
+            x = np.concatenate([chan, x], axis=1)
+        if Y is None:
+            return x
+
+        Y = list(Y)
+        for j in range(len(Y)):
+            Y[j] = self.dataset[j].Y_transformer.forward(Y[j], X[j])
+        y = np.concatenate(Y, axis=0).reshape(-1, 1)
+        return x, y
+
+    def predict(self, X=None, ci=None, sigma=2, n=10000, transformed=False):
+        """Predict mean and confidence bounds per channel, inverting the data
+        transformations (reference: mogptk/model.py:608-664)."""
+        if X is None:
+            X = self.dataset.get_prediction_data()
+        else:
+            X = self.dataset._format_X(X)
+        x = self._to_kernel_format(X)
+
+        if isinstance(ci, float):
+            ci = (1.0 - ci) / 2.0
+            ci = [ci, 1.0 - ci]
+        if ci is not None:
+            ci = [max(0.0, ci[0]), min(1.0, ci[1])]
+
+        out = self.gpr.predict_y(x, ci, sigma=sigma, n=n)
+        if isinstance(out, tuple):
+            mu, lower, upper = out
+        else:
+            mu = lower = upper = out
+        mu = np.asarray(mu)
+        lower = np.asarray(lower)
+        upper = np.asarray(upper)
+
+        i = 0
+        Mu, Lower, Upper = [], [], []
+        for j in range(self.dataset.get_output_dims()):
+            N = X[j].shape[0]
+            Mu.append(np.squeeze(mu[i:i + N]))
+            Lower.append(np.squeeze(lower[i:i + N]))
+            Upper.append(np.squeeze(upper[i:i + N]))
+            i += N
+
+        if not transformed:
+            for j in range(self.dataset.get_output_dims()):
+                Mu[j] = self.dataset[j].Y_transformer.backward(Mu[j], X[j])
+                Lower[j] = self.dataset[j].Y_transformer.backward(Lower[j], X[j])
+                Upper[j] = self.dataset[j].Y_transformer.backward(Upper[j], X[j])
+
+        if len(self.dataset) == 1:
+            return X[0], Mu[0], Lower[0], Upper[0]
+        return X, Mu, Lower, Upper
+
+    def K(self, X1, X2=None):
+        """Kernel matrix between channel-formatted inputs
+        (reference: mogptk/model.py:666-690)."""
+        X1 = self.dataset._format_X(X1)
+        x1 = self._to_kernel_format(X1)
+        if X2 is None:
+            return self.gpr.K(x1)
+        X2 = self.dataset._format_X(X2)
+        x2 = self._to_kernel_format(X2)
+        return self.gpr.K(x1, x2)
+
+    def sample(self, X=None, n=None, prior=False, transformed=False):
+        """Sample from the posterior (or prior) per channel
+        (reference: mogptk/model.py:692-734)."""
+        if X is None:
+            X = self.dataset.get_prediction_data()
+        else:
+            X = self.dataset._format_X(X)
+        x = self._to_kernel_format(X)
+        if prior:
+            samples = self.gpr.sample_f(x, n=n, prior=True)
+        else:
+            samples = self.gpr.sample_y(Z=x, n=n)
+        samples = np.asarray(samples)
+
+        i = 0
+        Samples = []
+        for j in range(self.dataset.get_output_dims()):
+            N = X[j].shape[0]
+            if n is None:
+                sample = np.squeeze(samples[i:i + N])
+                if not transformed:
+                    sample = self.dataset[j].Y_transformer.backward(sample, X[j])
+                Samples.append(sample)
+            else:
+                sample = samples[:, i:i + N].T.copy()
+                for k in range(sample.shape[1]):
+                    if not transformed:
+                        sample[:, k] = self.dataset[j].Y_transformer.backward(sample[:, k], X[j])
+                Samples.append(sample)
+            i += N
+        if self.dataset.get_output_dims() == 1:
+            return Samples[0]
+        return Samples
+
+    # -- plotting ---------------------------------------------------------------
+    def plot_losses(self, title=None, figsize=(12, 4), legend=True, errors=True, log=False):
+        """Plot training loss (and error) history (reference: mogptk/model.py:736-780)."""
+        import matplotlib.pyplot as plt
+        if self.iters == 0:
+            raise Exception("must be trained in order to plot the losses")
+
+        fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
+        x = np.arange(0, self.iters + 1)
+        ax.set_xlim(0, self.iters)
+        ax.set_xlabel("Iteration")
+        ax.set_ylabel("Loss")
+        if log:
+            ax.set_yscale("log")
+
+        ax.plot(x, self.losses, c="k", ls="-")
+
+        legends = [plt.Line2D([0], [0], ls="-", color="k", label="Loss")]
+        if errors and x.shape[0] == self.errors.shape[0]:
+            ax2 = ax.twinx()
+            ax2.plot(x, self.errors, c="k", ls="-.")
+            ax2.set_ylabel("Error")
+            ax2.set_ylim(0.0, None)
+            legends.append(plt.Line2D([0], [0], ls="-.", color="k", label="Error"))
+            if log:
+                ax2.set_yscale("log")
+
+        if title is not None:
+            fig.suptitle(title, fontsize=18)
+        if legend:
+            ax.legend(handles=legends)
+        return fig, ax
+
+    def plot_prediction(self, X=None, title=None, figsize=None, legend=True,
+                        errorbars=True, ci=None, sigma=2, n=10000, transformed=False):
+        """Plot per-channel predictions with confidence bands
+        (reference: mogptk/model.py:782-895)."""
+        import matplotlib.pyplot as plt
+        import matplotlib.patches as patches
+
+        X, Mu, Lower, Upper = self.predict(X, ci=ci, sigma=sigma, n=n, transformed=transformed)
+        if len(self.dataset) == 1:
+            X, Mu, Lower, Upper = [X], [Mu], [Lower], [Upper]
+
+        if figsize is None:
+            figsize = (12, 4 * len(self.dataset))
+
+        fig, ax = plt.subplots(len(self.dataset), 1, figsize=figsize, squeeze=False, constrained_layout=True)
+        for j, data in enumerate(self.dataset):
+            if data.get_input_dims() > 2:
+                raise ValueError("cannot plot more than two input dimensions")
+            if data.get_input_dims() == 2:
+                raise NotImplementedError("two dimensional input data not yet implemented")
+
+            legends = []
+            if errorbars and data.Y_err is not None:
+                x, y = data.get_train_data(transformed=transformed)
+                yl = data.Y[data.mask] - data.Y_err[data.mask]
+                yu = data.Y[data.mask] + data.Y_err[data.mask]
+                if transformed:
+                    yl = data.Y_transformer.forward(yl, x)
+                    yu = data.Y_transformer.forward(yu, x)
+                x = x.astype(data.X_dtypes[0])
+                ax[j, 0].errorbar(x[:, 0], y, [y - yl, yu - y], elinewidth=1.5,
+                                  ecolor="lightgray", capsize=0, ls="", marker="")
+
+            idx = np.argsort(X[j][:, 0])
+            x = X[j][idx, 0].astype(data.X_dtypes[0])
+            ax[j, 0].plot(x, Mu[j][idx], ls=":", color="blue", lw=2)
+            if not np.all(Lower[j][idx] == Mu[j][idx]) and not np.all(Upper[j][idx] == Mu[j][idx]):
+                ax[j, 0].fill_between(x, Lower[j][idx], Upper[j][idx], color="blue", alpha=0.3)
+                legends.append(patches.Rectangle(
+                    (1, 1), 1, 1, fill=True, color="blue", alpha=0.3, lw=0, label="95% Error Bars"))
+            legends.append(plt.Line2D([0], [0], ls=":", color="blue", lw=2, label="Posterior Mean"))
+
+            xmin = min(np.min(data.X), np.min(X[j]))
+            xmax = max(np.max(data.X), np.max(X[j]))
+            if data.F is not None:
+                nn = len(data.X) * 10
+                xf = np.linspace(xmin, xmax, nn)
+                y = data.F(xf)
+                if transformed:
+                    y = data.Y_transformer.forward(y, xf.reshape(-1, 1))
+                ax[j, 0].plot(xf.astype(data.X_dtypes[0]), y, "g--", lw=1)
+                legends.append(plt.Line2D([0], [0], ls="--", color="g", label="Latent"))
+
+            if data.has_test_data():
+                x, y = data.get_test_data(transformed=transformed)
+                x = x.astype(data.X_dtypes[0])
+                ax[j, 0].plot(x[:, 0], y, "r.", ms=10)
+                legends.append(plt.Line2D([0], [0], ls="", color="r", marker=".", ms=10, label="Test data"))
+
+            x, y = data.get_train_data(transformed=transformed)
+            x = x.astype(data.X_dtypes[0])
+            ax[j, 0].plot(x[:, 0], y, "k.", ms=10)
+            legends.append(plt.Line2D([0], [0], ls="", color="k", marker=".", ms=10, label="Train data"))
+
+            if 0 < len(data.removed_ranges[0]):
+                for removed_range in data.removed_ranges[0]:
+                    x0 = np.float64(removed_range[0]).astype(data.X_dtypes[0])
+                    x1 = np.float64(removed_range[1]).astype(data.X_dtypes[0])
+                    y0 = ax[j, 0].get_ylim()[0]
+                    y1 = ax[j, 0].get_ylim()[1]
+                    ax[j, 0].add_patch(patches.Rectangle(
+                        (x0, y0), x1 - x0, y1 - y0, fill=True, color="xkcd:strawberry", alpha=0.4, lw=0))
+                legends.insert(0, patches.Rectangle(
+                    (1, 1), 1, 1, fill=True, color="xkcd:strawberry", alpha=0.4, lw=0, label="Removed Ranges"))
+
+            xmin = np.float64(xmin).astype(data.X_dtypes[0])
+            xmax = np.float64(xmax).astype(data.X_dtypes[0])
+            ax[j, 0].set_xlim(xmin - (xmax - xmin) * 0.001, xmax + (xmax - xmin) * 0.001)
+            ax[j, 0].set_xlabel(data.X_labels[0])
+            ax[j, 0].set_ylabel(data.Y_label)
+            ax[j, 0].set_title(data.name if title is None else title, fontsize=14)
+
+            if legend:
+                ax[j, 0].legend(handles=legends[::-1])
+        return fig, ax
+
+    def plot_gram(self, start=None, end=None, n=31, title=None, figsize=(12, 12)):
+        """Plot the Gram matrix over a per-channel grid
+        (reference: mogptk/model.py:897-957)."""
+        import matplotlib
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+        if not all(channel.get_input_dims() == 1 for channel in self.dataset):
+            raise ValueError("cannot plot for more than one input dimension")
+
+        if start is None:
+            start = [channel.X.min() for channel in self.dataset]
+        if end is None:
+            end = [channel.X.max() for channel in self.dataset]
+
+        output_dims = len(self.dataset)
+        if not isinstance(start, (list, np.ndarray)):
+            start = [start] * output_dims
+        if not isinstance(end, (list, np.ndarray)):
+            end = [end] * output_dims
+
+        X = np.zeros((output_dims * n, 2))
+        X[:, 0] = np.repeat(np.arange(output_dims), n)
+        for j in range(output_dims):
+            if n == 1:
+                X[j * n:(j + 1) * n, 1] = np.array((start[j] + end[j]) / 2.0)
+            else:
+                X[j * n:(j + 1) * n, 1] = np.linspace(start[j], end[j], n)
+        if not self.is_multioutput:
+            X = X[:, 1:]
+        k = self.gpr.K(X)
+
+        fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
+        if title is not None:
+            fig.suptitle(title, fontsize=18)
+
+        color_range = np.abs(k).max()
+        norm = matplotlib.colors.Normalize(vmin=-color_range, vmax=color_range)
+        im = ax.matshow(k, cmap="coolwarm", norm=norm)
+
+        divider = make_axes_locatable(ax)
+        cax = divider.append_axes("right", size="5%", pad=0.3)
+        fig.colorbar(im, cax=cax)
+
+        major_ticks = np.arange(-0.5, output_dims * n, n)
+        ax.set_xticks(major_ticks)
+        ax.set_yticks(major_ticks)
+        ax.grid(which="major", lw=1.5, c="k")
+        ax.set_xticklabels([])
+        ax.set_yticklabels([])
+        ax.tick_params(axis="both", which="both", length=0)
+        return fig, ax
+
+    def plot_kernel(self, dist=None, n=101, title=None, figsize=(12, 12)):
+        """Plot k(τ) per channel pair for stationary kernels
+        (reference: mogptk/model.py:959-1000)."""
+        import matplotlib.pyplot as plt
+        if not all(channel.get_input_dims() == 1 for channel in self.dataset):
+            raise ValueError("cannot plot for more than one input dimension")
+
+        if dist is None:
+            dist = [(channel.X.max() - channel.X.min()) / 4.0 for channel in self.dataset]
+
+        output_dims = len(self.dataset)
+        if not isinstance(dist, (list, np.ndarray)):
+            dist = [dist] * output_dims
+
+        fig, ax = plt.subplots(output_dims, output_dims, figsize=figsize,
+                               constrained_layout=True, squeeze=False, sharex=True)
+        if title is not None:
+            fig.suptitle(title, fontsize=18)
+
+        channel = np.ones((n, 1))
+        for j in range(output_dims):
+            tau = np.linspace(-dist[j], dist[j], num=n).reshape(-1, 1)
+            X1 = np.array([[j, 0.0]])
+            for i in range(output_dims):
+                if j < i:
+                    ax[j, i].set_axis_off()
+                    continue
+                X0 = np.concatenate((i * channel, tau), axis=1)
+                if not self.is_multioutput:
+                    k = self.gpr.K(tau, np.array([[0.0]]))
+                else:
+                    k = self.gpr.K(X0, X1)
+                ax[j, i].plot(tau, k, color="k")
+                ax[j, i].set_yticks([])
+        return fig, ax
+
+    def plot_correlation(self, title=None, figsize=(12, 12)):
+        """Plot the cross-channel correlation matrix
+        (reference: mogptk/model.py:1002-1037)."""
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
+        if title is not None:
+            fig.suptitle(title, fontsize=18)
+
+        output_dims = len(self.dataset)
+        X = np.zeros((output_dims, 2))
+        X[:, 0] = np.arange(output_dims)
+        K = np.array(self.gpr.K(X))
+
+        diag_sqrt = np.sqrt(np.diag(K))
+        K /= np.outer(diag_sqrt, diag_sqrt)
+
+        im = ax.matshow(K, cmap="coolwarm", vmin=-1.0, vmax=1.0)
+        for (i, j), z in np.ndenumerate(K):
+            ax.text(j, i, "{:0.3f}".format(z), ha="center", va="center", fontsize=14,
+                    bbox=dict(boxstyle="round", facecolor="white", alpha=0.5, edgecolor="0.9"))
+
+        ax.set_xticks(range(output_dims))
+        ax.set_xticklabels(self.dataset.get_names(), fontsize=14)
+        ax.set_yticks(range(output_dims))
+        ax.set_yticklabels(self.dataset.get_names(), fontsize=14)
+        ax.xaxis.set_ticks_position("top")
+        return fig, ax
+
+
+def _format_duration(s):
+    if s < 60.0:
+        return "%.3f seconds" % s
+    s = math.floor(s)
+    days = int(s / 86400)
+    hours = int(s % 86400 / 3600)
+    minutes = int(s % 3600 / 60)
+    seconds = int(s % 60)
+    duration = ""
+    for num, word in ((days, "day"), (hours, "hour"), (minutes, "minute"), (seconds, "second")):
+        if num == 1:
+            duration += " 1 %s" % word
+        elif 1 < num:
+            duration += " %d %ss" % (num, word)
+    return duration[1:]
+
+
+def _format_time(s):
+    return "%3d:%02d:%02d" % (int(s / 3600), int((s % 3600) / 60), int(s % 60))

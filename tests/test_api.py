@@ -1,0 +1,306 @@
+"""End-to-end tests of the user-facing API: data loading, transformations,
+model construction, training, prediction, metrics, save/load — the vertical
+slice matching the reference quick-start (examples/00_Quick_Start.ipynb)."""
+import os
+import numpy as np
+import pytest
+
+import mogptk_tpu as mogptk
+
+
+def _two_channel_dataset(n=60):
+    t = np.linspace(0, 10, n)
+    y1 = np.sin(0.7 * 2 * np.pi * t * 0.3) + 0.05 * np.random.RandomState(0).randn(n)
+    y2 = 2.0 * np.cos(0.2 * 2 * np.pi * t * 0.3) + 0.05 * np.random.RandomState(1).randn(n)
+    return mogptk.DataSet(t, [y1, y2], names=["A", "B"])
+
+
+def test_data_basic():
+    data = mogptk.Data([0.0, 1.0, 2.0, 3.0], [4.0, 3.0, 5.0, 6.0])
+    assert data.get_input_dims() == 1
+    x, y = data.get_data()
+    assert x.shape == (4, 1) and y.shape == (4,)
+
+
+def test_load_function_and_removal():
+    data = mogptk.LoadFunction(lambda x: np.sin(3 * x), 0, 10, n=200, var=0.01, name="Sine")
+    assert len(data.Y) == 200
+    data.remove_range(3, 8)
+    assert data.has_test_data()
+    x_train, _ = data.get_train_data()
+    assert np.all((x_train[:, 0] < 3) | (x_train[:, 0] > 8))
+    x_test, y_test = data.get_test_data()
+    assert len(x_test) > 0
+    data.reset()
+    assert not data.has_test_data()
+
+
+def test_remove_randomly_and_indices():
+    data = mogptk.LoadFunction(lambda x: np.sin(x), 0, 10, n=100)
+    data.remove_randomly(pct=0.3)
+    assert np.sum(~data.mask) == 30
+    data.reset()
+    data.remove_indices([1, 5, 7])
+    assert np.sum(~data.mask) == 3
+    data.reset()
+    data.remove(n=10)
+    assert np.sum(~data.mask) == 10
+
+
+def test_transformations_roundtrip():
+    rng = np.random.RandomState(0)
+    y = 5.0 + 3.0 * rng.rand(50)
+    x = np.linspace(0, 1, 50)
+    data = mogptk.Data(x, y)
+    data.transform(mogptk.TransformStandard())
+    data.transform(mogptk.TransformLog)
+    xt, yt = data.get_data(transformed=True)
+    back = data.Y_transformer.backward(yt, xt)
+    np.testing.assert_allclose(back, y, rtol=1e-10)
+
+
+def test_transform_detrend():
+    x = np.linspace(0, 10, 100)
+    y = 2.0 * x + 1.0 + np.sin(x)
+    data = mogptk.Data(x, y)
+    data.transform(mogptk.TransformDetrend(degree=1))
+    _, yt = data.get_data(transformed=True)
+    assert np.abs(np.polyfit(x, yt, 1)[0]) < 0.05
+
+
+def test_aggregate():
+    x = np.arange(100, dtype=np.float64)
+    y = np.ones(100)
+    data = mogptk.Data(x, y)
+    data.aggregate(10, f=np.sum)
+    assert len(data.Y) == 10
+    np.testing.assert_allclose(data.Y, 10.0)
+
+
+def test_duration_parsing():
+    from mogptk_tpu.data import _parse_delta
+    assert _parse_delta(5.0, np.float64) == 5.0
+    d = _parse_delta("3W1D", np.dtype("datetime64[D]"))
+    assert d == 22.0
+    assert _parse_delta("day", np.dtype("datetime64[D]")) == 1.0
+
+
+def test_datetime_handling():
+    x = np.array(["2020-01-01", "2020-01-02", "2020-01-03", "2020-01-04"], dtype="datetime64[D]")
+    y = [1.0, 2.0, 3.0, 4.0]
+    data = mogptk.Data(x, y)
+    assert np.issubdtype(data.X_dtypes[0], np.datetime64)
+    data.filter("2020-01-02", "2020-01-04")
+    assert len(data.Y) == 2
+
+
+def test_dataset_accessors():
+    dataset = _two_channel_dataset()
+    assert dataset.get_output_dims() == 2
+    assert dataset.get_names() == ["A", "B"]
+    assert dataset["A"] is dataset[0]
+    assert dataset.get_index("B") == 1
+    assert dataset.get_input_dims() == [1, 1]
+
+
+def test_load_dataframe():
+    import pandas as pd
+    df = pd.DataFrame({"t": [0.0, 1.0, 2.0], "a": [1.0, 2.0, 3.0], "b": [2.0, 1.0, 0.0]})
+    ds = mogptk.LoadDataFrame(df, x_col="t", y_col=["a", "b"])
+    assert ds.get_output_dims() == 2
+    single = mogptk.LoadDataFrame(df, x_col="t", y_col="a")
+    assert isinstance(single, mogptk.Data)
+
+
+def test_model_quickstart_vertical_slice():
+    """Train MOSM end-to-end: init → train → predict → error → save/load."""
+    dataset = _two_channel_dataset()
+    for channel in dataset:
+        channel.transform(mogptk.TransformStandard())
+        channel.remove_randomly(pct=0.2)
+
+    model = mogptk.MOSM(dataset, Q=2)
+    model.init_parameters("LS")
+    loss0 = model.loss()
+    losses, errors = model.train(method="Adam", lr=0.05, iters=60)
+    assert losses[-1] < loss0
+    assert model.iters == 60
+
+    # predict over the prediction range
+    X, Mu, Lower, Upper = model.predict()
+    assert len(Mu) == 2
+    assert np.all(np.asarray(Lower[0]) <= np.asarray(Upper[0]))
+
+    # error metrics on the removed points
+    err = model.error("MAE")
+    assert np.isfinite(err)
+    assert np.isfinite(model.error("RMSE"))
+
+    # information criteria + lml
+    assert np.isfinite(model.BIC())
+    assert np.isfinite(model.AIC())
+    assert np.isfinite(model.log_marginal_likelihood())
+
+    # save / load roundtrip
+    model.save("/tmp/test_mosm_model")
+    loaded = mogptk.LoadModel("/tmp/test_mosm_model")
+    np.testing.assert_allclose(loaded.loss(), model.loss(), rtol=1e-6)
+    os.remove("/tmp/test_mosm_model.npy")
+
+
+def test_sm_model():
+    dataset = _two_channel_dataset()
+    model = mogptk.SM(dataset, Q=2)
+    model.init_parameters("IPS")
+    losses, _ = model.train(method="Adam", lr=0.05, iters=30)
+    assert np.isfinite(losses[-1])
+
+
+def test_csm_model():
+    dataset = _two_channel_dataset()
+    model = mogptk.CSM(dataset, Q=2, Rq=1)
+    model.init_parameters("LS")
+    losses, _ = model.train(method="Adam", lr=0.05, iters=30)
+    assert np.isfinite(losses[-1])
+
+
+def test_sm_lmc_model():
+    dataset = _two_channel_dataset()
+    model = mogptk.SM_LMC(dataset, Q=2, Rq=1)
+    model.init_parameters("LS")
+    losses, _ = model.train(method="Adam", lr=0.05, iters=30)
+    assert np.isfinite(losses[-1])
+    # per-component magnitudes stay pegged to 1
+    for q in range(2):
+        np.testing.assert_allclose(float(model.gpr.kernel[q].magnitude().squeeze()), 1.0, rtol=1e-6)
+
+
+def test_conv_model():
+    dataset = _two_channel_dataset()
+    model = mogptk.CONV(dataset, Q=1)
+    model.init_parameters("LS")
+    losses, _ = model.train(method="Adam", lr=0.05, iters=30)
+    assert np.isfinite(losses[-1])
+
+
+def test_mohsm_model():
+    # The MOHSM construction (reference gpr/multioutput.py:353-386) is not
+    # PSD for arbitrary parameters — with narrow LS-estimated spectral
+    # variances over a long X range its most negative eigenvalue exceeds the
+    # noise diagonal (verified identical in a numpy mirror of the reference
+    # formula). Exercise it in its well-conditioned regime: short X range
+    # and the default wide spectral variances.
+    t = np.linspace(0, 3, 40)
+    y1 = np.sin(2.0 * t) + 0.05 * np.random.RandomState(0).randn(40)
+    y2 = np.cos(2.0 * t) + 0.05 * np.random.RandomState(1).randn(40)
+    dataset = mogptk.DataSet(t, [y1, y2], names=["A", "B"])
+    model = mogptk.MOHSM(dataset, P=1, Q=1)
+    loss0 = model.loss()
+    losses, _ = model.train(method="Adam", lr=0.02, iters=30)
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < loss0
+
+
+def test_mohsm_init_parameters_assigns():
+    t = np.linspace(0, 3, 40)
+    y1 = np.sin(2.0 * t)
+    y2 = np.cos(2.0 * t)
+    dataset = mogptk.DataSet(t, [y1, y2], names=["A", "B"])
+    model = mogptk.MOHSM(dataset, P=2, Q=1)
+    model.init_parameters("LS")
+    # P>1 spreads centers (reference: models/mohsm.py:82-86)
+    c0 = model.gpr.kernel[0].center.numpy()
+    c1 = model.gpr.kernel[1].center.numpy()
+    assert not np.allclose(c0, c1)
+
+
+def test_model_with_titsias_inference():
+    dataset = _two_channel_dataset(n=40)
+    model = mogptk.MOSM(dataset, Q=1, inference=mogptk.Titsias(inducing_points=10))
+    losses, _ = model.train(method="Adam", lr=0.02, iters=20)
+    assert np.isfinite(losses[-1])
+
+
+def test_model_with_hensman_multilikelihood():
+    """Multi-likelihood Hensman SVGP: Bernoulli + Gaussian channels
+    (BASELINE.md config #5)."""
+    rng = np.random.RandomState(0)
+    t = np.linspace(0, 6, 40)
+    y_class = (np.sin(t) > 0).astype(np.float64)
+    y_reg = np.cos(t) + 0.05 * rng.randn(40)
+    dataset = mogptk.DataSet(t, [y_class, y_reg], names=["class", "reg"])
+
+    likelihood = mogptk.gpr.MultiOutputLikelihood(
+        mogptk.gpr.BernoulliLikelihood(), mogptk.gpr.GaussianLikelihood(0.5))
+    model = mogptk.MOSM(dataset, Q=1,
+                        inference=mogptk.Hensman(likelihood=likelihood))
+    loss0 = model.loss()
+    losses, _ = model.train(method="Adam", lr=0.05, iters=40)
+    assert losses[-1] < loss0
+
+    X, Mu, Lower, Upper = model.predict()
+    assert np.all((0.0 <= np.asarray(Mu[0])) & (np.asarray(Mu[0]) <= 1.0))
+
+
+def test_error_comparison_table():
+    dataset = _two_channel_dataset()
+    for channel in dataset:
+        channel.remove_randomly(pct=0.2)
+    m1 = mogptk.MOSM(dataset, Q=1)
+    m1.train(iters=10, lr=0.05)
+    m2 = mogptk.SM(dataset, Q=1)
+    m2.train(iters=10, lr=0.05)
+    errs = mogptk.error(m1, m2)
+    assert len(errs) == 2
+    assert "MAE" in errs[0] and "RMSE" in errs[1]
+    errs_pc = mogptk.error(m1, m2, per_channel=True)
+    assert len(errs_pc[0]) == 2
+
+
+def test_kernel_registry():
+    assert mogptk.kernels.MOSM is mogptk.gpr.MultiOutputSpectralMixtureKernel
+    assert mogptk.kernels.SE is mogptk.gpr.SquaredExponentialKernel
+    assert mogptk.kernels["RBF"] is mogptk.gpr.SquaredExponentialKernel
+
+
+def test_model_K_and_sample():
+    dataset = _two_channel_dataset(n=30)
+    model = mogptk.MOSM(dataset, Q=1)
+    X = [np.linspace(0, 10, 5), np.linspace(0, 10, 4)]
+    K = model.K(X)
+    assert K.shape == (9, 9)
+    s = model.sample(X, n=3)
+    assert len(s) == 2 and s[0].shape == (5, 3)
+
+
+def test_plots_run():
+    import matplotlib.pyplot as plt
+    dataset = _two_channel_dataset(n=30)
+    model = mogptk.MOSM(dataset, Q=1)
+    model.train(iters=5, lr=0.05)
+    model.plot_losses()
+    model.plot_prediction()
+    model.plot_gram(n=5)
+    model.plot_kernel(n=11)
+    model.plot_correlation()
+    dataset.plot()
+    dataset.plot_spectrum(n=101)
+    plt.close("all")
+
+
+def test_bnse_estimation_finds_peak():
+    t = np.linspace(0, 10, 120)
+    freq = 0.5
+    y = np.sin(2 * np.pi * freq * t)
+    data = mogptk.Data(t, y)
+    A, B, C = data.get_bnse_estimation(Q=1, n=500, iters=50)
+    assert abs(B[0, 0] - freq) < 0.15, "BNSE peak %g should be near %g" % (B[0, 0], freq)
+
+
+def test_ls_estimation_finds_peak():
+    t = np.linspace(0, 10, 120)
+    freq = 0.5
+    y = np.sin(2 * np.pi * freq * t)
+    data = mogptk.Data(t, y)
+    A, B, C = data.get_ls_estimation(Q=1)
+    assert abs(B[0, 0] - freq) < 0.1
