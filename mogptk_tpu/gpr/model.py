@@ -399,7 +399,10 @@ class Exact(Model):
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
 
     def _Kff(self):
-        Kff = self.kernel.K(self.X)
+        # remat the Gram assembly: the backward pass recomputes the fused
+        # elementwise chain instead of keeping O(Q·D) N×N residents in HBM
+        # (trades ~1 extra Gram evaluation for several GB at N=16k)
+        Kff = jax.checkpoint(lambda X: self.kernel.K(X))(self.X)
         noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
         diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1), (self.X.shape[0],))
         if self.data_variance is not None:

@@ -20,11 +20,6 @@ from .config import config
 _pi = np.pi
 
 
-def _pair(table, c1, c2):
-    """Gather an (O,O,...) pair table at (c1[n], c2[m]) → (N,M,...)."""
-    return table[c1[:, None], c2[None, :]]
-
-
 class IndependentMultiOutputKernel(MultiOutputKernel):
     """Block-diagonal kernel: one subkernel per channel, no cross-channel
     correlation (reference: mogptk/gpr/multioutput.py:5-39)."""
@@ -73,49 +68,73 @@ class IndependentMultiOutputKernel(MultiOutputKernel):
         return self.kernels[i].K_diag(X1)
 
 
-def _mosm_tables(w, mu, var, theta, phi, twopi):
-    """Cross-channel MOSM parameter tables from per-channel parameters.
+def _mosm_K(c1, x1, c2, x2, params, twopi, phase_inside_2pi=True, cross_weight=None, alpha_extra=None):
+    """Evaluate the MOSM Gram from per-point parameter gathers.
 
-    Implements the closed-form cross-spectral algebra of Parra & Tobar 2017
-    (reference: mogptk/gpr/multioutput.py:103-117 and 188-203):
-      Σij = 2Σi(Σi+Σj)⁻¹Σj,  μij = (Σi+Σj)⁻¹(Σiμj+Σjμi),
-      wij = wiwj·exp(−π²(μi−μj)ᵀ(Σi+Σj)⁻¹(μi−μj)),
-      αij = wij·(2π)^(D/2)·√(∏Σij),  θij = θi−θj,  φij = φi−φj.
-    All shapes (O,Q,D)/(O,Q) → tables (O,O,Q,D)/(O,O,Q). At i==j these reduce
-    exactly to the diagonal formulas, so one table drives the whole Gram.
+    TPU-native formulation. Two layout/memory rules drive the shape of this
+    code:
+    1. Every large intermediate is (N, M) with the small Q and D axes
+       unrolled in Python — a materialized (N, M, Q) array gets its minor
+       dim padded to 128 lanes on TPU (64x HBM blowup for Q=2).
+    2. Parameters enter through 1-D per-point gathers (N,)/(M,) followed by
+       rank-broadcast arithmetic, never (N, M)-shaped gathers: the whole
+       cross-spectral algebra (Σij, μij, wij — reference mogptk/gpr/
+       multioutput.py:103-117) then fuses into a single elementwise pass
+       over the Gram tile, and under jax.checkpoint the only saved
+       residuals are the 1-D gathers. The cross formulas reduce exactly to
+       the diagonal formulas at i==j, so one branch-free pass covers the
+       whole Gram.
+
+    params = (w, mu, var, theta, phi) with shapes (O,Q), (O,Q,D), (O,Q,D),
+    (O,Q,D), (O,Q). `cross_weight` (N,M) replaces the wi·wj factor for uMOSM.
     """
-    inv_var = 1.0 / (var[:, None] + var[None, :])                    # OxOxQxD
-    diff_mean = mu[:, None] - mu[None, :]                            # OxOxQxD
-    magnitude = w[:, None] * w[None, :] * jnp.exp(
-        -_pi ** 2 * jnp.sum(diff_mean * inv_var * diff_mean, axis=-1))  # OxOxQ
-    mean_ij = inv_var * (var[:, None] * mu[None, :] + var[None, :] * mu[:, None])  # OxOxQxD
-    var_ij = 2.0 * var[:, None] * inv_var * var[None, :]             # OxOxQxD
-    delay_ij = theta[:, None] - theta[None, :]                       # OxOxQxD
-    phase_ij = phi[:, None] - phi[None, :]                           # OxOxQ
-    alpha_ij = magnitude * twopi * jnp.sqrt(jnp.prod(var_ij, axis=-1))  # OxOxQ
-    return alpha_ij, mean_ij, var_ij, delay_ij, phase_ij
-
-
-def _mosm_K(c1, x1, c2, x2, tables, phase_inside_2pi=True):
-    """Evaluate the MOSM Gram from pair tables with per-point-pair gathers."""
-    alpha_ij, mean_ij, var_ij, delay_ij, phase_ij = tables
+    w, mu, var, theta, phi = params
     x2e = x1 if x2 is None else x2
-    tau = x1[:, None, :] - x2e[None, :, :]                           # NxMxD
+    Qn = mu.shape[1]
+    D = mu.shape[2]
 
-    a = _pair(alpha_ij, c1, c2)                                      # NxMxQ
-    m = _pair(mean_ij, c1, c2)                                       # NxMxQxD
-    v = _pair(var_ij, c1, c2)                                        # NxMxQxD
-    d = _pair(delay_ij, c1, c2)                                      # NxMxQxD
-    p = _pair(phase_ij, c1, c2)                                      # NxMxQ
+    K = None
+    for q in range(Qn):
+        expo_acc = None   # Σ_d (τ+θΔ)²·Σij
+        ang_acc = None    # Σ_d (τ+θΔ)·μij
+        mag_acc = None    # Σ_d (μi−μj)²/(Σi+Σj)
+        var_prod = None   # Π_d Σij
+        for d in range(D):
+            v1 = var[c1, q, d][:, None]     # Nx1
+            v2 = var[c2, q, d][None, :]     # 1xM
+            m1 = mu[c1, q, d][:, None]
+            m2 = mu[c2, q, d][None, :]
+            taud = x1[:, d][:, None] - x2e[:, d][None, :]            # NxM
+            td = taud + (theta[c1, q, d][:, None] - theta[c2, q, d][None, :])
 
-    tau_delay = tau[:, :, None, :] + d                               # NxMxQxD
-    expo = jnp.exp(-0.5 * jnp.sum(tau_delay ** 2 * v, axis=-1))      # NxMxQ
-    ang = jnp.sum(tau_delay * m, axis=-1)                            # NxMxQ
-    if phase_inside_2pi:
-        cos = jnp.cos(2.0 * _pi * (ang + p))
-    else:
-        cos = jnp.cos(2.0 * _pi * ang + p)
-    return jnp.sum(a * expo * cos, axis=-1)                          # NxM
+            inv = 1.0 / (v1 + v2)                                    # NxM
+            diffm = m1 - m2
+            mean_nm = inv * (v1 * m2 + v2 * m1)                      # = μi at i==j
+            var_nm = 2.0 * v1 * inv * v2                             # = Σi at i==j
+
+            e = td * td * var_nm
+            a_ = td * mean_nm
+            g = diffm * diffm * inv                                  # = 0 at i==j
+            expo_acc = e if expo_acc is None else expo_acc + e
+            ang_acc = a_ if ang_acc is None else ang_acc + a_
+            mag_acc = g if mag_acc is None else mag_acc + g
+            var_prod = var_nm if var_prod is None else var_prod * var_nm
+
+        if cross_weight is None:
+            w1w2 = w[c1, q][:, None] * w[c2, q][None, :]             # NxM
+        else:
+            w1w2 = cross_weight
+        alpha = w1w2 * jnp.exp(-_pi ** 2 * mag_acc) * twopi * jnp.sqrt(var_prod)
+        if alpha_extra is not None:
+            alpha = alpha * alpha_extra
+        pdiff = phi[c1, q][:, None] - phi[c2, q][None, :]
+        if phase_inside_2pi:
+            cos = jnp.cos(2.0 * _pi * (ang_acc + pdiff))
+        else:
+            cos = jnp.cos(2.0 * _pi * ang_acc + pdiff)
+        Kq = alpha * jnp.exp(-0.5 * expo_acc) * cos
+        K = Kq if K is None else K + Kq
+    return K                                                         # NxM
 
 
 class MultiOutputSpectralKernel(MultiOutputKernel):
@@ -134,13 +153,13 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
             self.phase.train = False
         self.twopi = np.power(2.0 * np.pi, float(input_dims) / 2.0)
 
-    def _tables(self):
-        return _mosm_tables(self.weight()[:, None], self.mean()[:, None, :],
-                            self.variance()[:, None, :], self.delay()[:, None, :],
-                            self.phase()[:, None], self.twopi)
+    def _params(self):
+        return (self.weight()[:, None], self.mean()[:, None, :],
+                self.variance()[:, None, :], self.delay()[:, None, :],
+                self.phase()[:, None])
 
     def K_mo(self, c1, x1, c2, x2=None):
-        return _mosm_K(c1, x1, c2, x2, self._tables(), phase_inside_2pi=True)
+        return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
     def K_mo_diag(self, c1, x1):
         variance = self.variance()  # OxD
@@ -151,7 +170,7 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
         X1, X2 = self._active_input(X1, X2)
         c1 = jnp.full((X1.shape[0],), i, dtype=jnp.int32)
         c2 = jnp.full((X1.shape[0] if X2 is None else X2.shape[0],), j, dtype=jnp.int32)
-        return _mosm_K(c1, X1, c2, X2, self._tables(), phase_inside_2pi=True)
+        return _mosm_K(c1, X1, c2, X2, self._params(), self.twopi, phase_inside_2pi=True)
 
 
 class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
@@ -171,12 +190,12 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
             self.phase.train = False
         self.twopi = np.power(2.0 * np.pi, float(input_dims) / 2.0)
 
-    def _tables(self):
-        return _mosm_tables(self.weight(), self.mean(), self.variance(),
-                            self.delay(), self.phase(), self.twopi)
+    def _params(self):
+        return (self.weight(), self.mean(), self.variance(),
+                self.delay(), self.phase())
 
     def K_mo(self, c1, x1, c2, x2=None):
-        return _mosm_K(c1, x1, c2, x2, self._tables(), phase_inside_2pi=True)
+        return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
     def K_mo_diag(self, c1, x1):
         variance = self.variance()  # OxQxD
@@ -187,7 +206,7 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
         X1, X2 = self._active_input(X1, X2)
         c1 = jnp.full((X1.shape[0],), i, dtype=jnp.int32)
         c2 = jnp.full((X1.shape[0] if X2 is None else X2.shape[0],), j, dtype=jnp.int32)
-        return _mosm_K(c1, X1, c2, X2, self._tables(), phase_inside_2pi=True)
+        return _mosm_K(c1, X1, c2, X2, self._params(), self.twopi, phase_inside_2pi=True)
 
 
 class UncoupledMultiOutputSpectralKernel(MultiOutputKernel):
@@ -207,28 +226,24 @@ class UncoupledMultiOutputSpectralKernel(MultiOutputKernel):
             self.phase.train = False
         self.twopi = np.power(2.0 * np.pi, float(input_dims) / 2.0)
 
-    def _tables(self):
+    def _params(self):
+        return (None, self.mean()[:, None, :], self.variance()[:, None, :],
+                self.delay()[:, None, :], self.phase()[:, None])
+
+    def _cross_weight(self, c1, c2):
+        # Wtril·Wtrilᵀ gathered per point-pair as an (N,O)·(O,O)·(O,M) matmul
+        # chain on the MXU — no (N,M)-shaped gather
         W = jnp.tril(self.weight())
-        magnitude = W @ W.T  # OxO; replaces the wi·wj factor of MOSM
-        mu = self.mean()[:, None, :]
-        var = self.variance()[:, None, :]
-        theta = self.delay()[:, None, :]
-        phi = self.phase()[:, None]
-        inv_var = 1.0 / (var[:, None] + var[None, :])
-        diff_mean = mu[:, None] - mu[None, :]
-        mag = magnitude[:, :, None] * jnp.exp(
-            -_pi ** 2 * jnp.sum(diff_mean * inv_var * diff_mean, axis=-1))
-        mean_ij = inv_var * (var[:, None] * mu[None, :] + var[None, :] * mu[:, None])
-        var_ij = 2.0 * var[:, None] * inv_var * var[None, :]
-        delay_ij = theta[:, None] - theta[None, :]
-        phase_ij = phi[:, None] - phi[None, :]
-        alpha_ij = mag * self.twopi * jnp.sqrt(jnp.prod(var_ij, axis=-1))
-        return alpha_ij, mean_ij, var_ij, delay_ij, phase_ij
+        mag = W @ W.T  # OxO
+        onehot1 = (c1[:, None] == jnp.arange(self.output_dims)[None, :]).astype(config.dtype)
+        onehot2 = (c2[:, None] == jnp.arange(self.output_dims)[None, :]).astype(config.dtype)
+        return onehot1 @ mag @ onehot2.T  # NxM
 
     def K_mo(self, c1, x1, c2, x2=None):
         # reference places the phase outside the 2π factor for uMOSM
         # (gpr/multioutput.py:285)
-        return _mosm_K(c1, x1, c2, x2, self._tables(), phase_inside_2pi=False)
+        return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi,
+                       phase_inside_2pi=False, cross_weight=self._cross_weight(c1, c2))
 
     def K_mo_diag(self, c1, x1):
         W = jnp.tril(self.weight())
@@ -241,7 +256,8 @@ class UncoupledMultiOutputSpectralKernel(MultiOutputKernel):
         X1, X2 = self._active_input(X1, X2)
         c1 = jnp.full((X1.shape[0],), i, dtype=jnp.int32)
         c2 = jnp.full((X1.shape[0] if X2 is None else X2.shape[0],), j, dtype=jnp.int32)
-        return _mosm_K(c1, X1, c2, X2, self._tables(), phase_inside_2pi=False)
+        return _mosm_K(c1, X1, c2, X2, self._params(), self.twopi,
+                       phase_inside_2pi=False, cross_weight=self._cross_weight(c1, c2))
 
 
 class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
@@ -262,27 +278,29 @@ class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
             self.phase.train = False
         self.twopi = np.power(2.0 * np.pi, float(input_dims))
 
-    def _tables(self):
-        l2 = self.lengthscale() ** 2  # O
-        inv_l = 1.0 / (l2[:, None] + l2[None, :])          # OxO
-        lengthscale_ij = 2.0 * l2[:, None] * inv_l * l2[None, :]  # OxO
-        alpha_ij, mean_ij, var_ij, delay_ij, phase_ij = _mosm_tables(
-            self.weight()[:, None], self.mean()[:, None, :],
-            self.variance()[:, None, :], self.delay()[:, None, :],
-            self.phase()[:, None], self.twopi)
-        alpha_ij = alpha_ij * jnp.power(jnp.sqrt(lengthscale_ij), float(self.input_dims))[:, :, None]
-        return alpha_ij, mean_ij, var_ij, delay_ij, phase_ij, lengthscale_ij
+    def _params(self):
+        return (self.weight()[:, None], self.mean()[:, None, :],
+                self.variance()[:, None, :], self.delay()[:, None, :],
+                self.phase()[:, None])
 
     def K_mo(self, c1, x1, c2, x2=None):
-        alpha_ij, mean_ij, var_ij, delay_ij, phase_ij, lengthscale_ij = self._tables()
         x2e = x1 if x2 is None else x2
-        base = _mosm_K(c1, x1, c2, x2,
-                       (alpha_ij, mean_ij, var_ij, delay_ij, phase_ij),
-                       phase_inside_2pi=False)
-        avg = 0.5 * (x1[:, None, :] + x2e[None, :, :])     # NxMxD
-        l_nm = _pair(lengthscale_ij, c1, c2)               # NxM
-        dist2 = jnp.sum((avg - self.center()) ** 2, axis=-1)  # NxM
-        return base * jnp.exp(-0.5 * dist2 * l_nm)
+        # nonstationary cross lengthscale per point-pair from 1-D gathers:
+        # l_ij = 2·li²·lj²/(li²+lj²) (reference: gpr/multioutput.py:369-378)
+        l2 = self.lengthscale() ** 2  # O
+        l1 = l2[c1][:, None]          # Nx1
+        l2m = l2[c2][None, :]         # 1xM
+        l_nm = 2.0 * l1 * l2m / (l1 + l2m)  # NxM; = li² at i==j
+        center = self.center()
+        dist2 = None
+        for d in range(x1.shape[1]):
+            avgd = 0.5 * (x1[:, d][:, None] + x2e[:, d][None, :]) - center[d]  # NxM
+            e = avgd * avgd
+            dist2 = e if dist2 is None else dist2 + e
+        # alpha gains (√l_ij)^D; exp2 is the nonstationary envelope
+        alpha_extra = jnp.power(jnp.sqrt(l_nm), float(self.input_dims)) * jnp.exp(-0.5 * dist2 * l_nm)
+        return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi,
+                       phase_inside_2pi=False, alpha_extra=alpha_extra)
 
     def K_mo_diag(self, c1, x1):
         variance = self.variance()
@@ -312,18 +330,30 @@ class CrossSpectralKernel(MultiOutputKernel):
         self.shift = Parameter(jnp.zeros((output_dims, Rq)))
 
     def K_mo(self, c1, x1, c2, x2=None):
+        # all large temps kept (N,M); Rq and D unrolled (TPU lane padding)
         x2e = x1 if x2 is None else x2
-        tau = x1[:, None, :] - x2e[None, :, :]             # NxMxD
-        a1 = self.amplitude()[c1]                          # NxRq
-        a2 = self.amplitude()[c2]                          # MxRq
-        s1 = self.shift()[c1]                              # NxRq
-        s2 = self.shift()[c2]                              # MxRq
-        amplitude = jnp.sqrt(a1[:, None, :] * a2[None, :, :])  # NxMxRq
-        shift = s1[:, None, :] - s2[None, :, :]            # NxMxRq
-        expo = jnp.exp(-0.5 * jnp.tensordot(tau ** 2, self.variance(), axes=1))  # NxM
-        ang = jnp.tensordot(tau, self.mean(), axes=1)      # NxM
-        cos = jnp.cos(2.0 * _pi * (ang[:, :, None] + shift))  # NxMxRq
-        return jnp.sum(amplitude * expo[:, :, None] * cos, axis=-1)
+        var = self.variance()
+        mu = self.mean()
+        expo_acc = None
+        ang_acc = None
+        for d in range(x1.shape[1]):
+            taud = x1[:, None, d] - x2e[None, :, d]        # NxM
+            e = taud * taud * var[d]
+            a_ = taud * mu[d]
+            expo_acc = e if expo_acc is None else expo_acc + e
+            ang_acc = a_ if ang_acc is None else ang_acc + a_
+        expo = jnp.exp(-0.5 * expo_acc)                    # NxM
+        amp = self.amplitude()                             # OxRq
+        shf = self.shift()                                 # OxRq
+        K = None
+        for r in range(self.Rq):
+            a1 = amp[c1, r]                                # N
+            a2 = amp[c2, r]                                # M
+            amplitude = jnp.sqrt(a1[:, None] * a2[None, :])  # NxM
+            shift = shf[c1, r][:, None] - shf[c2, r][None, :]  # NxM
+            Kr = amplitude * expo * jnp.cos(2.0 * _pi * (ang_acc + shift))
+            K = Kr if K is None else K + Kr
+        return K
 
     def K_mo_diag(self, c1, x1):
         return jnp.sum(self.amplitude(), axis=-1)[c1]
@@ -362,12 +392,16 @@ class LinearModelOfCoregionalizationKernel(MultiOutputKernel):
         return "%s[%s]" % (self.__class__.__name__, ",".join(k.name() for k in self.kernels))
 
     def K_mo(self, c1, x1, c2, x2=None):
+        # per-component (N,M) MXU matmuls; avoids a materialized (N,M,Q)
+        # einsum output whose minor dim would be lane-padded on TPU
         x2e = x1 if x2 is None else x2
-        w1 = self.weight()[c1]                              # NxQxR
-        w2 = self.weight()[c2]                              # MxQxR
-        B = jnp.einsum("nqr,mqr->nmq", w1, w2)              # NxMxQ
-        Ks = jnp.stack([k.K(x1, x2e) for k in self.kernels], axis=-1)  # NxMxQ
-        return jnp.sum(B * Ks, axis=-1)
+        w = self.weight()                                   # OxQxR
+        K = None
+        for q, kernel in enumerate(self.kernels):
+            Bq = w[c1, q, :] @ w[c2, q, :].T                # NxM
+            Kq = Bq * kernel.K(x1, x2e)
+            K = Kq if K is None else K + Kq
+        return K
 
     def K_mo_diag(self, c1, x1):
         w1 = self.weight()[c1]                              # NxQxR
@@ -399,18 +433,23 @@ class GaussianConvolutionProcessKernel(MultiOutputKernel):
         self.base_variance = Parameter(jnp.ones(input_dims), lower=config.positive_minimum)
 
     def K_mo(self, c1, x1, c2, x2=None):
+        # all large temps kept (N,M); D unrolled (TPU lane padding)
         x2e = x1 if x2 is None else x2
-        tau2 = (x1[:, None, :] - x2e[None, :, :]) ** 2      # NxMxD
-        v1 = self.variance()[c1]                            # NxD
-        v2 = self.variance()[c2]                            # MxD
-        w1 = self.weight()[c1]                              # N
-        w2 = self.weight()[c2]                              # M
+        var = self.variance()                               # OxD
+        w = self.weight()                                   # O
         base = self.base_variance()                         # D
-        variances = v1[:, None, :] + v2[None, :, :] + base  # NxMxD; = 2Σi+Σ0 at i==j
-        magnitude = (w1[:, None] * w2[None, :]
-                     * jnp.sqrt(jnp.prod(base) / jnp.prod(variances, axis=-1)))  # NxM
-        expo = jnp.exp(-0.5 * jnp.sum(tau2 / variances, axis=-1))
-        return magnitude * expo
+        w1 = w[c1]                                          # N
+        w2 = w[c2]                                          # M
+        expo_acc = None
+        prod_var = None
+        for d in range(x1.shape[1]):
+            taud2 = (x1[:, None, d] - x2e[None, :, d]) ** 2  # NxM
+            vd = var[c1, d][:, None] + var[c2, d][None, :] + base[d]  # NxM; = 2Σi+Σ0 at i==j
+            e = taud2 / vd
+            expo_acc = e if expo_acc is None else expo_acc + e
+            prod_var = vd if prod_var is None else prod_var * vd
+        magnitude = w1[:, None] * w2[None, :] * jnp.sqrt(jnp.prod(base) / prod_var)  # NxM
+        return magnitude * jnp.exp(-0.5 * expo_acc)
 
     def K_mo_diag(self, c1, x1):
         variances = 2.0 * self.variance() + self.base_variance()  # OxD
