@@ -25,6 +25,9 @@ class Config:
         # Bumped whenever any Parameter's *structure* changes (transform,
         # trainability, pegging). Models use this to invalidate jit caches.
         self.structure_version = 0
+        # Pallas kernels for the hot Gram ops: None = auto (on TPU only),
+        # True/False to force. f32/bf16 only.
+        self.pallas = None
 
     @property
     def dtype(self):
@@ -125,3 +128,19 @@ def set_positive_minimum(val):
     (mirrors gpr/config.py:69-73)."""
     config.positive_minimum = val
     config.bump()
+
+
+def use_pallas(enable=True):
+    """Force the fused Pallas Gram kernels on or off (None = auto: TPU only)."""
+    config.pallas = enable
+    config.bump()
+
+
+def pallas_enabled():
+    if config.pallas is not None:
+        return bool(config.pallas)
+    import jax
+    try:
+        return jax.default_backend() == "tpu" and config.dtype in (jnp.float32, jnp.bfloat16)
+    except Exception:
+        return False

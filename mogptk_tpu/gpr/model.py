@@ -24,7 +24,8 @@ from .kernel import Kernel, MultiOutputKernel
 from .mean import Mean
 from .likelihood import Likelihood, MultiOutputLikelihood, GaussianLikelihood
 from .config import config
-from ..ops.linalg import jittered_cholesky, cholesky_solve, solve_triangular
+from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
+                          lml_quadform_logdet)
 
 
 def _init_grid(N, X):
@@ -312,6 +313,20 @@ class Model(Module):
                 return "[%s, inf)" % lower
             return "[%s, %s]" % (lower, upper)
 
+        if file is None:
+            try:
+                get_ipython  # noqa: F821 — only defined inside IPython
+                from IPython.display import display, HTML
+                table = '<table><tr><th style="text-align:left">Name</th><th>Range</th><th>Value</th></tr>'
+                for p in self.parameters():
+                    table += ('<tr><td style="text-align:left">%s</td><td>%s</td><td>%s</td></tr>'
+                              % (p._name, param_range(p.lower, p.upper, p.train, p.pegged), p.numpy()))
+                table += "</table>"
+                display(HTML(table))
+                return
+            except (NameError, ImportError):
+                pass
+
         vals = [["Name", "Range", "Value"]]
         for p in self.parameters():
             vals.append([str(p._name), param_range(p.lower, p.upper, p.train, p.pegged), p.numpy().tolist()])
@@ -398,7 +413,7 @@ class Exact(Model):
         self.data_variance = data_variance
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
 
-    def _Kff(self):
+    def _Kff(self, add_jitter=False):
         # remat the Gram assembly: the backward pass recomputes the fused
         # elementwise chain instead of keeping O(Q·D) N×N residents in HBM
         # (trades ~1 extra Gram evaluation for several GB at N=16k)
@@ -407,17 +422,22 @@ class Exact(Model):
         diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1), (self.X.shape[0],))
         if self.data_variance is not None:
             diag = diag + self.data_variance
-        return Kff + jnp.diag(diag)
+        if add_jitter:
+            # relative jitter from the kernel's cheap closed-form diagonal —
+            # avoids materializing an N×N identity just to nudge the diagonal
+            kdiag = self.kernel.K_diag(self.X)
+            diag = diag + self.jitter * jnp.mean(kdiag + diag)
+        n = self.X.shape[0]
+        idx = jnp.arange(n)
+        return Kff.at[idx, idx].add(diag)
 
     def log_marginal_likelihood(self):
-        """LML via Cholesky (reference: gpr/model.py:438-453)."""
-        Kff = self._Kff()
-        L = self._cholesky(Kff, add_jitter=True)
+        """LML via Cholesky (reference: gpr/model.py:438-453), with the
+        closed-form ∂LML/∂K custom VJP (ops/linalg.py) replacing autodiff
+        through the factorization."""
+        Kff = self._Kff(add_jitter=True)
         y = self._residual_y()
-        p = -self.log_marginal_likelihood_constant
-        p = p - jnp.sum(jnp.log(jnp.diagonal(L)))
-        p = p - 0.5 * jnp.sum(y * cholesky_solve(L, y))
-        return p
+        return lml_quadform_logdet(Kff, y) - self.log_marginal_likelihood_constant
 
     def predict_f(self, X, full=False):
         """Posterior mean/variance at X (reference: gpr/model.py:455-483)."""

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .kernel import Kernel, MultiOutputKernel
 from .parameter import Parameter
-from .config import config
+from .config import config, pallas_enabled
 
 _pi = np.pi
 
@@ -159,6 +159,11 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
                 self.phase()[:, None])
 
     def K_mo(self, c1, x1, c2, x2=None):
+        if pallas_enabled():
+            from ..ops.pallas_mosm import mosm_gram
+            w, mu, var, th, ph = self._params()
+            return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,
+                             w, mu, var, th, ph, self.twopi, True)
         return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
     def K_mo_diag(self, c1, x1):
@@ -195,6 +200,11 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
                 self.delay(), self.phase())
 
     def K_mo(self, c1, x1, c2, x2=None):
+        if pallas_enabled():
+            from ..ops.pallas_mosm import mosm_gram
+            w, mu, var, th, ph = self._params()
+            return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,
+                             w, mu, var, th, ph, self.twopi, True)
         return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
     def K_mo_diag(self, c1, x1):

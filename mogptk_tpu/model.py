@@ -263,6 +263,31 @@ class Model:
         with open(filename, "wb") as w:
             pickle.dump(self, w)
 
+    def save_parameters(self, filename):
+        """Save only the (unconstrained) parameter state as an .npz — the
+        pytree-checkpoint analog of the reference's state_dict warm start
+        (mogptk/model.py:282-294), usable across processes and hosts."""
+        arrays = {}
+        for i, p in enumerate(self.gpr.parameters()):
+            arrays["raw_%04d" % i] = np.asarray(p._raw)
+        np.savez(filename, **arrays)
+
+    def load_parameters(self, filename):
+        """Restore parameter state saved with save_parameters."""
+        import jax.numpy as jnp
+        if not filename.endswith(".npz"):
+            filename += ".npz"
+        data = np.load(filename)
+        params = self.gpr.parameters()
+        keys = sorted(data.files)
+        if len(keys) != len(params):
+            raise ValueError("checkpoint has %d parameters, model has %d" % (len(keys), len(params)))
+        for key, p in zip(keys, params):
+            arr = data[key]
+            if arr.shape != tuple(p.shape):
+                raise ValueError("parameter shape mismatch for %s: %s != %s" % (p._name, arr.shape, tuple(p.shape)))
+            p._raw = jnp.asarray(arr, dtype=p._raw.dtype)
+
     def log_marginal_likelihood(self):
         return float(self.gpr.log_marginal_likelihood())
 

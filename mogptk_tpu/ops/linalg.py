@@ -8,6 +8,7 @@ capability maps onto XLA's blocked TPU implementations via jax.
 jit, a failed factorization produces NaNs instead of raising; callers detect
 NaN losses host-side and raise CholeskyException with diagnostics.
 """
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -35,3 +36,57 @@ def trisolve_lower(L, B):
 def cholesky_solve(L, B):
     """Solve K x = B given the lower Cholesky factor L of K."""
     return jsl.cho_solve((L, True), B)
+
+
+@jax.custom_vjp
+def lml_quadform_logdet(K, y):
+    """−Σ log diag(chol(K)) − ½ yᵀK⁻¹y — the data-dependent part of the exact
+    GP log marginal likelihood (reference math: mogptk/gpr/model.py:438-453).
+
+    Uses the closed-form gradient ∂/∂K = −½(K⁻¹ − ααᵀ) with α = K⁻¹y instead
+    of differentiating through the Cholesky factorization: the backward pass
+    is one triangular solve plus one N×N GEMM on the MXU, roughly 3× cheaper
+    and far less sequential than autodiff through the factorization panels.
+    """
+    L = jnp.linalg.cholesky(K)
+    alpha = jsl.cho_solve((L, True), y)
+    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
+
+
+def _lml_fwd(K, y):
+    L = jnp.linalg.cholesky(K)
+    alpha = jsl.cho_solve((L, True), y)
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
+    return val, (L, alpha)
+
+
+def _lml_bwd(res, g):
+    """dK = ½g(ααᵀ − K⁻¹), with K⁻¹ computed in column blocks under lax.scan.
+
+    A single triangular solve with an N×N identity RHS makes XLA keep
+    multiple N² loop buffers live (observed 35+GB at N=16k); the blocked scan
+    keeps L + one (N,B) block + the stacked output — ~3.5GB at N=16k f32.
+    """
+    L, alpha = res
+    n = L.shape[0]
+    B = min(n, 2048)
+    nb = -(-n // B)
+
+    rows = jnp.arange(n)
+
+    def body(_, b):
+        cols = b * B + jnp.arange(B)
+        E = (rows[:, None] == cols[None, :]).astype(L.dtype)        # n x B
+        Z = jsl.solve_triangular(L, E, lower=True)
+        Kinv_b = jsl.solve_triangular(L.T, Z, lower=False)          # n x B
+        aaT_b = alpha * alpha[cols, 0][None, :]                     # n x B
+        dK_b = (0.5 * g) * (aaT_b - Kinv_b)
+        return None, dK_b
+
+    _, blocks = jax.lax.scan(body, None, jnp.arange(nb))            # nb x n x B
+    dK = jnp.transpose(blocks, (1, 0, 2)).reshape(n, nb * B)[:, :n]
+    dy = -g * alpha
+    return dK, dy
+
+
+lml_quadform_logdet.defvjp(_lml_fwd, _lml_bwd)

@@ -304,3 +304,15 @@ def test_ls_estimation_finds_peak():
     data = mogptk.Data(t, y)
     A, B, C = data.get_ls_estimation(Q=1)
     assert abs(B[0, 0] - freq) < 0.1
+
+
+def test_save_load_parameters_npz():
+    dataset = _two_channel_dataset(n=25)
+    m1 = mogptk.MOSM(dataset, Q=1)
+    m1.train(iters=15, lr=0.05)
+    m1.save_parameters("/tmp/mosm_params")
+    m2 = mogptk.MOSM(dataset, Q=1)
+    assert abs(m2.loss() - m1.loss()) > 1e-6  # different random init
+    m2.load_parameters("/tmp/mosm_params")
+    np.testing.assert_allclose(m2.loss(), m1.loss(), rtol=1e-8)
+    os.remove("/tmp/mosm_params.npz")

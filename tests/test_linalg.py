@@ -1,0 +1,70 @@
+"""Linalg op tests: the custom-VJP LML gradient must equal autodiff through
+the Cholesky factorization."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from mogptk_tpu.ops.linalg import lml_quadform_logdet, jittered_cholesky
+
+
+def _spd(n, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(n, n)
+    return A @ A.T + n * np.eye(n)
+
+
+def test_lml_value_matches_direct():
+    K = jnp.asarray(_spd(12))
+    y = jnp.asarray(np.random.RandomState(1).randn(12, 1))
+    val = float(lml_quadform_logdet(K, y))
+    sign, logdet = np.linalg.slogdet(np.asarray(K))
+    expected = -0.5 * logdet - 0.5 * float((y.T @ np.linalg.solve(np.asarray(K), np.asarray(y))).squeeze())
+    np.testing.assert_allclose(val, expected, rtol=1e-10)
+
+
+def test_lml_gradient_matches_autodiff():
+    K = jnp.asarray(_spd(10))
+    y = jnp.asarray(np.random.RandomState(2).randn(10, 1))
+
+    def via_chol(K, y):
+        L = jnp.linalg.cholesky(K)
+        alpha = jsl.cho_solve((L, True), y)
+        return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
+
+    gK_custom, gy_custom = jax.grad(lml_quadform_logdet, argnums=(0, 1))(K, y)
+    gK_ad, gy_ad = jax.grad(via_chol, argnums=(0, 1))(K, y)
+    # autodiff through cholesky yields the lower-triangular-projected gradient;
+    # the closed form is the symmetric full-matrix gradient. They agree after
+    # symmetrization (both are valid VJPs for symmetric K inputs).
+    sym = lambda A: 0.5 * (A + A.T)
+    np.testing.assert_allclose(np.asarray(sym(gK_custom)), np.asarray(sym(gK_ad)), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy_custom), np.asarray(gy_ad), rtol=1e-8)
+
+
+def test_lml_gradient_through_kernel_params():
+    """End-to-end: gradient of the exact LML w.r.t. kernel hyperparameters
+    matches finite differences."""
+    import mogptk_tpu.gpr as gpr
+    X = np.linspace(0, 5, 16).reshape(-1, 1)
+    y = np.sin(X)
+    kernel = gpr.SquaredExponentialKernel()
+    model = gpr.Exact(kernel, X, y, variance=0.1, jitter=0.0)
+    loss_fn = model.make_loss_fn()
+    train, fixed = model._split_raws()
+    v, g = jax.value_and_grad(loss_fn)(train, fixed)
+    for k in range(len(train)):
+        eps = 1e-6
+        t2 = list(train)
+        flat = train[k].reshape(-1)
+        t2[k] = flat.at[0].add(eps).reshape(train[k].shape)
+        num = (float(loss_fn(t2, fixed)) - float(v)) / eps
+        ana = float(np.asarray(g[k]).reshape(-1)[0])
+        np.testing.assert_allclose(ana, num, rtol=1e-4, atol=1e-7,
+                                   err_msg="gradient mismatch for parameter %d" % k)
+
+
+def test_jittered_cholesky():
+    K = jnp.asarray(_spd(8))
+    L = jittered_cholesky(K, 1e-8)
+    np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K), rtol=1e-6)
