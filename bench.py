@@ -128,10 +128,54 @@ def bench_reference(xs, ys, max_steps=2):
     return steps_per_sec
 
 
+def bench_svgp(xs, ys, M=1024):
+    """Secondary metric from BASELINE.md: SVGP ELBO steps/sec at M inducing
+    points (Titsias collapsed bound) on the same N=16k data."""
+    import jax
+    import optax
+    import mogptk_tpu.gpr as gpr
+
+    N, X, Y = gpr.merge_data(xs, ys)
+    kernel = gpr.MultiOutputSpectralMixtureKernel(Q, output_dims=CHANNELS)
+    rng = np.random.RandomState(1)
+    kernel.mean.assign(0.05 + 0.3 * rng.rand(CHANNELS, Q, 1))
+    kernel.variance.assign(0.2 + 0.3 * rng.rand(CHANNELS, Q, 1))
+    model = gpr.Titsias(kernel, X, Y, Z=M // CHANNELS, Z_init="random", variance=0.1)
+
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+    optimizer = optax.adam(1e-3)
+    opt_state0 = optimizer.init(train0)
+
+    @jax.jit
+    def step(params, opt_state):
+        value, grads = jax.value_and_grad(loss_fn)(params, fixed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, value
+
+    params, opt_state = train0, opt_state0
+    for _ in range(WARMUP):
+        params, opt_state, value = step(params, opt_state)
+    value.block_until_ready()
+    start = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        params, opt_state, value = step(params, opt_state)
+    value.block_until_ready()
+    elapsed = time.perf_counter() - start
+    return MEASURE_STEPS / elapsed
+
+
 def main():
     xs, ys = make_data()
 
     ours, final_loss = bench_ours(xs, ys)
+
+    try:
+        svgp = bench_svgp(xs, ys)
+    except Exception as e:
+        print("svgp bench failed: %r" % (e,), file=sys.stderr)
+        svgp = None
 
     if os.environ.get("BENCH_SKIP_BASELINE"):
         ref = None
@@ -151,6 +195,7 @@ def main():
         "value": round(ours, 4),
         "unit": "steps/sec",
         "vs_baseline": round(ours / ref, 2) if ref else None,
+        "svgp_elbo_steps_per_sec_M1024": round(svgp, 4) if svgp else None,
     }
     print(json.dumps(result))
 
