@@ -50,6 +50,8 @@ def bench_ours(xs, ys):
     import optax
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import mogptk_tpu.gpr as gpr
+    if os.environ.get("BENCH_PALLAS"):
+        gpr.use_pallas(True)
 
     N, X, Y = gpr.merge_data(xs, ys)
     kernel = gpr.MultiOutputSpectralMixtureKernel(Q, output_dims=CHANNELS)

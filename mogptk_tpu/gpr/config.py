@@ -137,10 +137,9 @@ def use_pallas(enable=True):
 
 
 def pallas_enabled():
+    # opt-in (mogptk_tpu.gpr.use_pallas(True)): the fused kernel matches the
+    # XLA path on forward speed (both HBM-bound) and exists primarily for
+    # deterministic backward memory; default path is the fused jnp chain
     if config.pallas is not None:
         return bool(config.pallas)
-    import jax
-    try:
-        return jax.default_backend() == "tpu" and config.dtype in (jnp.float32, jnp.bfloat16)
-    except Exception:
-        return False
+    return False

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 _pi = np.pi
 
 TILE = 512
+BWD_TILE = 256  # backward holds ~40 VJP temps per tile in VMEM
 
 
 def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi, phase_inside):
@@ -189,16 +190,17 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
     O, Q = w.shape
     dtype = w.dtype
 
-    x1p = _pad(x1.astype(dtype), TILE, 0)
-    x2p = _pad(x2.astype(dtype), TILE, 0)
-    # pad channel ids with an out-of-range id? keep 0 — the padded rows of g
-    # are zero, so their cotangent contribution vanishes
-    c1p = _pad(c1.astype(jnp.int32).reshape(-1, 1), TILE, 0)
-    c2p = _pad(c2.astype(jnp.int32).reshape(-1, 1), TILE, 0)
-    gp = _pad(_pad(g.astype(dtype), TILE, 0), TILE, 1)
+    T = BWD_TILE
+    x1p = _pad(x1.astype(dtype), T, 0)
+    x2p = _pad(x2.astype(dtype), T, 0)
+    # padded rows of g are zero, so the padded points (channel id 0)
+    # contribute zero cotangent
+    c1p = _pad(c1.astype(jnp.int32).reshape(-1, 1), T, 0)
+    c2p = _pad(c2.astype(jnp.int32).reshape(-1, 1), T, 0)
+    gp = _pad(_pad(g.astype(dtype), T, 0), T, 1)
     Np, Mp = x1p.shape[0], x2p.shape[0]
 
-    grid = (Np // TILE, Mp // TILE)
+    grid = (Np // T, Mp // T)
     zero = lambda i, j: tuple([0] * 2)
     zero3 = lambda i, j: tuple([0] * 3)
     douts = pl.pallas_call(
@@ -212,13 +214,14 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, D), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE, D), lambda i, j: (j, 0)),
-            pl.BlockSpec((TILE, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((T, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((T, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((T, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((T, 1), lambda i, j: (j, 0)),
         ] + _specs(O, Q, D, dtype) + [
-            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((T, T), lambda i, j: (i, j)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         out_specs=(
             pl.BlockSpec((O, Q), zero),
             pl.BlockSpec((O, Q, D), zero3),
