@@ -68,3 +68,31 @@ def test_jittered_cholesky():
     K = jnp.asarray(_spd(8))
     L = jittered_cholesky(K, 1e-8)
     np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K), rtol=1e-6)
+
+
+def test_lml_f32_matches_f64():
+    """North-star numerics check (BASELINE.md): the f32 LML must track the
+    f64 value closely at moderate N."""
+    import jax
+    import mogptk_tpu.gpr as gpr
+
+    rng = np.random.RandomState(0)
+    n = 512
+    Xh = np.sort(rng.uniform(0, 50, n)).reshape(-1, 1)
+    yh = np.sin(0.5 * Xh) + 0.1 * rng.randn(n, 1)
+
+    def lml(dtype64):
+        gpr.config.dtype = jnp.float64 if dtype64 else jnp.float32
+        try:
+            kernel = gpr.SpectralMixtureKernel(Q=2)
+            kernel.mean.assign(np.array([[0.1], [0.3]]))
+            kernel.variance.assign(np.array([[0.3], [0.3]]))
+            model = gpr.Exact(kernel, Xh, yh, variance=0.1)
+            return float(model.log_marginal_likelihood())
+        finally:
+            gpr.config.dtype = None
+
+    v64 = lml(True)
+    v32 = lml(False)
+    rel = abs(v32 - v64) / abs(v64)
+    assert rel < 1e-4, "f32 LML rel err %g vs f64 (v32=%g v64=%g)" % (rel, v32, v64)
