@@ -50,7 +50,9 @@ def bench_ours(xs, ys):
     import optax
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import mogptk_tpu.gpr as gpr
-    if os.environ.get("BENCH_PALLAS"):
+    if not os.environ.get("BENCH_NO_PALLAS"):
+        # the fused Pallas Gram kernel is slightly faster end-to-end and
+        # verified on hardware; set BENCH_NO_PALLAS=1 for the pure-XLA path
         gpr.use_pallas(True)
 
     N, X, Y = gpr.merge_data(xs, ys)
