@@ -36,5 +36,6 @@ from .multioutput import (IndependentMultiOutputKernel,
 from .model import (Model, Exact, Snelson, OpperArchambeau, Titsias,
                     SparseHensman, Hensman, CholeskyException,
                     init_inducing_points)
+from .iterative import ExactIterative
 from .util import merge_data, split_data
 from .training import train

@@ -1,0 +1,213 @@
+"""ExactIterative: matmul-only exact GP inference (BBMM, Gardner et al. 2018).
+
+Exact-GP training without Cholesky: the LML quadratic form is solved with
+batched conjugate gradients, the log-determinant is estimated by stochastic
+Lanczos quadrature, and the parameter gradients use the probe-vector trace
+identity  dLML/dθ = ½ tr((ααᵀ − K⁻¹) ∂K/∂θ)  with K⁻¹ ≈ R⁻¹ Σ u_r z_rᵀ,
+u_r = K⁻¹ z_r — i.e. a LOW-RANK cotangent.
+
+For MOSM-family kernels every K-application runs through the fused Pallas
+Gram matvec (ops/pallas_mosm.mosm_gram_matvec) and the low-rank cotangent is
+consumed tile-by-tile (mosm_gram_lowrank_vjp): the N×N Gram is NEVER
+materialized. This removes the O(N²) HBM wall of Cholesky inference — exact
+GPs at N far beyond what the reference (or any materialized-K approach) can
+hold on one chip.
+
+The reference has no analog of this subsystem (SURVEY.md §5: scaling N is
+only via sparse approximations); this is TPU-native headroom, not a port.
+"""
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .model import Model
+from .parameter import Parameter
+from .kernel import MultiOutputKernel
+from .likelihood import GaussianLikelihood
+from .multioutput import (MultiOutputSpectralKernel,
+                          MultiOutputSpectralMixtureKernel)
+from .config import config
+from ..ops.iterative import cg_solve, slq_logdet
+from ..ops.pallas_mosm import mosm_gram_matvec, mosm_gram_lowrank_vjp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lml_iter(static, x, c, noise_diag, y, w, mu, var, theta, phi):
+    """−½ yᵀK⁻¹y − ½ logdet(K) for K = MOSM(x,c;θ) + diag(noise)."""
+    val, _ = _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi)
+    return val
+
+
+def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi):
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas = static
+
+    if use_pallas:
+        def matvec(V):
+            return (mosm_gram_matvec(x, c, x, c, w, mu, var, theta, phi,
+                                     twopi, phase_inside, V)
+                    + noise_diag[:, None] * V)
+    else:
+        from .multioutput import _mosm_K
+        K = _mosm_K(c, x, c, None, (w, mu, var, theta, phi), twopi, phase_inside)
+
+        def matvec(V):
+            return K @ V + noise_diag[:, None] * V
+    return matvec
+
+
+def _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi):
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas = static
+    n = x.shape[0]
+    matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
+
+    alpha, _ = cg_solve(matvec, y, max_iters=max_cg, tol=tol)
+    logdet = slq_logdet(matvec, n, num_probes=probes, lanczos_iters=lanczos_iters,
+                        key=jax.random.PRNGKey(seed), dtype=y.dtype)
+    val = -0.5 * jnp.sum(y * alpha) - 0.5 * logdet
+    return val, (x, c, noise_diag, y, w, mu, var, theta, phi, alpha)
+
+
+def _lml_iter_bwd(static, res, g):
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas = static
+    x, c, noise_diag, y, w, mu, var, theta, phi, alpha = res
+    n = x.shape[0]
+    matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
+
+    # probe solves for the stochastic trace: K⁻¹ ≈ R⁻¹ Σ u_r z_rᵀ
+    Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1), (n, probes), dtype=y.dtype)
+    U, _ = cg_solve(matvec, Z, max_iters=max_cg, tol=tol)
+
+    # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with
+    A = (0.5 * g) * jnp.concatenate([alpha, -U / probes], axis=1)  # N x (R+1)
+    B = jnp.concatenate([alpha, Z], axis=1)                        # N x (R+1)
+
+    if use_pallas:
+        dw, dmu, dvar, dth, dph = mosm_gram_lowrank_vjp(
+            x, c, x, c, w, mu, var, theta, phi, twopi, phase_inside, A, B)
+    else:
+        from .multioutput import _mosm_K
+        dK = A @ B.T
+        _, vjp = jax.vjp(lambda w_, mu_, var_, th_, ph_: _mosm_K(
+            c, x, c, None, (w_, mu_, var_, th_, ph_), twopi, phase_inside),
+            w, mu, var, theta, phi)
+        dw, dmu, dvar, dth, dph = vjp(dK)
+
+    dnoise = jnp.sum(A * B, axis=1)      # diag(A Bᵀ)
+    dy = -g * alpha
+    zeros = lambda a: jnp.zeros_like(a)
+    return (zeros(x), zeros(c), dnoise, dy, dw, dmu, dvar, dth, dph)
+
+
+_lml_iter.defvjp(_lml_iter_fwd, _lml_iter_bwd)
+
+
+class ExactIterative(Model):
+    """Exact GP regression with iterative (CG/SLQ) inference.
+
+    Drop-in alternative to `Exact` for MOSM-family kernels
+    (`MultiOutputSpectralKernel`, `MultiOutputSpectralMixtureKernel`):
+
+    - the LML quadratic form: batched CG (`max_cg_iters`, `cg_tol`),
+    - the log-determinant: stochastic Lanczos quadrature (`num_probes`,
+      `lanczos_iters`) — a consistent stochastic estimate, so reported
+      losses carry ~1% probe noise while gradients stay unbiased,
+    - gradients: probe-vector trace estimation with a LOW-RANK cotangent
+      consumed by the materialization-free Pallas VJP.
+
+    Args mirror `Exact` plus the solver controls.
+    """
+
+    def __init__(self, kernel, X, y, variance=1.0, data_variance=None,
+                 jitter=1e-8, mean=None, max_cg_iters=100, cg_tol=1e-5,
+                 num_probes=16, lanczos_iters=32, seed=0):
+        if not isinstance(kernel, (MultiOutputSpectralKernel, MultiOutputSpectralMixtureKernel)):
+            raise ValueError(
+                "ExactIterative currently supports the MOSM kernel family "
+                "(MultiOutputSpectralKernel, MultiOutputSpectralMixtureKernel); "
+                "use Exact for other kernels")
+
+        if data_variance is not None:
+            data_variance = jnp.asarray(data_variance, dtype=config.dtype).reshape(-1)
+
+        variance = jnp.asarray(variance, dtype=config.dtype)
+        channels = kernel.output_dims if kernel.output_dims is not None else 1
+        if 1 < variance.ndim or (variance.ndim == 1 and variance.shape[0] != channels):
+            raise ValueError("variance must be float or have shape (channels,)")
+
+        super().__init__(kernel, X, y, GaussianLikelihood(jnp.sqrt(variance)), jitter, mean)
+        self.data_variance = data_variance
+        self.max_cg_iters = max_cg_iters
+        self.cg_tol = cg_tol
+        self.num_probes = num_probes
+        self.lanczos_iters = lanczos_iters
+        self.seed = seed
+        self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
+
+    def _noise_diag(self):
+        noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
+        diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1),
+                                (self.X.shape[0],))
+        if self.data_variance is not None:
+            diag = diag + self.data_variance
+        # small absolute floor in place of the Cholesky jitter ladder
+        return diag + self.jitter
+
+    def _static(self):
+        from .config import pallas_enabled
+        k = self.kernel
+        return (k.twopi, True, self.max_cg_iters, self.cg_tol,
+                self.num_probes, self.lanczos_iters, self.seed, pallas_enabled())
+
+    def _kernel_params(self):
+        k = self.kernel
+        if isinstance(k, MultiOutputSpectralMixtureKernel):
+            return k._params()
+        return k._params()
+
+    def log_marginal_likelihood(self):
+        c = self.X[:, 0].astype(jnp.int32)
+        x = self.X[:, 1:]
+        y = self._residual_y()
+        w, mu, var, theta, phi = self._kernel_params()
+        val = _lml_iter(self._static(), x, c, self._noise_diag(), y,
+                        w, mu, var, theta, phi)
+        return val - self.log_marginal_likelihood_constant
+
+    def predict_f(self, X, full=False):
+        """Posterior via CG solves; variance through batched CG on the
+        cross-covariance columns."""
+        X = self._check_input(X)
+        c = self.X[:, 0].astype(jnp.int32)
+        x = self.X[:, 1:]
+        cs = X[:, 0].astype(jnp.int32)
+        xs = X[:, 1:]
+        y = self._residual_y()
+        w, mu, var, theta, phi = self._kernel_params()
+        static = self._static()
+        matvec = _make_matvec(static, x, c, self._noise_diag(), w, mu, var, theta, phi)
+
+        alpha, _ = cg_solve(matvec, y, max_iters=self.max_cg_iters, tol=self.cg_tol)
+        twopi, phase_inside = static[0], static[1]
+        if static[7]:
+            Ksf_alpha = mosm_gram_matvec(xs, cs, x, c, w, mu, var, theta, phi,
+                                         twopi, phase_inside, alpha)
+            mu_s = Ksf_alpha
+        else:
+            from .multioutput import _mosm_K
+            Ksf = _mosm_K(cs, xs, c, x, (w, mu, var, theta, phi), twopi, phase_inside)
+            mu_s = Ksf @ alpha
+        if self.mean is not None:
+            mu_s = mu_s + self.mean(X).reshape(-1, 1)
+
+        # variance: solve K V = Kfs column-block-wise
+        from .multioutput import _mosm_K
+        Kfs = _mosm_K(c, x, cs, xs, (w, mu, var, theta, phi), twopi, phase_inside)  # N x S
+        V, _ = cg_solve(matvec, Kfs, max_iters=self.max_cg_iters, tol=self.cg_tol)
+        if full:
+            Kss = self.kernel.K(X)
+            var_s = Kss - Kfs.T @ V
+        else:
+            Kss_diag = self.kernel.K_diag(X)
+            var_s = (Kss_diag - jnp.sum(Kfs * V, axis=0)).reshape(-1, 1)
+        return mu_s, var_s

@@ -1,0 +1,136 @@
+"""Matmul-only iterative linear algebra: batched conjugate gradients and
+stochastic Lanczos quadrature.
+
+This is the BBMM approach of Gardner et al. 2018 (GPyTorch) mapped onto the
+TPU: every operation inside the solver is a matrix-vector/matrix product
+that runs on the MXU, there is no sequential factorization, and — combined
+with a fused Gram matvec kernel — the N×N kernel matrix never needs to be
+materialized in HBM. This removes the O(N²) memory wall of Cholesky-based
+exact inference entirely.
+"""
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None):
+    """Batched (preconditioned) conjugate gradients: solve A X = B.
+
+    Args:
+        matvec: function V -> A @ V for V of shape (N, R).
+        B: Right-hand sides (N, R).
+        max_iters: Fixed iteration budget (static for XLA).
+        tol: Relative residual tolerance; converged columns freeze.
+        M_inv: Optional preconditioner application V -> M⁻¹ V.
+
+    Returns:
+        (X, res_norm): solution (N, R) and final relative residual (R,).
+    """
+    if M_inv is None:
+        M_inv = lambda v: v
+
+    b_norm = jnp.sqrt(jnp.sum(B * B, axis=0))               # R
+    b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
+
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    Z0 = M_inv(R0)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+
+    def body(carry, _):
+        X, R, P, rz = carry
+        active = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm > tol  # R bools
+        AP = matvec(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp), 0.0)
+        alpha = jnp.where(active, alpha, 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = M_inv(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
+        P = Z + beta[None, :] * P
+        return (X, R, P, rz_new), None
+
+    (X, R, _, _), _ = jax.lax.scan(body, (X0, R0, P0, rz0), None, length=max_iters)
+    res = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm
+    return X, res
+
+
+def lanczos(matvec, Z, m):
+    """m-step Lanczos tridiagonalization of A, batched over probes Z (N, R).
+
+    Every iteration is ONE batched matvec (MXU-friendly). Returns
+    (alphas (m, R), betas (m-1, R)) of the per-probe tridiagonals. Plain
+    three-term recurrence without reorthogonalization — adequate for logdet
+    quadrature with modest m.
+    """
+    n, R = Z.shape
+    q = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
+
+    def body(carry, _):
+        q_prev, q_cur, beta_prev = carry
+        v = matvec(q_cur)                                  # N x R
+        alpha = jnp.sum(q_cur * v, axis=0)                 # R
+        v = v - alpha[None, :] * q_cur - beta_prev[None, :] * q_prev
+        beta = jnp.linalg.norm(v, axis=0)                  # R
+        q_next = v / jnp.where(beta == 0.0, 1.0, beta)[None, :]
+        return (q_cur, q_next, beta), (alpha, beta)
+
+    init = (jnp.zeros_like(q), q, jnp.zeros(R, dtype=Z.dtype))
+    _, (alphas, betas) = jax.lax.scan(body, init, None, length=m)
+    return alphas, betas[:-1]
+
+
+def slq_logdet(matvec, n, num_probes=16, lanczos_iters=32, key=None, dtype=jnp.float32):
+    """Stochastic Lanczos quadrature estimate of log det(A) for SPD A.
+
+    logdet(A) = E_z[zᵀ log(A) z] for Rademacher probes z;
+    zᵀ f(A) z ≈ ‖z‖² Σ_k w_k f(λ_k) from the eigendecomposition of the
+    Lanczos tridiagonal (Ubaru, Chen & Saad 2017). All probes run in one
+    batched recurrence.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    Z = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
+    alphas, betas = lanczos(matvec, Z, lanczos_iters)      # (m,R), (m-1,R)
+
+    def one(a, b, z2):
+        T = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
+        lam, U = jnp.linalg.eigh(T)
+        lam = jnp.maximum(lam, 1e-12)
+        w = U[0, :] ** 2
+        return jnp.sum(w * jnp.log(lam)) * z2
+
+    vals = jax.vmap(one, in_axes=(1, 1, 0))(alphas, betas, jnp.sum(Z * Z, axis=0))
+    return jnp.mean(vals)
+
+
+def pivoted_cholesky(K_diag, K_row, n, rank, jitter=1e-6):
+    """Partial pivoted Cholesky preconditioner factors (Gardner et al. 2018).
+
+    Args:
+        K_diag: (n,) diagonal of K.
+        K_row: function i -> row i of K, shape (n,).
+        rank: number of pivots.
+
+    Returns L (n, rank) with K ≈ L Lᵀ (+ noise), for use in a
+    Woodbury-inverted preconditioner.
+    """
+    def body(carry, k):
+        L, d = carry
+        i = jnp.argmax(d)
+        val = jnp.maximum(d[i], jitter)
+        row = K_row(i)                                  # n
+        l = (row - L @ L[i, :]) / jnp.sqrt(val)
+        l = l.at[i].set(jnp.sqrt(val))
+        L = L.at[:, k].set(l)
+        d = jnp.maximum(d - l * l, 0.0)
+        d = d.at[i].set(0.0)
+        return (L, d), None
+
+    L0 = jnp.zeros((n, rank), dtype=K_diag.dtype)
+    (L, _), _ = jax.lax.scan(body, (L0, K_diag), jnp.arange(rank))
+    return L

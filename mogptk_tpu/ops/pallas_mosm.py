@@ -238,3 +238,152 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
 
 
 mosm_gram.defvjp(_mosm_gram_fwd, _mosm_gram_bwd)
+
+
+# -- materialization-free Gram application ----------------------------------
+# K @ V and low-rank-cotangent parameter gradients without ever storing the
+# N×N Gram in HBM: the tiles live only in VMEM. This is what lifts exact
+# inference past the O(N²) memory wall (BBMM-style iterative solvers consume
+# only these two primitives).
+
+def _matvec_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
+                   th_ref, ph_ref, v_ref, out_ref, *, twopi, phase_inside, O):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    c1oh = (c1_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(out_ref.dtype)
+    c2oh = (c2_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(out_ref.dtype)
+    K_tile = _tile_forward(x1_ref[:, :], c1oh, x2_ref[:, :], c2oh,
+                           w_ref[:, :], mu_ref[:, :, :], var_ref[:, :, :],
+                           th_ref[:, :, :], ph_ref[:, :], twopi, phase_inside)
+    out_ref[:, :] += jnp.dot(K_tile, v_ref[:, :], preferred_element_type=out_ref.dtype)
+
+
+def mosm_gram_matvec(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside, V):
+    """Compute K @ V in (TILE, TILE) VMEM tiles; K is never materialized.
+
+    V has shape (M, R); R should be lane-friendly (pad to a multiple of 128
+    for best throughput — correctness holds for any R).
+    """
+    N, D = x1.shape
+    M, R = V.shape
+    O, Q = w.shape
+    dtype = w.dtype
+
+    x1p = _pad(x1.astype(dtype), TILE, 0)
+    x2p = _pad(x2.astype(dtype), TILE, 0)
+    c1p = _pad(c1.astype(jnp.int32).reshape(-1, 1), TILE, 0)
+    c2p = _pad(c2.astype(jnp.int32).reshape(-1, 1), TILE, 0)
+    Vp = _pad(V.astype(dtype), TILE, 0)
+    Np, Mp = x1p.shape[0], x2p.shape[0]
+
+    grid = (Np // TILE, Mp // TILE)
+    out = pl.pallas_call(
+        functools.partial(_matvec_kernel, twopi=twopi, phase_inside=phase_inside, O=O),
+        out_shape=jax.ShapeDtypeStruct((Np, R), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE, 1), lambda i, j: (j, 0)),
+        ] + _specs(O, Q, D, dtype) + [
+            pl.BlockSpec((TILE, R), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, R), lambda i, j: (i, 0)),
+    )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, Vp)
+    return out[:N, :]
+
+
+def _lowrank_vjp_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
+                        th_ref, ph_ref, a_ref, b_ref, dw_ref, dmu_ref, dvar_ref,
+                        dth_ref, dph_ref, *, twopi, phase_inside, O):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        dmu_ref[:, :, :] = jnp.zeros_like(dmu_ref)
+        dvar_ref[:, :, :] = jnp.zeros_like(dvar_ref)
+        dth_ref[:, :, :] = jnp.zeros_like(dth_ref)
+        dph_ref[:, :] = jnp.zeros_like(dph_ref)
+
+    c1oh = (c1_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(a_ref.dtype)
+    c2oh = (c2_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(a_ref.dtype)
+    x1t = x1_ref[:, :]
+    x2t = x2_ref[:, :]
+    # cotangent tile from the low-rank factors, formed in VMEM
+    g_tile = jnp.dot(a_ref[:, :], b_ref[:, :].T, preferred_element_type=a_ref.dtype)
+
+    def tile_fn(w, mu, var, theta, phi):
+        return _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi,
+                             twopi, phase_inside)
+
+    _, vjp = jax.vjp(tile_fn, w_ref[:, :], mu_ref[:, :, :], var_ref[:, :, :],
+                     th_ref[:, :, :], ph_ref[:, :])
+    dw, dmu, dvar, dth, dph = vjp(g_tile)
+    dw_ref[:, :] += dw
+    dmu_ref[:, :, :] += dmu
+    dvar_ref[:, :, :] += dvar
+    dth_ref[:, :, :] += dth
+    dph_ref[:, :] += dph
+
+
+def mosm_gram_lowrank_vjp(x1, c1, x2, c2, w, mu, var, theta, phi, twopi,
+                          phase_inside, A, B):
+    """Parameter cotangents for dK = A Bᵀ without materializing dK.
+
+    A (N, R), B (M, R). Used by iterative exact inference where the LML
+    cotangent is the low-rank ½g(ααᵀ − R⁻¹ Σ u_r z_rᵀ).
+    """
+    N, D = x1.shape
+    M = x2.shape[0]
+    O, Q = w.shape
+    dtype = w.dtype
+    R = A.shape[1]
+
+    T = BWD_TILE
+    x1p = _pad(x1.astype(dtype), T, 0)
+    x2p = _pad(x2.astype(dtype), T, 0)
+    c1p = _pad(c1.astype(jnp.int32).reshape(-1, 1), T, 0)
+    c2p = _pad(c2.astype(jnp.int32).reshape(-1, 1), T, 0)
+    Ap = _pad(A.astype(dtype), T, 0)
+    Bp = _pad(B.astype(dtype), T, 0)
+    Np, Mp = x1p.shape[0], x2p.shape[0]
+
+    grid = (Np // T, Mp // T)
+    zero = lambda i, j: (0, 0)
+    zero3 = lambda i, j: (0, 0, 0)
+    douts = pl.pallas_call(
+        functools.partial(_lowrank_vjp_kernel, twopi=twopi, phase_inside=phase_inside, O=O),
+        out_shape=(
+            jax.ShapeDtypeStruct((O, Q), dtype),
+            jax.ShapeDtypeStruct((O, Q, D), dtype),
+            jax.ShapeDtypeStruct((O, Q, D), dtype),
+            jax.ShapeDtypeStruct((O, Q, D), dtype),
+            jax.ShapeDtypeStruct((O, Q), dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((T, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((T, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((T, 1), lambda i, j: (j, 0)),
+        ] + _specs(O, Q, D, dtype) + [
+            pl.BlockSpec((T, R), lambda i, j: (i, 0)),
+            pl.BlockSpec((T, R), lambda i, j: (j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((O, Q), zero),
+            pl.BlockSpec((O, Q, D), zero3),
+            pl.BlockSpec((O, Q, D), zero3),
+            pl.BlockSpec((O, Q, D), zero3),
+            pl.BlockSpec((O, Q), zero),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, Ap, Bp)
+    return douts

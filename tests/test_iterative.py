@@ -1,0 +1,126 @@
+"""Iterative (BBMM/CG) exact inference tests: CG/Lanczos building blocks
+against dense linear algebra, and ExactIterative against Cholesky-based
+Exact on the same model."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import mogptk_tpu.gpr as gpr
+from mogptk_tpu.ops.iterative import cg_solve, lanczos, slq_logdet, pivoted_cholesky
+
+
+def _spd(n, seed=0, cond=10.0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(n, n)
+    A = A @ A.T
+    return jnp.asarray(A + n * np.eye(n))
+
+
+def test_cg_matches_direct_solve():
+    A = _spd(40)
+    B = jnp.asarray(np.random.RandomState(1).randn(40, 3))
+    X, res = cg_solve(lambda V: A @ V, B, max_iters=80)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(np.asarray(A), np.asarray(B)),
+                               rtol=1e-5, atol=1e-7)
+    assert np.all(np.asarray(res) < 1e-5)
+
+
+def test_cg_with_preconditioner():
+    A = _spd(40)
+    d = jnp.diagonal(A)
+    B = jnp.asarray(np.random.RandomState(2).randn(40, 2))
+    X, res = cg_solve(lambda V: A @ V, B, max_iters=60, M_inv=lambda V: V / d[:, None])
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(np.asarray(A), np.asarray(B)),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_slq_logdet_accuracy():
+    A = _spd(60)
+    sign, logdet = np.linalg.slogdet(np.asarray(A))
+    est = float(slq_logdet(lambda V: A @ V, 60, num_probes=30, lanczos_iters=30,
+                           key=jax.random.PRNGKey(0), dtype=A.dtype))
+    assert abs(est - logdet) / abs(logdet) < 0.05, (est, logdet)
+
+
+def test_lanczos_tridiagonal_eigs_bound_spectrum():
+    A = _spd(50)
+    Z = jax.random.rademacher(jax.random.PRNGKey(0), (50, 4), dtype=A.dtype)
+    alphas, betas = lanczos(lambda V: A @ V, Z, 20)
+    lam_true = np.linalg.eigvalsh(np.asarray(A))
+    for r in range(4):
+        T = np.diag(np.asarray(alphas[:, r])) + np.diag(np.asarray(betas[:, r]), 1) + np.diag(np.asarray(betas[:, r]), -1)
+        lam = np.linalg.eigvalsh(T)
+        assert lam.min() >= lam_true.min() - 1e-6
+        assert lam.max() <= lam_true.max() + 1e-6
+
+
+def test_pivoted_cholesky_low_rank():
+    A = np.asarray(_spd(30))
+    L = pivoted_cholesky(jnp.asarray(np.diag(A)), lambda i: jnp.asarray(A)[i, :], 30, 30)
+    np.testing.assert_allclose(np.asarray(L @ L.T), A, rtol=1e-4, atol=1e-6)
+
+
+def _mosm_model(cls, n_per=24, **kwargs):
+    rng = np.random.RandomState(0)
+    x0 = np.linspace(0, 6, n_per).reshape(-1, 1)
+    x1 = np.linspace(0, 6, n_per).reshape(-1, 1)
+    N, X, Y = gpr.merge_data([x0, x1],
+                             [np.sin(1.2 * x0) + 0.05 * rng.randn(n_per, 1),
+                              np.cos(1.2 * x1) + 0.05 * rng.randn(n_per, 1)])
+    kernel = gpr.MultiOutputSpectralMixtureKernel(2, output_dims=2)
+    kernel.mean.assign(0.1 + 0.1 * rng.rand(2, 2, 1))
+    kernel.variance.assign(0.3 + 0.1 * rng.rand(2, 2, 1))
+    return cls(kernel, X, Y, variance=0.1, **kwargs)
+
+
+def test_iterative_lml_matches_cholesky():
+    exact = _mosm_model(gpr.Exact)
+    iterative = _mosm_model(gpr.ExactIterative, max_cg_iters=200, cg_tol=1e-10,
+                            num_probes=64, lanczos_iters=48)
+    lml_chol = float(exact.log_marginal_likelihood())
+    lml_iter = float(iterative.log_marginal_likelihood())
+    # quadratic form is exact via CG; logdet is stochastic (~1%)
+    assert abs(lml_iter - lml_chol) / abs(lml_chol) < 0.05, (lml_iter, lml_chol)
+
+
+def test_iterative_gradients_match_cholesky():
+    exact = _mosm_model(gpr.Exact)
+    iterative = _mosm_model(gpr.ExactIterative, max_cg_iters=300, cg_tol=1e-12,
+                            num_probes=256, lanczos_iters=48)
+
+    def grads(model):
+        loss_fn = model.make_loss_fn()
+        train, fixed = model._split_raws()
+        return jax.grad(loss_fn)(train, fixed)
+
+    g_chol = grads(exact)
+    g_iter = grads(iterative)
+    # identify comparable leaves by matching shapes in order
+    for a, b in zip(g_iter, g_chol):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-3
+        assert np.abs(a - b).max() / denom < 0.15, (a, b)
+
+
+def test_iterative_prediction_matches_cholesky():
+    exact = _mosm_model(gpr.Exact)
+    iterative = _mosm_model(gpr.ExactIterative, max_cg_iters=200, cg_tol=1e-10)
+    Xs = np.concatenate([np.zeros((10, 1)), np.linspace(0, 6, 10).reshape(-1, 1)], axis=1)
+    mu_c, var_c = exact.predict_f(Xs)
+    mu_i, var_i = iterative.predict_f(Xs)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_c), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_c), rtol=1e-2, atol=1e-5)
+
+
+def test_iterative_training_reduces_loss():
+    model = _mosm_model(gpr.ExactIterative, num_probes=16)
+    loss0 = model.loss()
+    losses, _ = gpr.train(model, method="Adam", lr=0.02, iters=40)
+    assert losses[-1] < loss0
+
+
+def test_iterative_rejects_unsupported_kernel():
+    X = np.linspace(0, 5, 10).reshape(-1, 1)
+    with pytest.raises(ValueError):
+        gpr.ExactIterative(gpr.SquaredExponentialKernel(), X, np.sin(X))
