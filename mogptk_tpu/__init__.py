@@ -23,7 +23,7 @@ from .data import Data, LoadFunction, LoadSplitData
 from .dataset import DataSet, LoadCSV, LoadDataFrame
 from .init import BNSE
 from .model import (Model, Exact, Snelson, OpperArchambeau, Titsias, Hensman,
-                    LoadModel, kernels)
+                    Iterative, LoadModel, kernels)
 from .models import SM, MOSM, CSM, SM_LMC, CONV, MOHSM
 
 __version__ = "0.1.0"

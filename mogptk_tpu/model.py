@@ -149,6 +149,39 @@ class Titsias:
                            jitter=self.jitter, mean=mean)
 
 
+class Iterative:
+    """Iterative exact inference selector (BBMM: CG + SLQ, no Cholesky, no
+    Gram materialization for MOSM kernels). TPU-native extension — the
+    reference has no equivalent; use for exact inference at N beyond the
+    O(N²) memory wall."""
+
+    def __init__(self, variance=None, data_variance=None, jitter=1e-8,
+                 max_cg_iters=100, cg_tol=1e-5, num_probes=16, lanczos_iters=32):
+        self.variance = variance
+        self.data_variance = data_variance
+        self.jitter = jitter
+        self.max_cg_iters = max_cg_iters
+        self.cg_tol = cg_tol
+        self.num_probes = num_probes
+        self.lanczos_iters = lanczos_iters
+
+    def _build(self, kernel, x, y, y_err=None, mean=None):
+        variance = self.variance
+        if variance is None:
+            if kernel.output_dims is not None:
+                variance = [1.0] * kernel.output_dims
+            else:
+                variance = 1.0
+        data_variance = self.data_variance
+        if data_variance is None and y_err is not None:
+            data_variance = y_err ** 2
+        return gpr.ExactIterative(kernel, x, y, variance=variance,
+                                  data_variance=data_variance, jitter=self.jitter,
+                                  mean=mean, max_cg_iters=self.max_cg_iters,
+                                  cg_tol=self.cg_tol, num_probes=self.num_probes,
+                                  lanczos_iters=self.lanczos_iters)
+
+
 class Hensman:
     """Hensman SVGP inference selector (reference: mogptk/model.py:159-178)."""
 

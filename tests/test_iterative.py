@@ -124,3 +124,12 @@ def test_iterative_rejects_unsupported_kernel():
     X = np.linspace(0, 5, 10).reshape(-1, 1)
     with pytest.raises(ValueError):
         gpr.ExactIterative(gpr.SquaredExponentialKernel(), X, np.sin(X))
+
+
+def test_trainer_iterative_selector():
+    import mogptk_tpu as mogptk
+    t = np.linspace(0, 6, 30)
+    ds = mogptk.DataSet(t, [np.sin(t), np.cos(t)], names=["A", "B"])
+    model = mogptk.MOSM(ds, Q=1, inference=mogptk.Iterative(num_probes=8))
+    losses, _ = model.train(method="Adam", lr=0.02, iters=20)
+    assert np.isfinite(losses[-1])
