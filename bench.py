@@ -60,7 +60,10 @@ def bench_ours(xs, ys):
     rng = np.random.RandomState(1)
     kernel.mean.assign(0.05 + 0.3 * rng.rand(CHANNELS, Q, 1))
     kernel.variance.assign(0.2 + 0.3 * rng.rand(CHANNELS, Q, 1))
-    model = gpr.Exact(kernel, X, Y, variance=0.1)
+    # Hutchinson probe-trace gradients (unbiased, BBMM-style): the backward
+    # becomes two 16-column triangular solves instead of an N x N inverse
+    model = gpr.Exact(kernel, X, Y, variance=0.1,
+                      trace_probes=None if os.environ.get("BENCH_EXACT_GRAD") else 16)
 
     loss_fn = model.make_loss_fn()
     train0, fixed = model._split_raws()

@@ -25,7 +25,7 @@ from .mean import Mean
 from .likelihood import Likelihood, MultiOutputLikelihood, GaussianLikelihood
 from .config import config
 from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
-                          lml_quadform_logdet)
+                          lml_quadform_logdet, lml_quadform_logdet_stochastic)
 
 
 def _init_grid(N, X):
@@ -396,7 +396,8 @@ class Exact(Model):
     Supports per-channel trained noise and fixed per-point data variances.
     """
 
-    def __init__(self, kernel, X, y, variance=1.0, data_variance=None, jitter=1e-8, mean=None):
+    def __init__(self, kernel, X, y, variance=1.0, data_variance=None, jitter=1e-8, mean=None,
+                 trace_probes=None, seed=0):
         if data_variance is not None:
             data_variance = jnp.asarray(data_variance, dtype=config.dtype).reshape(-1)
             if np.asarray(X).ndim == 2 and data_variance.shape[0] != np.asarray(X).shape[0]:
@@ -411,6 +412,11 @@ class Exact(Model):
 
         super().__init__(kernel, X, y, GaussianLikelihood(jnp.sqrt(variance)), jitter, mean)
         self.data_variance = data_variance
+        # trace_probes: None → exact closed-form ∂LML/∂K (deterministic);
+        # int R → Hutchinson probe-trace gradients (unbiased, var O(1/R)),
+        # which cut the backward to two R-column triangular solves
+        self.trace_probes = trace_probes
+        self.seed = seed
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
 
     def _Kff(self, add_jitter=False):
@@ -437,7 +443,11 @@ class Exact(Model):
         through the factorization."""
         Kff = self._Kff(add_jitter=True)
         y = self._residual_y()
-        return lml_quadform_logdet(Kff, y) - self.log_marginal_likelihood_constant
+        if self.trace_probes:
+            val = lml_quadform_logdet_stochastic(Kff, y, int(self.trace_probes), self.seed)
+        else:
+            val = lml_quadform_logdet(Kff, y)
+        return val - self.log_marginal_likelihood_constant
 
     def predict_f(self, X, full=False):
         """Posterior mean/variance at X (reference: gpr/model.py:455-483)."""

@@ -96,3 +96,30 @@ def test_lml_f32_matches_f64():
     v32 = lml(False)
     rel = abs(v32 - v64) / abs(v64)
     assert rel < 1e-4, "f32 LML rel err %g vs f64 (v32=%g v64=%g)" % (rel, v32, v64)
+
+
+def test_stochastic_trace_gradient_is_unbiased():
+    """Probe-trace gradients must converge to the exact closed-form gradient
+    as the probe count grows."""
+    from mogptk_tpu.ops.linalg import lml_quadform_logdet_stochastic
+    K = jnp.asarray(_spd(20))
+    y = jnp.asarray(np.random.RandomState(3).randn(20, 1))
+    g_exact = jax.grad(lml_quadform_logdet)(K, y)
+    g_stoch = jax.grad(lambda K: lml_quadform_logdet_stochastic(K, y, 4096, 0))(K)
+    sym = lambda A: 0.5 * (np.asarray(A) + np.asarray(A).T)
+    np.testing.assert_allclose(sym(g_stoch), sym(g_exact), rtol=0.1, atol=0.05)
+    # value is exact regardless of probes
+    np.testing.assert_allclose(float(lml_quadform_logdet_stochastic(K, y, 4, 0)),
+                               float(lml_quadform_logdet(K, y)), rtol=1e-10)
+
+
+def test_exact_with_trace_probes_trains():
+    import mogptk_tpu.gpr as gpr
+    X = np.linspace(0, 5, 30).reshape(-1, 1)
+    y = np.sin(1.5 * X)
+    kernel = gpr.SpectralMixtureKernel(Q=2)
+    kernel.mean.assign(np.array([[0.2], [0.4]]))
+    model = gpr.Exact(kernel, X, y, variance=0.3, trace_probes=8)
+    loss0 = model.loss()
+    losses, _ = gpr.train(model, method="Adam", lr=0.05, iters=60)
+    assert losses[-1] < loss0
