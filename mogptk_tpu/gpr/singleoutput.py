@@ -125,14 +125,55 @@ class ExponentialKernel(Kernel):
         self.lengthscale = Parameter(jnp.ones(input_dims), lower=config.positive_minimum)
 
     def K(self, X1, X2=None):
+        # per-dimension unroll keeps temps at (N,M) — no lane-padded (N,M,D)
         X1, X2 = self._active_input(X1, X2)
-        dist = jnp.abs(self.distance(X1, X2))  # NxMxD
-        expo = -0.5 * jnp.tensordot(dist, 1.0 / self.lengthscale(), axes=1)  # NxM
-        return self.magnitude() * jnp.exp(expo)
+        X2e = X1 if X2 is None else X2
+        invl = 1.0 / self.lengthscale()
+        acc = None
+        for d in range(self.input_dims):
+            t = jnp.abs(X1[:, d][:, None] - X2e[:, d][None, :]) * invl[d]
+            acc = t if acc is None else acc + t
+        return self.magnitude() * jnp.exp(-0.5 * acc)
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
         return jnp.full((X1.shape[0],), 1.0, dtype=config.dtype) * self.magnitude()
+
+
+def _prec_factor(kernel):
+    """Upper factor R with M = RᵀR of the precision matrix (D×D, tiny)."""
+    M = _lengthscale_matrix(kernel)
+    # M is SPD by construction; its Cholesky is a D×D op (negligible cost)
+    return jnp.linalg.cholesky(M).T
+
+
+def _quadform_gemm(kernel, X1, X2):
+    """τᵀMτ for all pairs via the GEMM squared-distance identity:
+    with z = X Rᵀ (M = RᵀR), τᵀMτ = ‖z1‖² + ‖z2‖² − 2 z1·z2ᵀ.
+    No (N,M,D) broadcast temp (whose minor D axis would be lane-padded on
+    TPU); the cross term is one MXU matmul."""
+    R = _prec_factor(kernel)
+    z1 = X1 @ R.T
+    z2 = z1 if X2 is None else X2 @ R.T
+    sq1 = jnp.sum(z1 * z1, axis=1)
+    sq2 = sq1 if X2 is None else jnp.sum(z2 * z2, axis=1)
+    q = sq1[:, None] + sq2[None, :] - 2.0 * (z1 @ z2.T)
+    return jnp.maximum(q, 0.0)
+
+
+def _quadform_unrolled(tau_fn, D, Mmat):
+    """τᵀMτ with per-dimension unrolling for non-linear per-dim transforms
+    (e.g. sin(πτ/p)); tau_fn(d) must return the (N,M) slice for dim d."""
+    cols = [tau_fn(d) for d in range(D)]
+    out = None
+    for i in range(D):
+        row = None
+        for j in range(D):
+            term = Mmat[i, j] * cols[j]
+            row = term if row is None else row + term
+        contrib = cols[i] * row
+        out = contrib if out is None else out + contrib
+    return out
 
 
 def _lengthscale_matrix(kernel):
@@ -168,8 +209,7 @@ class SquaredExponentialKernel(Kernel):
 
     def K(self, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)
-        return self.magnitude() * jnp.exp(-0.5 * _quadform(tau, _lengthscale_matrix(self)))
+        return self.magnitude() * jnp.exp(-0.5 * _quadform_gemm(self, X1, X2))
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
@@ -191,8 +231,7 @@ class RationalQuadraticKernel(Kernel):
 
     def K(self, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)
-        power = 1.0 + 0.5 * _quadform(tau, _lengthscale_matrix(self)) / self.alpha
+        power = 1.0 + 0.5 * _quadform_gemm(self, X1, X2) / self.alpha
         return self.magnitude() * power ** (-self.alpha)
 
     def K_diag(self, X1):
@@ -215,9 +254,11 @@ class PeriodicKernel(Kernel):
 
     def K(self, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)
-        sin = jnp.sin(_pi * tau / self.period())
-        return self.magnitude() * jnp.exp(-2.0 * _quadform(sin, _lengthscale_matrix(self)))
+        X2e = X1 if X2 is None else X2
+        p = self.period()
+        M = _lengthscale_matrix(self)
+        sin_d = lambda d: jnp.sin(_pi * (X1[:, d][:, None] - X2e[:, d][None, :]) / p[d])
+        return self.magnitude() * jnp.exp(-2.0 * _quadform_unrolled(sin_d, self.input_dims, M))
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
@@ -239,10 +280,14 @@ class LocallyPeriodicKernel(Kernel):
 
     def K(self, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)
-        sin = jnp.sin(_pi * tau / self.period())
+        X2e = X1 if X2 is None else X2
+        p = self.period()
         M = _lengthscale_matrix(self)
-        return self.magnitude() * jnp.exp(-2.0 * _quadform(sin, M) - 0.5 * _quadform(tau, M))
+        sin_d = lambda d: jnp.sin(_pi * (X1[:, d][:, None] - X2e[:, d][None, :]) / p[d])
+        tau_d = lambda d: X1[:, d][:, None] - X2e[:, d][None, :]
+        q1 = _quadform_unrolled(sin_d, self.input_dims, M)
+        q2 = _quadform_unrolled(tau_d, self.input_dims, M)
+        return self.magnitude() * jnp.exp(-2.0 * q1 - 0.5 * q2)
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
@@ -258,10 +303,13 @@ class CosineKernel(Kernel):
         self.lengthscale = Parameter(jnp.ones(input_dims), lower=config.positive_minimum)
 
     def K(self, X1, X2=None):
+        # tensordot(τ, v) is rank-1: (X1·v)[:,None] − (X2·v)[None,:]
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)
-        cos = 2.0 * _pi * jnp.tensordot(tau, 1.0 / self.lengthscale(), axes=1)
-        return self.magnitude() * jnp.cos(cos)
+        X2e = X1 if X2 is None else X2
+        v = 1.0 / self.lengthscale()
+        z1 = X1 @ v
+        z2 = z1 if X2 is None else X2e @ v
+        return self.magnitude() * jnp.cos(2.0 * _pi * (z1[:, None] - z2[None, :]))
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
@@ -283,10 +331,15 @@ class SincKernel(Kernel):
         return jnp.sin(_pi * x) / (_pi * x)
 
     def K(self, X1, X2=None):
+        # both contractions are linear in τ → rank-1 projections
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)
-        sinc = jnp.tensordot(tau, self.bandwidth(), axes=1)
-        cos = 2.0 * _pi * jnp.tensordot(tau, self.frequency(), axes=1)
+        X2e = X1 if X2 is None else X2
+        b1 = X1 @ self.bandwidth()
+        b2 = b1 if X2 is None else X2e @ self.bandwidth()
+        f1 = X1 @ self.frequency()
+        f2 = f1 if X2 is None else X2e @ self.frequency()
+        sinc = b1[:, None] - b2[None, :]
+        cos = 2.0 * _pi * (f1[:, None] - f2[None, :])
         return self.magnitude() * self._sinc(sinc) * jnp.cos(cos)
 
     def K_diag(self, X1):
@@ -306,10 +359,15 @@ class SpectralKernel(Kernel):
 
     def K(self, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)  # NxMxD
-        expo = -2.0 * _pi ** 2 * tau ** 2 * self.variance().reshape(1, 1, -1)
-        cos = 2.0 * _pi * tau * self.mean().reshape(1, 1, -1)
-        return self.magnitude() * jnp.sum(jnp.exp(expo) * jnp.cos(cos), axis=2)
+        X2e = X1 if X2 is None else X2
+        var = self.variance()
+        mu = self.mean()
+        acc = None
+        for d in range(self.input_dims):
+            taud = X1[:, d][:, None] - X2e[:, d][None, :]
+            t = jnp.exp(-2.0 * _pi ** 2 * taud * taud * var[d]) * jnp.cos(2.0 * _pi * taud * mu[d])
+            acc = t if acc is None else acc + t
+        return self.magnitude() * acc
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
@@ -328,11 +386,27 @@ class SpectralMixtureKernel(Kernel):
         self.variance = Parameter(jnp.ones((Q, input_dims)), lower=config.positive_minimum)
 
     def K(self, X1, X2=None):
+        # Q and D unrolled in Python: every temp is (N,M), fusing into one
+        # elementwise pass (a (Q,N,M)/(N,M,D) temp would be fine/minor-padded
+        # respectively; this form is safe for both axes)
         X1, X2 = self._active_input(X1, X2)
-        tau = self.distance(X1, X2)  # NxMxD
-        expo = -2.0 * _pi ** 2 * jnp.einsum("nmd,qd->qnm", tau ** 2, self.variance())
-        cos = 2.0 * _pi * jnp.einsum("nmd,qd->qnm", tau, self.mean())
-        return jnp.einsum("q,qnm->nm", self.magnitude(), jnp.exp(expo) * jnp.cos(cos))
+        X2e = X1 if X2 is None else X2
+        mag = self.magnitude()
+        var = self.variance()
+        mu = self.mean()
+        K = None
+        for q in range(self.Q):
+            expo = None
+            ang = None
+            for d in range(self.input_dims):
+                taud = X1[:, d][:, None] - X2e[:, d][None, :]
+                e = taud * taud * var[q, d]
+                a = taud * mu[q, d]
+                expo = e if expo is None else expo + e
+                ang = a if ang is None else ang + a
+            Kq = mag[q] * jnp.exp(-2.0 * _pi ** 2 * expo) * jnp.cos(2.0 * _pi * ang)
+            K = Kq if K is None else K + Kq
+        return K
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
