@@ -28,7 +28,7 @@ from .likelihood import GaussianLikelihood
 from .multioutput import (MultiOutputSpectralKernel,
                           MultiOutputSpectralMixtureKernel)
 from .config import config
-from ..ops.iterative import cg_solve, slq_logdet
+from ..ops.iterative import cg_solve, slq_logdet, pivoted_cholesky
 from ..ops.pallas_mosm import mosm_gram_matvec, mosm_gram_lowrank_vjp
 
 
@@ -40,7 +40,7 @@ def _lml_iter(static, x, c, noise_diag, y, w, mu, var, theta, phi):
 
 
 def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas = static
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
 
     if use_pallas:
         def matvec(V):
@@ -56,12 +56,47 @@ def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi):
     return matvec
 
 
+def _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi):
+    """Woodbury-inverted partial-pivoted-Cholesky preconditioner
+    P = σ̄²I + L Lᵀ (Gardner et al. 2018). Returns M_inv or None."""
+    twopi, phase_inside = static[0], static[1]
+    precond_rank = static[8]
+    if not precond_rank:
+        return None
+    from .multioutput import _mosm_K
+    n = x.shape[0]
+    sigma2 = jnp.mean(noise_diag)
+
+    def K_row(i):
+        xi = jax.lax.dynamic_slice(x, (i, 0), (1, x.shape[1]))
+        ci = jax.lax.dynamic_slice(c, (i,), (1,))
+        return _mosm_K(ci, xi, c, x, (w, mu, var, theta, phi), twopi, phase_inside)[0, :]
+
+    def K_diag_fn():
+        # MOSM diagonal is channel-constant: α_c = Σ_q w² twopi √(Πd Σ)
+        alpha = (w ** 2) * twopi * jnp.sqrt(jnp.prod(var, axis=-1))   # O x Q
+        return jnp.sum(alpha, axis=-1)[c]
+
+    L = pivoted_cholesky(K_diag_fn(), K_row, n, precond_rank)
+    r = L.shape[1]
+    inner = sigma2 * jnp.eye(r, dtype=L.dtype) + L.T @ L
+    Linner = jnp.linalg.cholesky(inner)
+
+    def M_inv(V):
+        t = L.T @ V
+        t = jax.scipy.linalg.cho_solve((Linner, True), t)
+        return (V - L @ t) / sigma2
+
+    return M_inv
+
+
 def _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas = static
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
     n = x.shape[0]
     matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
+    M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
 
-    alpha, _ = cg_solve(matvec, y, max_iters=max_cg, tol=tol)
+    alpha, _ = cg_solve(matvec, y, max_iters=max_cg, tol=tol, M_inv=M_inv)
     logdet = slq_logdet(matvec, n, num_probes=probes, lanczos_iters=lanczos_iters,
                         key=jax.random.PRNGKey(seed), dtype=y.dtype)
     val = -0.5 * jnp.sum(y * alpha) - 0.5 * logdet
@@ -69,14 +104,15 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi):
 
 
 def _lml_iter_bwd(static, res, g):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas = static
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
     x, c, noise_diag, y, w, mu, var, theta, phi, alpha = res
     n = x.shape[0]
     matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
+    M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
 
     # probe solves for the stochastic trace: K⁻¹ ≈ R⁻¹ Σ u_r z_rᵀ
     Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1), (n, probes), dtype=y.dtype)
-    U, _ = cg_solve(matvec, Z, max_iters=max_cg, tol=tol)
+    U, _ = cg_solve(matvec, Z, max_iters=max_cg, tol=tol, M_inv=M_inv)
 
     # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with
     A = (0.5 * g) * jnp.concatenate([alpha, -U / probes], axis=1)  # N x (R+1)
@@ -120,7 +156,7 @@ class ExactIterative(Model):
 
     def __init__(self, kernel, X, y, variance=1.0, data_variance=None,
                  jitter=1e-8, mean=None, max_cg_iters=100, cg_tol=1e-5,
-                 num_probes=16, lanczos_iters=32, seed=0):
+                 num_probes=16, lanczos_iters=32, seed=0, precond_rank=0):
         if not isinstance(kernel, (MultiOutputSpectralKernel, MultiOutputSpectralMixtureKernel)):
             raise ValueError(
                 "ExactIterative currently supports the MOSM kernel family "
@@ -142,6 +178,7 @@ class ExactIterative(Model):
         self.num_probes = num_probes
         self.lanczos_iters = lanczos_iters
         self.seed = seed
+        self.precond_rank = precond_rank
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
 
     def _noise_diag(self):
@@ -157,7 +194,8 @@ class ExactIterative(Model):
         from .config import pallas_enabled
         k = self.kernel
         return (k.twopi, True, self.max_cg_iters, self.cg_tol,
-                self.num_probes, self.lanczos_iters, self.seed, pallas_enabled())
+                self.num_probes, self.lanczos_iters, self.seed, pallas_enabled(),
+                self.precond_rank)
 
     def _kernel_params(self):
         k = self.kernel

@@ -133,3 +133,35 @@ def test_trainer_iterative_selector():
     model = mogptk.MOSM(ds, Q=1, inference=mogptk.Iterative(num_probes=8))
     losses, _ = model.train(method="Adam", lr=0.02, iters=20)
     assert np.isfinite(losses[-1])
+
+
+def test_iterative_with_preconditioner_matches():
+    plain = _mosm_model(gpr.ExactIterative, max_cg_iters=200, cg_tol=1e-10,
+                        num_probes=64, lanczos_iters=48)
+    pc = _mosm_model(gpr.ExactIterative, max_cg_iters=200, cg_tol=1e-10,
+                     num_probes=64, lanczos_iters=48, precond_rank=10)
+    np.testing.assert_allclose(float(pc.log_marginal_likelihood()),
+                               float(plain.log_marginal_likelihood()), rtol=1e-3)
+
+
+def test_preconditioner_speeds_convergence():
+    """With an ill-conditioned kernel the preconditioned CG residual after a
+    small iteration budget must beat plain CG."""
+    from mogptk_tpu.ops.iterative import cg_solve, pivoted_cholesky
+    rng = np.random.RandomState(0)
+    n = 120
+    x = np.sort(rng.rand(n)) * 10
+    K = np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / 4.0) + 1e-3 * np.eye(n)
+    K = jnp.asarray(K)
+    b = jnp.asarray(rng.randn(n, 1))
+
+    matvec = lambda V: K @ V
+    _, res_plain = cg_solve(matvec, b, max_iters=15)
+
+    L = pivoted_cholesky(jnp.diagonal(K), lambda i: K[i, :], n, 20)
+    sigma2 = 1e-3
+    inner = sigma2 * jnp.eye(20) + L.T @ L
+    Li = jnp.linalg.cholesky(inner)
+    M_inv = lambda V: (V - L @ jax.scipy.linalg.cho_solve((Li, True), L.T @ V)) / sigma2
+    _, res_pc = cg_solve(matvec, b, max_iters=15, M_inv=M_inv)
+    assert float(res_pc[0]) < float(res_plain[0]), (float(res_pc[0]), float(res_plain[0]))
