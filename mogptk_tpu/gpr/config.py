@@ -143,3 +143,12 @@ def pallas_enabled():
     if config.pallas is not None:
         return bool(config.pallas)
     return False
+
+
+def use_debug(nans=True, jit=True):
+    """Enable runtime numerical debugging: jax_debug_nans raises on the first
+    NaN-producing op (the TPU-native analog of the reference's runtime
+    NaN/Inf diagnostics, SURVEY.md §5); pass jit=False to also disable jit
+    for step-through debugging."""
+    jax.config.update("jax_debug_nans", bool(nans))
+    jax.config.update("jax_disable_jit", not jit)

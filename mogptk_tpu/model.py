@@ -264,6 +264,14 @@ class Model:
     def parameters(self):
         return self.gpr.parameters()
 
+    def get_parameters(self):
+        print("DEPRECATED: use model.parameters() instead of model.get_parameters()")
+        return self.parameters()
+
+    def copy_parameters(self, other):
+        print("DEPRECATED: use model.load_kernel_parameters() instead of model.copy_parameters()")
+        self.load_kernel_parameters(other)
+
     def load_kernel_parameters(self, other):
         """Warm-start: copy kernel parameter values from another model
         (reference: mogptk/model.py:282-294)."""

@@ -316,3 +316,41 @@ def test_save_load_parameters_npz():
     m2.load_parameters("/tmp/mosm_params")
     np.testing.assert_allclose(m2.loss(), m1.loss(), rtol=1e-8)
     os.remove("/tmp/mosm_params.npz")
+
+
+def test_load_split_data():
+    x_train = np.linspace(0, 5, 20)
+    x_test = np.linspace(5, 6, 5)
+    data = mogptk.LoadSplitData(x_train, x_test, np.sin(x_train), np.sin(x_test), name="split")
+    assert len(data.Y) == 25
+    assert int(np.sum(~data.mask)) == 5
+    xt, yt = data.get_test_data()
+    np.testing.assert_allclose(xt[:, 0], x_test)
+
+
+def test_set_prediction_range_variants():
+    data = mogptk.Data(np.linspace(0, 10, 50), np.sin(np.linspace(0, 10, 50)))
+    data.set_prediction_range(2, 8, n=100)
+    assert data.get_prediction_data().shape == (100, 1)
+    data.set_prediction_range(0, 10, step=0.5)
+    x = data.get_prediction_data()
+    assert abs(x[1, 0] - x[0, 0] - 0.5) < 1e-9
+    data.set_prediction_data(np.array([1.0, 2.0, 3.0]))
+    assert data.get_prediction_data().shape == (3, 1)
+
+
+def test_use_debug_toggles():
+    import jax
+    mogptk.gpr.use_debug(nans=True)
+    assert jax.config.jax_debug_nans
+    mogptk.gpr.use_debug(nans=False)
+    assert not jax.config.jax_debug_nans
+
+
+def test_scalability_harness_smoke():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    import scalability
+    model = scalability.make_model("mosm", 64, M=2)
+    t, mem = scalability.time_training(model, iters=2)
+    assert t > 0
