@@ -102,7 +102,8 @@ def LoadFunction(f, start, end, n, var=0.0, name="", random=False):
         if random[i] and isinstance(start[i], np.datetime64):
             raise ValueError("cannot use random for datetime inputs")
 
-    rng = np.random.default_rng()
+    from .gpr.config import config as _cfg
+    rng = _cfg.numpy_rng()
     x = [None] * input_dims
     for i in range(input_dims):
         if start[i] >= end[i]:

@@ -54,9 +54,19 @@ class Config:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def numpy_rng(self):
+        """Process-level numpy Generator (the analog of the reference's
+        seedable global torch RNG) used for host-side random initialization."""
+        if getattr(self, "_np_rng", None) is None:
+            import numpy as _np
+            self._np_rng = _np.random.default_rng(self.seed)
+        return self._np_rng
+
     def set_seed(self, seed):
         self.seed = seed
         self._key = jax.random.PRNGKey(seed)
+        import numpy as _np
+        self._np_rng = _np.random.default_rng(seed)
 
 
 config = Config()

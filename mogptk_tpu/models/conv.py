@@ -4,6 +4,7 @@ Capability parity with mogptk/models/conv.py:8-103.
 """
 import numpy as np
 
+from ..gpr.config import config as gpr_config
 from ..dataset import DataSet
 from ..model import Model, Exact, logger
 from ..gpr import GaussianConvolutionProcessKernel, MixtureKernel, GaussianLikelihood
@@ -27,7 +28,7 @@ class CONV(Model):
 
         conv = GaussianConvolutionProcessKernel(output_dims=output_dims, input_dims=input_dims)
         kernel = MixtureKernel(conv, Q)
-        rng = np.random.default_rng()
+        rng = gpr_config.numpy_rng()
         for q in range(Q):
             kernel[q].weight.assign(rng.random(output_dims))
             kernel[q].variance.assign(rng.random((output_dims, input_dims)))

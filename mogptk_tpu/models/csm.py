@@ -4,6 +4,7 @@ Capability parity with mogptk/models/csm.py:8-111.
 """
 import numpy as np
 
+from ..gpr.config import config as gpr_config
 from ..dataset import DataSet
 from ..model import Model, Exact, logger
 from ..gpr import CrossSpectralKernel, MixtureKernel, GaussianLikelihood
@@ -27,7 +28,7 @@ class CSM(Model):
 
         spectral = CrossSpectralKernel(output_dims=output_dims, input_dims=input_dims, Rq=Rq)
         kernel = MixtureKernel(spectral, Q)
-        rng = np.random.default_rng()
+        rng = gpr_config.numpy_rng()
         for q in range(Q):
             kernel[q].amplitude.assign(rng.random((output_dims, Rq)))
             kernel[q].mean.assign(rng.random(input_dims))
@@ -60,7 +61,7 @@ class CSM(Model):
         output_dims = self.dataset.get_output_dims()
         means = np.concatenate(means, axis=0)
         variances = np.concatenate(variances, axis=0)
-        constant = np.random.default_rng().random((output_dims, self.Q, self.Rq))
+        constant = np.zeros((output_dims, self.Q, self.Rq))
         for q in range(self.Q):
             for j in range(len(self.dataset)):
                 constant[j, q, :] = amplitudes[j][q, :].mean() ** 2 / self.Rq

@@ -4,6 +4,7 @@ Capability parity with mogptk/models/mohsm.py:8-145.
 """
 import numpy as np
 
+from ..gpr.config import config as gpr_config
 from ..dataset import DataSet
 from ..model import Model, Exact, logger
 from ..gpr import MultiOutputHarmonizableSpectralKernel, MixtureKernel, GaussianLikelihood
@@ -27,7 +28,7 @@ class MOHSM(Model):
 
         spectral = MultiOutputHarmonizableSpectralKernel(output_dims=output_dims, input_dims=input_dims)
         kernel = MixtureKernel(spectral, P * Q)
-        rng = np.random.default_rng()
+        rng = gpr_config.numpy_rng()
         for p in range(P):
             for q in range(Q):
                 kernel[p * Q + q].weight.assign(rng.random(output_dims))

@@ -4,6 +4,7 @@ Capability parity with mogptk/models/mosm.py:10-257.
 """
 import numpy as np
 
+from ..gpr.config import config as gpr_config
 from ..dataset import DataSet
 from ..model import Model, Exact, logger
 from ..gpr import MultiOutputSpectralMixtureKernel, GaussianLikelihood
@@ -27,7 +28,7 @@ class MOSM(Model):
                 raise ValueError("input dimensions for all channels must match")
 
         kernel = MultiOutputSpectralMixtureKernel(Q=Q, output_dims=output_dims, input_dims=input_dims)
-        rng = np.random.default_rng()
+        rng = gpr_config.numpy_rng()
         kernel.weight.assign(rng.random((output_dims, Q)))
         kernel.mean.assign(rng.random((output_dims, Q, input_dims)))
         kernel.variance.assign(rng.random((output_dims, Q, input_dims)))

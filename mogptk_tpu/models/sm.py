@@ -4,6 +4,7 @@ Capability parity with mogptk/models/sm.py:9-154.
 """
 import numpy as np
 
+from ..gpr.config import config as gpr_config
 from ..dataset import DataSet
 from ..model import Model, Exact, logger
 from ..gpr import (SpectralMixtureKernel, IndependentMultiOutputKernel,
@@ -26,7 +27,7 @@ class SM(Model):
         kernel = IndependentMultiOutputKernel(
             [SpectralMixtureKernel(Q=Q, input_dims=input_dims) for _ in range(output_dims)],
             output_dims=output_dims)
-        rng = np.random.default_rng()
+        rng = gpr_config.numpy_rng()
         for j in range(output_dims):
             kernel[j].magnitude.assign(rng.random(Q))
             kernel[j].mean.assign(rng.random((Q, input_dims)))
@@ -51,7 +52,7 @@ class SM(Model):
             raise ValueError("valid methods of estimation are IPS, LS, and BNSE")
 
         if method.lower() == "ips":
-            rng = np.random.default_rng()
+            rng = gpr_config.numpy_rng()
             for j in range(output_dims):
                 nyquist = self.dataset[j].get_nyquist_estimation()
                 x = self.dataset[j].X[self.dataset[j].mask, :]

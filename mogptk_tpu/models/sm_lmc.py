@@ -4,6 +4,7 @@ Capability parity with mogptk/models/sm_lmc.py:8-114.
 """
 import numpy as np
 
+from ..gpr.config import config as gpr_config
 from ..dataset import DataSet
 from ..model import Model, Exact, logger
 from ..gpr import LinearModelOfCoregionalizationKernel, SpectralKernel, GaussianLikelihood
@@ -29,7 +30,7 @@ class SM_LMC(Model):
         spectral = [SpectralKernel(input_dims) for _ in range(Q)]
         kernel = LinearModelOfCoregionalizationKernel(
             spectral, output_dims=output_dims, input_dims=input_dims, Q=Q, Rq=Rq)
-        rng = np.random.default_rng()
+        rng = gpr_config.numpy_rng()
         kernel.weight.assign(rng.random((output_dims, Q, Rq)))
         for q in range(Q):
             kernel[q].magnitude.assign(rng.random(1))
