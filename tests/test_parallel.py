@@ -83,3 +83,19 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
     g.dryrun_multichip(8)
+
+
+def test_data_parallel_iterative_exact():
+    """The iterative (CG/SLQ) exact model composes with mesh sharding: X/y
+    row-sharded, parameters replicated, XLA partitions the Gram matvec."""
+    rng = np.random.RandomState(0)
+    x0 = np.linspace(0, 5, 16).reshape(-1, 1)
+    x1 = np.linspace(0, 5, 16).reshape(-1, 1)
+    N, X, Y = gpr.merge_data([x0, x1], [np.sin(x0), np.cos(x1)])
+    kernel = gpr.MultiOutputSpectralKernel(output_dims=2)
+    model = gpr.ExactIterative(kernel, X, Y, variance=0.1, num_probes=8)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(8)
+    step, params, opt_state, X_sh, Y_sh = data_parallel_step(model, mesh, opt)
+    params, opt_state, loss = step(params, opt_state, X_sh, Y_sh)
+    np.testing.assert_allclose(float(loss), model.loss(), rtol=1e-6)
