@@ -59,12 +59,11 @@ def time_training(model, iters=10):
         u, state = opt.update(g, state, params)
         return optax.apply_updates(params, u), state, v
 
-    import optax  # noqa: F811
     params, st, v = step(train, state)  # warmup/compile
     v.block_until_ready()
     start = time.perf_counter()
     for _ in range(iters):
-        params, st, v = step(params, st, )
+        params, st, v = step(params, st)
     v.block_until_ready()
     elapsed = time.perf_counter() - start
     mem = device_memory_stats().get("peak_bytes_in_use", 0)

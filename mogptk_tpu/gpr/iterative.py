@@ -22,8 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from .model import Model
-from .parameter import Parameter
-from .kernel import MultiOutputKernel
 from .likelihood import GaussianLikelihood
 from .multioutput import (MultiOutputSpectralKernel,
                           MultiOutputSpectralMixtureKernel)
@@ -198,10 +196,7 @@ class ExactIterative(Model):
                 self.precond_rank)
 
     def _kernel_params(self):
-        k = self.kernel
-        if isinstance(k, MultiOutputSpectralMixtureKernel):
-            return k._params()
-        return k._params()
+        return self.kernel._params()
 
     def log_marginal_likelihood(self):
         c = self.X[:, 0].astype(jnp.int32)

@@ -358,10 +358,10 @@ class MultiOutputKernel(Kernel):
                 if x2 is None and j > i:
                     continue
                 kij = self.Ksub(i, j, x1, x2e)
-                block = onehot1[:, i:i + 1] * kij * onehot2[None, :, j].reshape(1, -1)
+                block = onehot1[:, i:i + 1] * kij * onehot2[:, j][None, :]
                 out = out + block
                 if x2 is None and j < i:
-                    out = out + (onehot1[:, j:j + 1] * kij.T * onehot2[None, :, i].reshape(1, -1))
+                    out = out + (onehot1[:, j:j + 1] * kij.T * onehot2[:, i][None, :])
         return out
 
     def K_mo_diag(self, c1, x1):

@@ -442,8 +442,6 @@ class Model:
         # reference; otherwise fuse many steps per dispatch
         chunk = 1 if error is not None else None
 
-        collected = {"i": iter_offset}
-
         def callback(i, loss):
             idx = iter_offset + 1 + i
             if idx < len(times):
