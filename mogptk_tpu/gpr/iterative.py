@@ -94,25 +94,24 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi):
     matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
     M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
 
-    alpha, _ = cg_solve(matvec, y, max_iters=max_cg, tol=tol, M_inv=M_inv)
+    # one batched CG for y AND the gradient probes: (N, R+1) right-hand
+    # sides fill the vector lanes, and the backward needs no solves at all
+    Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1), (n, probes), dtype=y.dtype)
+    sols, _ = cg_solve(matvec, jnp.concatenate([y, Z], axis=1),
+                       max_iters=max_cg, tol=tol, M_inv=M_inv)
+    alpha = sols[:, :1]
+    U = sols[:, 1:]
     logdet = slq_logdet(matvec, n, num_probes=probes, lanczos_iters=lanczos_iters,
                         key=jax.random.PRNGKey(seed), dtype=y.dtype)
     val = -0.5 * jnp.sum(y * alpha) - 0.5 * logdet
-    return val, (x, c, noise_diag, y, w, mu, var, theta, phi, alpha)
+    return val, (x, c, noise_diag, y, w, mu, var, theta, phi, alpha, U, Z)
 
 
 def _lml_iter_bwd(static, res, g):
     twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
-    x, c, noise_diag, y, w, mu, var, theta, phi, alpha = res
-    n = x.shape[0]
-    matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
-    M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
+    x, c, noise_diag, y, w, mu, var, theta, phi, alpha, U, Z = res
 
-    # probe solves for the stochastic trace: K⁻¹ ≈ R⁻¹ Σ u_r z_rᵀ
-    Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1), (n, probes), dtype=y.dtype)
-    U, _ = cg_solve(matvec, Z, max_iters=max_cg, tol=tol, M_inv=M_inv)
-
-    # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with
+    # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with (solves already done in fwd)
     A = (0.5 * g) * jnp.concatenate([alpha, -U / probes], axis=1)  # N x (R+1)
     B = jnp.concatenate([alpha, Z], axis=1)                        # N x (R+1)
 
