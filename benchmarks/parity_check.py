@@ -174,5 +174,74 @@ def main():
         json.dump(results, f, indent=1)
 
 
+
+
+def compare_inference():
+    """ELBO/LML parity for the sparse and variational inference schemes at
+    identical parameters and inducing points."""
+    results = []
+    x, y, xr, yr = make_data(multi=False, n=36)
+    Z = np.linspace(0.5, 7.5, 9).reshape(-1, 1)
+
+    def pair_kernels():
+        ko, kr = ours.SquaredExponentialKernel(), ref.SquaredExponentialKernel()
+        set_params(ko, kr, {"magnitude": 1.2, "lengthscale": [0.9]})
+        return ko, kr
+
+    # Titsias collapsed ELBO
+    ko, kr = pair_kernels()
+    mo = ours.Titsias(ko, x, y, Z=__import__("jax.numpy", fromlist=["asarray"]).asarray(Z), variance=0.1)
+    mr = ref.Titsias(kr, xr, yr, Z=torch.tensor(Z), variance=0.1)
+    a, b = float(mo.elbo()), float(mr.elbo().detach())
+    rel = abs(a - b) / abs(b)
+    results.append(("Titsias ELBO", a, b, rel))
+
+    # Snelson FITC LML
+    ko, kr = pair_kernels()
+    mo = ours.Snelson(ko, x, y, Z=__import__("jax.numpy", fromlist=["asarray"]).asarray(Z), variance=0.1)
+    mr = ref.Snelson(kr, xr, yr, Z=torch.tensor(Z), variance=0.1)
+    a, b = float(mo.log_marginal_likelihood()), float(mr.log_marginal_likelihood().detach())
+    rel = abs(a - b) / abs(b)
+    results.append(("Snelson LML", a, b, rel))
+
+    # SparseHensman ELBO at initialization (q_sqrt = I: the reference's
+    # diagonal-only KL trace equals the correct full-triangle trace there)
+    ko, kr = pair_kernels()
+    mo = ours.SparseHensman(ko, x, y, Z=__import__("jax.numpy", fromlist=["asarray"]).asarray(Z),
+                            likelihood=ours.GaussianLikelihood(0.4))
+    mr = ref.SparseHensman(kr, xr, yr, Z=torch.tensor(Z),
+                           likelihood=ref.GaussianLikelihood(0.4))
+    a, b = float(mo.elbo()), float(mr.elbo().detach())
+    rel = abs(a - b) / abs(b)
+    results.append(("SparseHensman ELBO@init", a, b, rel))
+
+    # OpperArchambeau ELBO at initialization
+    ko, kr = pair_kernels()
+    mo = ours.OpperArchambeau(ko, x, y, likelihood=ours.GaussianLikelihood(0.4))
+    mr = ref.OpperArchambeau(kr, xr, yr, likelihood=ref.GaussianLikelihood(0.4))
+    a, b = float(mo.elbo()), float(mr.elbo().detach())
+    rel = abs(a - b) / abs(b)
+    results.append(("OpperArchambeau ELBO", a, b, rel))
+
+    # non-Gaussian variational expectation (StudentT via GH quadrature)
+    yb = np.abs(y) + 0.1
+    lo_ = ours.StudentTLikelihood(dof=4, scale=0.5)
+    lr_ = ref.StudentTLikelihood(dof=4, scale=0.5)
+    import jax.numpy as jnp
+    mu_ = 0.3 * np.ones_like(y)
+    var_ = 0.2 * np.ones_like(y)
+    a = float(lo_.variational_expectation(jnp.asarray(x), jnp.asarray(y), jnp.asarray(mu_), jnp.asarray(var_)))
+    b = float(lr_.variational_expectation(torch.tensor(x), torch.tensor(y), torch.tensor(mu_), torch.tensor(var_)).detach())
+    rel = abs(a - b) / abs(b)
+    results.append(("StudentT var-exp (GH)", a, b, rel))
+
+    print()
+    for name, a, b, rel in results:
+        print("%-26s ours %.8f  ref %.8f  rel err %.2e  %s"
+              % (name, a, b, rel, "PASS" if rel < 1e-5 else "FAIL"))
+    return results
+
+
 if __name__ == "__main__":
     main()
+    compare_inference()
