@@ -42,9 +42,13 @@ def main():
     kernel = gpr.MultiOutputSpectralMixtureKernel(q, output_dims=channels)
     kernel.mean.assign(0.05 + 0.3 * rng.rand(channels, q, 1))
     kernel.variance.assign(0.2 + 0.3 * rng.rand(channels, q, 1))
+    # preconditioning matters for accuracy here: at this N the plain CG is
+    # under-converged within the 50-iteration budget (the loss shifts by ~10%)
+    precond = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     model = gpr.ExactIterative(kernel, X, Y, variance=0.1,
                                max_cg_iters=50, cg_tol=1e-4,
-                               num_probes=16, lanczos_iters=24)
+                               num_probes=16, lanczos_iters=24,
+                               precond_rank=precond)
 
     loss_fn = model.make_loss_fn()
     train0, fixed = model._split_raws()

@@ -197,6 +197,25 @@ class ExactIterative(Model):
     def _kernel_params(self):
         return self.kernel._params()
 
+    def cg_diagnostics(self):
+        """Return the CG relative residuals for the current parameters —
+        (residual_y, max_residual_probes). Use to tune max_cg_iters/
+        precond_rank: residuals above cg_tol mean the LML/gradients are
+        under-converged."""
+        c = self.X[:, 0].astype(jnp.int32)
+        x = self.X[:, 1:]
+        y = self._residual_y()
+        params = self._kernel_params()
+        static = self._static()
+        matvec = _make_matvec(static, x, c, self._noise_diag(), *params)
+        M_inv = _make_preconditioner(static, x, c, self._noise_diag(), *params)
+        Z = jax.random.rademacher(jax.random.PRNGKey(self.seed + 1),
+                                  (self.X.shape[0], self.num_probes), dtype=y.dtype)
+        _, res = cg_solve(matvec, jnp.concatenate([y, Z], axis=1),
+                          max_iters=self.max_cg_iters, tol=self.cg_tol, M_inv=M_inv)
+        res = np.asarray(res)
+        return float(res[0]), float(res[1:].max())
+
     def log_marginal_likelihood(self):
         c = self.X[:, 0].astype(jnp.int32)
         x = self.X[:, 1:]

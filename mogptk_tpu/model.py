@@ -78,12 +78,17 @@ def LoadModel(filename):
 
 
 class Exact:
-    """Exact inference selector (reference: mogptk/model.py:76-100)."""
+    """Exact inference selector (reference: mogptk/model.py:76-100).
 
-    def __init__(self, variance=None, data_variance=None, jitter=1e-8):
+    trace_probes: None for the deterministic closed-form gradient; an int R
+    for Hutchinson probe-trace gradients (unbiased, ~20x faster backward at
+    large N)."""
+
+    def __init__(self, variance=None, data_variance=None, jitter=1e-8, trace_probes=None):
         self.variance = variance
         self.data_variance = data_variance
         self.jitter = jitter
+        self.trace_probes = trace_probes
 
     def _build(self, kernel, x, y, y_err=None, mean=None):
         variance = self.variance
@@ -96,7 +101,7 @@ class Exact:
         if data_variance is None and y_err is not None:
             data_variance = y_err ** 2
         return gpr.Exact(kernel, x, y, variance=variance, data_variance=data_variance,
-                         jitter=self.jitter, mean=mean)
+                         jitter=self.jitter, mean=mean, trace_probes=self.trace_probes)
 
 
 class Snelson:

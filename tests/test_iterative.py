@@ -165,3 +165,12 @@ def test_preconditioner_speeds_convergence():
     M_inv = lambda V: (V - L @ jax.scipy.linalg.cho_solve((Li, True), L.T @ V)) / sigma2
     _, res_pc = cg_solve(matvec, b, max_iters=15, M_inv=M_inv)
     assert float(res_pc[0]) < float(res_plain[0]), (float(res_pc[0]), float(res_plain[0]))
+
+
+def test_cg_diagnostics():
+    model = _mosm_model(gpr.ExactIterative, max_cg_iters=150, cg_tol=1e-8)
+    r_y, r_z = model.cg_diagnostics()
+    assert r_y < 1e-8 and r_z < 1e-8
+    under = _mosm_model(gpr.ExactIterative, max_cg_iters=2, cg_tol=1e-10)
+    r_y2, _ = under.cg_diagnostics()
+    assert r_y2 > r_y
