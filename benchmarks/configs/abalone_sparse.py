@@ -1,0 +1,45 @@
+"""BASELINE.md config #4: abalone 8-D inputs, sparse variational GP (Titsias,
+N≈4k, M=500 inducing points) — mirrors the reference's sparse multi-input
+case study (examples/07_Sparse_Multi_Input.ipynb)."""
+import sys, os, time
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+import jax
+# f64 like the reference: Titsias with 500 *trained* inducing points exceeds
+# f32 Cholesky conditioning once lengthscales grow (Kuu goes numerically
+# low-rank past the 1e-6 jitter floor). ROADMAP: f32 jitter ladder.
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import pandas as pd
+import mogptk_tpu as mogptk
+
+DATA = "/root/reference/examples/data/abalone/abalone.data"
+
+
+def main():
+    cols = ["sex", "length", "diameter", "height", "whole", "shucked",
+            "viscera", "shell", "rings"]
+    df = pd.read_csv(DATA, names=cols)
+    feats = ["length", "diameter", "height", "whole", "shucked", "viscera", "shell"]
+    X = df[feats].to_numpy(dtype=np.float64)
+    # one binary feature from sex to reach 8 input dims like the case study
+    X = np.concatenate([X, (df["sex"] == "M").to_numpy(dtype=np.float64).reshape(-1, 1)], axis=1)
+    # standardize inputs (the case study normalizes X; raw scales differ 20x)
+    X = (X - X.mean(axis=0)) / (X.std(axis=0) + 1e-9)
+    y = df["rings"].to_numpy(dtype=np.float64)
+
+    data = mogptk.Data(X, y, name="abalone")
+    data.transform(mogptk.TransformStandard())
+    data.remove_randomly(pct=0.2)
+
+    kernel = mogptk.gpr.SquaredExponentialKernel(input_dims=8)
+    model = mogptk.Model(data, kernel,
+                         inference=mogptk.Titsias(inducing_points=500,
+                                                  init_inducing_points="random"))
+    t0 = time.time()
+    model.train(method="Adam", lr=0.01, iters=300, verbose=True)
+    print("trained in %.1fs (N=%d, M=500)" % (time.time() - t0, int(np.sum(data.mask))))
+    print("test MAE (rings):", model.error("MAE"))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,11 +221,11 @@ class Data:
                     raise ValueError("X list items must all be lists of numbers or datetime")
                 if not all(_is_homogeneous_type(x) for x in X):
                     raise ValueError("X list items must all be lists with elements of the same type")
-            elif all(isinstance(x, np.ndarray) for x in X):
+            elif all(hasattr(x, "__len__") and not isinstance(x, str) for x in X):
                 islist = True
                 m = len(X[0])
                 if not all(len(x) == m for x in X[1:]):
-                    raise ValueError("X list items must all be numpy.ndarrays of the same length")
+                    raise ValueError("X list items must all be arrays of the same length")
             elif not all(isinstance(x, (int, float, datetime.datetime, np.datetime64)) for x in X):
                 raise ValueError("X list items must be all lists, all numpy.ndarrays, or all numbers or datetime")
             elif not _is_homogeneous_type(X):

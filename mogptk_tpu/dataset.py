@@ -60,7 +60,12 @@ def LoadDataFrame(df, x_col=0, y_col=1, y_err_col=None, name=None):
     cols = x_col + y_col
     if y_err_col is not None:
         cols = cols + y_err_col
-    df = df[cols]
+    df = df[cols].copy()
+    # numeric columns may carry string missing-value markers (e.g. "."):
+    # coerce to NaN so the per-channel dropna removes them
+    import pandas as pd
+    for col in y_col + (y_err_col or []):
+        df[col] = pd.to_numeric(df[col], errors="coerce")
     if len(df.index) == 0:
         raise ValueError("dataframe cannot be empty")
 
@@ -73,11 +78,12 @@ def LoadDataFrame(df, x_col=0, y_col=1, y_err_col=None, name=None):
 
         y_err = None
         if y_err_col is not None:
-            y_err = channel[y_err_col[i]].values
+            y_err = channel[y_err_col[i]].to_numpy()
 
         dataset.append(Data(
-            [channel[col].values for col in x_col],
-            channel[y_col[i]].values,
+            # to_numpy(): pandas 3.0 .values may return Arrow-backed arrays
+            [channel[col].to_numpy() for col in x_col],
+            channel[y_col[i]].to_numpy(),
             Y_err=y_err,
             name=name[i],
             # headerless CSVs yield integer column labels; coerce to str
