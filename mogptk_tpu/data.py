@@ -375,17 +375,25 @@ class Data:
 
         X = np.arange(start + step / 2, end + step / 2, step).reshape(-1, 1)
         Y = np.empty((X.shape[0],))
+        keep = np.ones(X.shape[0], dtype=bool)
         if self.Y_err is not None:
             Y_err = np.empty((X.shape[0],))
         for i in range(X.shape[0]):
             ind = (self.X[:, 0] >= X[i, 0] - step / 2) & (self.X[:, 0] < X[i, 0] + step / 2)
+            if not np.any(ind):
+                # empty bin (sensor gap): drop it instead of producing NaN
+                keep[i] = False
+                Y[i] = 0.0
+                if self.Y_err is not None:
+                    Y_err[i] = 0.0
+                continue
             Y[i] = f(self.Y[ind])
             if self.Y_err is not None:
                 Y_err[i] = f_err(self.Y_err[ind])
-        self.X = X
-        self.Y = Y
+        self.X = X[keep]
+        self.Y = Y[keep]
         if self.Y_err is not None:
-            self.Y_err = Y_err
+            self.Y_err = Y_err[keep]
         self.mask = np.ones(len(self.Y), dtype=bool)
 
     # -- accessors -------------------------------------------------------------

@@ -354,3 +354,13 @@ def test_scalability_harness_smoke():
     model = scalability.make_model("mosm", 64, M=2)
     t, mem = scalability.time_training(model, iters=2)
     assert t > 0
+
+
+def test_aggregate_with_gaps_drops_empty_bins():
+    # sensor gap: no points in [30, 60) — empty bins must be dropped, not NaN
+    x = np.concatenate([np.arange(0, 30.0), np.arange(60.0, 90.0)])
+    y = np.ones_like(x)
+    data = mogptk.Data(x, y)
+    data.aggregate(10.0)
+    assert np.isfinite(data.Y).all()
+    assert len(data.Y) == 6  # 9 bins minus 3 empty
