@@ -4,9 +4,10 @@ case study (examples/07_Sparse_Multi_Input.ipynb)."""
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import jax
-# f64 like the reference: Titsias with 500 *trained* inducing points exceeds
-# f32 Cholesky conditioning once lengthscales grow (Kuu goes numerically
-# low-rank past the 1e-6 jitter floor). ROADMAP: f32 jitter ladder.
+# f64 like the reference: Titsias with 500 *trained* inducing points is
+# numerically fragile in f32 — the jitter ladder (gpr.use_jitter_ladder)
+# keeps the factorizations finite, but the f32 optimization itself diverges
+# (loss goes NaN through gradient overflow with all factors finite).
 jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pandas as pd
@@ -16,6 +17,7 @@ DATA = "/root/reference/examples/data/abalone/abalone.data"
 
 
 def main():
+    np.random.seed(0)  # remove_randomly draws the test split from np.random
     cols = ["sex", "length", "diameter", "height", "whole", "shucked",
             "viscera", "shell", "rings"]
     df = pd.read_csv(DATA, names=cols)

@@ -3,11 +3,6 @@ axes (mirrors the reference examples/example_bramblemet.ipynb). Exercises the
 datetime64 pipeline on real sensor data with genuine gaps."""
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
-import jax
-# datetime axes become large absolute floats (minutes since epoch ~2.6e7);
-# f32 resolution there is ~2 minutes, so run f64 like the reference.
-# ROADMAP: automatic X-offset centering for f32 TPU runs.
-jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pandas as pd
 import matplotlib
@@ -37,7 +32,9 @@ def main():
     # simulate an outage at one station
     ds["Bramble"].remove_relative_range(0.4, 0.6)
 
-    model = mogptk.MOSM(ds, Q=2)
+    # datetime axes become large absolute floats (minutes since epoch ~2.6e7);
+    # rescale_x centers them so the default f32 precision trains cleanly.
+    model = mogptk.MOSM(ds, Q=2, rescale_x=True)
     model.init_parameters("LS")
     t0 = time.time()
     model.train(method="Adam", lr=0.02, iters=300, verbose=True)

@@ -28,6 +28,9 @@ class Config:
         # Pallas kernels for the hot Gram ops: None = auto (on TPU only),
         # True/False to force. f32/bf16 only.
         self.pallas = None
+        # Cholesky retry rungs (10× jitter each) when a factorization NaNs.
+        # 0 = off (reference behavior: fail with CholeskyException diagnostics).
+        self.jitter_ladder = 0
 
     @property
     def dtype(self):
@@ -153,6 +156,14 @@ def pallas_enabled():
     if config.pallas is not None:
         return bool(config.pallas)
     return False
+
+
+def use_jitter_ladder(rungs=3):
+    """Retry NaN'd Cholesky factorizations with up to `rungs` 10×-escalated
+    jitters (0 disables). Extension beyond the reference: keeps f32 training
+    alive when trained inducing points degrade Kuu conditioning."""
+    config.jitter_ladder = int(rungs)
+    config.bump()
 
 
 def use_debug(nans=True, jit=True):

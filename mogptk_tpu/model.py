@@ -214,7 +214,8 @@ class Model:
         times, losses, errors: Per-iteration training history arrays.
     """
 
-    def __init__(self, dataset, kernel, inference=None, mean=None, name=None):
+    def __init__(self, dataset, kernel, inference=None, mean=None, name=None,
+                 rescale_x=False):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -230,6 +231,18 @@ class Model:
         self.is_multioutput = kernel.output_dims is not None
 
         X, Y = self.dataset.get_train_data()
+        # rescale_x centers X per input dimension at the training mean before
+        # it enters the kernel (an extension beyond the reference). Stationary
+        # kernels are translation invariant, so results are unchanged in f64 —
+        # but for huge absolute axes (datetime64 converts to ~1e7 minutes since
+        # epoch, where f32 resolution is ~2 minutes) this is the difference
+        # between training and NaN under use_single_precision. Nonstationary
+        # centers (MOHSM) become relative to the training mean.
+        self._x_offset = None
+        if rescale_x:
+            allx = np.concatenate(
+                [np.asarray(Xj, dtype=np.float64) for Xj in X], axis=0)
+            self._x_offset = allx.mean(axis=0)
         x, y = self._to_kernel_format(X, Y)
 
         y_err = None
@@ -490,6 +503,8 @@ class Model:
         """Concatenate per-channel data and prepend channel IDs for
         multi-output kernels (reference: mogptk/model.py:585-606)."""
         x = np.concatenate([np.asarray(Xj, dtype=np.float64) for Xj in X], axis=0)
+        if getattr(self, "_x_offset", None) is not None:
+            x = x - self._x_offset
         if self.is_multioutput:
             chan = [j * np.ones(len(X[j])) for j in range(len(X))]
             chan = np.concatenate(chan).reshape(-1, 1)

@@ -14,7 +14,7 @@ class CONV(Model):
     """Convolution process model with Q components
     (reference: mogptk/models/conv.py:8-59)."""
 
-    def __init__(self, dataset, Q=1, inference=None, mean=None, name="CONV"):
+    def __init__(self, dataset, Q=1, inference=None, mean=None, name="CONV", **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -34,7 +34,7 @@ class CONV(Model):
             kernel[q].variance.assign(rng.random((output_dims, input_dims)))
             kernel[q].base_variance.assign(rng.random(input_dims))
 
-        super().__init__(dataset, kernel, inference, mean, name)
+        super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
 
     def init_parameters(self, method="SM", iters=500):

@@ -14,7 +14,7 @@ class CSM(Model):
     """Cross spectral mixture model with Q components and Rq latent functions
     (reference: mogptk/models/csm.py:8-64)."""
 
-    def __init__(self, dataset, Q=1, Rq=1, inference=None, mean=None, name="CSM"):
+    def __init__(self, dataset, Q=1, Rq=1, inference=None, mean=None, name="CSM", **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -34,7 +34,7 @@ class CSM(Model):
             kernel[q].mean.assign(rng.random(input_dims))
             kernel[q].variance.assign(rng.random(input_dims))
 
-        super().__init__(dataset, kernel, inference, mean, name)
+        super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         self.Rq = Rq
         nyquist = np.amin(self.dataset.get_nyquist_estimation(), axis=0)

@@ -14,7 +14,7 @@ class MOHSM(Model):
     """Nonstationary multi-output model with P components × Q subcomponents
     (reference: mogptk/models/mohsm.py:8-62)."""
 
-    def __init__(self, dataset, P=1, Q=1, inference=None, mean=None, name="MOHSM"):
+    def __init__(self, dataset, P=1, Q=1, inference=None, mean=None, name="MOHSM", **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -36,7 +36,7 @@ class MOHSM(Model):
                 kernel[p * Q + q].variance.assign(rng.random((output_dims, input_dims)))
                 kernel[p * Q + q].lengthscale.assign(rng.random(output_dims))
 
-        super().__init__(dataset, kernel, inference, mean, name)
+        super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         self.P = P
 

@@ -15,7 +15,7 @@ class MOSM(Model):
     """Multi-output spectral mixture model with Q components
     (reference: mogptk/models/mosm.py:10-60)."""
 
-    def __init__(self, dataset, Q=1, inference=None, mean=None, name="MOSM"):
+    def __init__(self, dataset, Q=1, inference=None, mean=None, name="MOSM", **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -33,7 +33,7 @@ class MOSM(Model):
         kernel.mean.assign(rng.random((output_dims, Q, input_dims)))
         kernel.variance.assign(rng.random((output_dims, Q, input_dims)))
 
-        super().__init__(dataset, kernel, inference, mean, name)
+        super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         nyquist = np.array(self.dataset.get_nyquist_estimation())[:, None, :].repeat(Q, axis=1)
         lower = np.asarray(self.gpr.kernel.mean.lower)

@@ -16,7 +16,7 @@ class SM(Model):
     """Independent spectral mixture model with Q components per channel
     (reference: mogptk/models/sm.py:9-60)."""
 
-    def __init__(self, dataset, Q=1, inference=None, mean=None, name="SM"):
+    def __init__(self, dataset, Q=1, inference=None, mean=None, name="SM", **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -33,7 +33,7 @@ class SM(Model):
             kernel[j].mean.assign(rng.random((Q, input_dims)))
             kernel[j].variance.assign(rng.random((Q, input_dims)))
 
-        super().__init__(dataset, kernel, inference, mean, name)
+        super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         # Nyquist upper bound on component means (reference: models/sm.py:58-60)
         nyquist = np.array(self.dataset.get_nyquist_estimation())[:, None, :].repeat(Q, axis=1)

@@ -15,7 +15,7 @@ class SM_LMC(Model):
     magnitudes are fixed to 1 and the coregionalization weight carries the
     scale (reference: mogptk/models/sm_lmc.py:8-67)."""
 
-    def __init__(self, dataset, Q=1, Rq=1, inference=None, mean=None, name="SM-LMC"):
+    def __init__(self, dataset, Q=1, Rq=1, inference=None, mean=None, name="SM-LMC", **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -37,7 +37,7 @@ class SM_LMC(Model):
             kernel[q].mean.assign(rng.random(input_dims))
             kernel[q].variance.assign(rng.random(input_dims))
 
-        super().__init__(dataset, kernel, inference, mean, name)
+        super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         self.Rq = Rq
         nyquist = np.amin(self.dataset.get_nyquist_estimation(), axis=0)

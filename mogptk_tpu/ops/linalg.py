@@ -14,16 +14,48 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 
-def jittered_cholesky(K, jitter=None):
+def jittered_cholesky(K, jitter=None, ladder=None):
     """Cholesky factor of K with optional relative jitter added to the diagonal.
 
     jitter is relative: `jitter * mean(diag(K))` is added, matching the
     reference (mogptk/gpr/model.py:242-244).
+
+    ladder > 0 (default: config.jitter_ladder) escalates beyond the reference:
+    each rung retries with 10× more jitter if the previous factorization is
+    unusable — NaN entries (XLA's Cholesky of a non-PSD matrix yields NaN rows
+    rather than raising), or a diagonal ratio min|Lii|/max|Lii| below
+    1000·eps(dtype). The conditioning check matters as much as the NaN check:
+    a *barely* successful factorization is finite forward but its backward
+    pass contains L⁻¹, so the gradient overflows first (observed: f32 Titsias
+    with 500 trained inducing points NaNs through the gradient, never through
+    the factor). The retry is a `lax.cond`, so under jit only the needed
+    factorizations execute — the happy path costs two diag reductions per
+    rung. This keeps f32 training alive when trained inducing points degrade
+    Kuu conditioning mid-optimization.
     """
-    if jitter is not None and jitter != 0.0:
-        n = K.shape[-1]
-        K = K + (jitter * jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)[..., None, None]) * jnp.eye(n, dtype=K.dtype)
-    return jnp.linalg.cholesky(K)
+    if ladder is None:
+        from ..gpr.config import config
+        ladder = config.jitter_ladder
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)[..., None, None]
+    base = jitter if jitter is not None else 0.0
+    L = jnp.linalg.cholesky(K + (base * mean_diag) * eye if base != 0.0 else K)
+    if int(ladder) > 0:
+        tol = 1000.0 * jnp.finfo(K.dtype).eps
+
+        def unusable(L_):
+            d = jnp.abs(jnp.diagonal(L_, axis1=-2, axis2=-1))
+            return jnp.any(jnp.isnan(L_)) | jnp.any(jnp.min(d, axis=-1) <= tol * jnp.max(d, axis=-1))
+
+        for i in range(int(ladder)):
+            rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
+            L = jax.lax.cond(
+                unusable(L),
+                lambda _, rung=rung: jnp.linalg.cholesky(K + (rung * mean_diag) * eye),
+                lambda L_prev, rung=rung: L_prev,
+                L)
+    return L
 
 
 def solve_triangular(L, B, lower=True, trans=False):

@@ -364,3 +364,48 @@ def test_aggregate_with_gaps_drops_empty_bins():
     data.aggregate(10.0)
     assert np.isfinite(data.Y).all()
     assert len(data.Y) == 6  # 9 bins minus 3 empty
+
+
+def test_rescale_x_centers_and_matches_predictions():
+    # huge absolute axis (like minutes-since-epoch): stationary kernels are
+    # translation invariant, so rescale_x must not change f64 predictions
+    offset = 2.6e7
+    x = offset + np.linspace(0.0, 20.0, 60)
+    y = np.sin(0.7 * (x - offset))
+    data = mogptk.Data(x, y)
+
+    m_raw = mogptk.Model(mogptk.DataSet(data), _sq_exp_kernel(), mogptk.Exact())
+    m_ctr = mogptk.Model(mogptk.DataSet(data), _sq_exp_kernel(), mogptk.Exact(),
+                         rescale_x=True)
+    assert m_ctr._x_offset is not None
+    assert np.allclose(m_ctr._x_offset, offset + 10.0)
+    # kernel-format x is centered (channel column untouched for single output)
+    assert np.abs(m_ctr.gpr.X).max() < 100.0
+
+    # ground truth: the same data centered at the source
+    data0 = mogptk.Data(x - (offset + 10.0), y)
+    m_true = mogptk.Model(mogptk.DataSet(data0), _sq_exp_kernel(), mogptk.Exact())
+
+    xq = offset + np.linspace(2.0, 18.0, 17)
+    _, mu_true, _, _ = m_true.predict([xq - (offset + 10.0)])
+    _, mu_ctr, _, _ = m_ctr.predict([xq])
+    _, mu_raw, _, _ = m_raw.predict([xq])
+    # centered model matches ground truth to machine precision; the raw model
+    # only roughly — at |x|~2.6e7 the GEMM squared-distance identity loses
+    # ~1e-1 absolute in tau^2 to cancellation even in f64. rescale_x is the fix.
+    assert np.allclose(mu_true, mu_ctr, atol=1e-10)
+    assert not np.allclose(mu_true, mu_raw, atol=1e-10)
+    assert np.allclose(mu_true, mu_raw, atol=0.1)
+
+
+def test_rescale_x_named_model_kwarg():
+    x = 1e7 + np.linspace(0.0, 10.0, 40)
+    y = np.sin(x - 1e7)
+    model = mogptk.SM(mogptk.DataSet(mogptk.Data(x, y)), Q=1, rescale_x=True)
+    assert model._x_offset is not None
+
+
+def _sq_exp_kernel():
+    k = mogptk.gpr.SquaredExponentialKernel()
+    k.lengthscale.assign(1.5)
+    return k

@@ -123,3 +123,37 @@ def test_exact_with_trace_probes_trains():
     loss0 = model.loss()
     losses, _ = gpr.train(model, method="Adam", lr=0.05, iters=60)
     assert losses[-1] < loss0
+
+
+def test_jitter_ladder_rescues_indefinite_matrix():
+    from mogptk_tpu.ops.linalg import jittered_cholesky
+    import mogptk_tpu.gpr as gpr
+
+    # nearly-singular Gram: rank-1 plus a tiny negative eigenvalue so the
+    # base jitter (1e-8 relative) is insufficient
+    n = 8
+    v = np.ones((n, 1))
+    K = jnp.asarray(v @ v.T - 1e-4 * np.eye(n))
+
+    L0 = jittered_cholesky(K, jitter=1e-8, ladder=0)
+    assert bool(jnp.any(jnp.isnan(L0)))  # reference behavior: NaN factor
+
+    L = jax.jit(lambda K: jittered_cholesky(K, jitter=1e-8, ladder=6))(K)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    # the escalated factor still reproduces K to the added-jitter tolerance
+    assert float(jnp.max(jnp.abs(L @ L.T - K))) < 2e-2
+
+    # PSD input: ladder must not change the factor at all
+    Kpsd = K + 1.0 * jnp.eye(n)
+    La = jittered_cholesky(Kpsd, jitter=1e-8, ladder=0)
+    Lb = jittered_cholesky(Kpsd, jitter=1e-8, ladder=6)
+    assert bool(jnp.allclose(La, Lb))
+
+    # config knob routes through gpr models
+    gpr.use_jitter_ladder(6)
+    try:
+        assert gpr.config.jitter_ladder == 6
+        Lc = jittered_cholesky(K, jitter=1e-8)
+        assert bool(jnp.all(jnp.isfinite(Lc)))
+    finally:
+        gpr.use_jitter_ladder(0)
