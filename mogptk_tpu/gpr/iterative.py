@@ -153,7 +153,7 @@ class ExactIterative(Model):
 
     def __init__(self, kernel, X, y, variance=1.0, data_variance=None,
                  jitter=1e-8, mean=None, max_cg_iters=100, cg_tol=1e-5,
-                 num_probes=16, lanczos_iters=32, seed=0, precond_rank=0):
+                 num_probes=16, lanczos_iters=32, seed=0, precond_rank=16):
         if not isinstance(kernel, (MultiOutputSpectralKernel, MultiOutputSpectralMixtureKernel)):
             raise ValueError(
                 "ExactIterative currently supports the MOSM kernel family "

@@ -161,7 +161,8 @@ class Iterative:
     O(N²) memory wall."""
 
     def __init__(self, variance=None, data_variance=None, jitter=1e-8,
-                 max_cg_iters=100, cg_tol=1e-5, num_probes=16, lanczos_iters=32):
+                 max_cg_iters=100, cg_tol=1e-5, num_probes=16, lanczos_iters=32,
+                 precond_rank=16):
         self.variance = variance
         self.data_variance = data_variance
         self.jitter = jitter
@@ -169,6 +170,7 @@ class Iterative:
         self.cg_tol = cg_tol
         self.num_probes = num_probes
         self.lanczos_iters = lanczos_iters
+        self.precond_rank = precond_rank
 
     def _build(self, kernel, x, y, y_err=None, mean=None):
         variance = self.variance
@@ -184,7 +186,8 @@ class Iterative:
                                   data_variance=data_variance, jitter=self.jitter,
                                   mean=mean, max_cg_iters=self.max_cg_iters,
                                   cg_tol=self.cg_tol, num_probes=self.num_probes,
-                                  lanczos_iters=self.lanczos_iters)
+                                  lanczos_iters=self.lanczos_iters,
+                                  precond_rank=self.precond_rank)
 
 
 class Hensman:
