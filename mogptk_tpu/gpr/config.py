@@ -76,7 +76,10 @@ config = Config()
 
 
 def use_half_precision():
-    """Use bfloat16 data type (TPU-native half precision) for computations."""
+    """Use bfloat16 (TPU-native half precision) for parameters and kernel/Gram
+    computation — half the HBM, 2× MXU throughput on quadform GEMMs. All
+    factorizations and LML solves upcast to float32 automatically
+    (ops/linalg._solve_dtype); a bf16 Cholesky would be meaningless."""
     jax.config.update("jax_enable_x64", False)
     config.dtype = jnp.bfloat16
     config.bump()

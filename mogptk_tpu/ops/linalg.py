@@ -36,26 +36,39 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     if ladder is None:
         from ..gpr.config import config
         ladder = config.jitter_ladder
+    K = K.astype(_solve_dtype(K.dtype))
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
     mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)[..., None, None]
     base = jitter if jitter is not None else 0.0
-    L = jnp.linalg.cholesky(K + (base * mean_diag) * eye if base != 0.0 else K)
-    if int(ladder) > 0:
-        tol = 1000.0 * jnp.finfo(K.dtype).eps
+    if int(ladder) <= 0:
+        return jnp.linalg.cholesky(K + (base * mean_diag) * eye if base != 0.0 else K)
 
-        def unusable(L_):
-            d = jnp.abs(jnp.diagonal(L_, axis1=-2, axis2=-1))
-            return jnp.any(jnp.isnan(L_)) | jnp.any(jnp.min(d, axis=-1) <= tol * jnp.max(d, axis=-1))
+    # All trial factorizations run under stop_gradient and only select the
+    # *jitter value*; the returned factor comes from ONE final differentiable
+    # cholesky with the chosen jitter. Differentiating a NaN trial directly
+    # (even behind lax.cond, where the untaken branch gets a zero cotangent)
+    # poisons the gradient: the cholesky VJP evaluates 0 × NaN = NaN.
+    tol = 1000.0 * jnp.finfo(K.dtype).eps
 
-        for i in range(int(ladder)):
-            rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
-            L = jax.lax.cond(
-                unusable(L),
-                lambda _, rung=rung: jnp.linalg.cholesky(K + (rung * mean_diag) * eye),
-                lambda L_prev, rung=rung: L_prev,
-                L)
-    return L
+    def unusable(L_):
+        d = jnp.abs(jnp.diagonal(L_, axis1=-2, axis2=-1))
+        return jnp.any(jnp.isnan(L_)) | jnp.any(jnp.min(d, axis=-1) <= tol * jnp.max(d, axis=-1))
+
+    Ks = jax.lax.stop_gradient(K)
+    md = jax.lax.stop_gradient(mean_diag)
+    jit_val = jnp.asarray(base, K.dtype)
+    L_trial = jnp.linalg.cholesky(Ks + (base * md) * eye if base != 0.0 else Ks)
+    for i in range(int(ladder)):
+        rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
+        bad = unusable(L_trial)
+        jit_val = jnp.where(bad, jnp.asarray(rung, K.dtype), jit_val)
+        L_trial = jax.lax.cond(
+            bad,
+            lambda _, rung=rung: jnp.linalg.cholesky(Ks + (rung * md) * eye),
+            lambda L_prev, rung=rung: L_prev,
+            L_trial)
+    return jnp.linalg.cholesky(K + (jit_val * md) * eye)
 
 
 def solve_triangular(L, B, lower=True, trans=False):
@@ -71,6 +84,16 @@ def cholesky_solve(L, B):
     return jsl.cho_solve((L, True), B)
 
 
+def _solve_dtype(dtype):
+    """Mixed precision: a bf16/f16 Gram may feed the factorization, but the
+    factorization itself is numerically meaningless below f32 — upcast there.
+    (`use_half_precision` keeps params and the Gram assembly in bf16 for MXU
+    throughput and HBM halving; the O(N³) solve runs f32.)"""
+    if dtype in (jnp.bfloat16, jnp.float16):
+        return jnp.float32
+    return dtype
+
+
 @jax.custom_vjp
 def lml_quadform_logdet(K, y):
     """−Σ log diag(chol(K)) − ½ yᵀK⁻¹y — the data-dependent part of the exact
@@ -80,17 +103,26 @@ def lml_quadform_logdet(K, y):
     of differentiating through the Cholesky factorization: the backward pass
     is one triangular solve plus one N×N GEMM on the MXU, roughly 3× cheaper
     and far less sequential than autodiff through the factorization panels.
+
+    A bf16/f16 K is upcast to f32 for the factorization (see _solve_dtype);
+    cotangents come back in the original dtype.
     """
-    L = jnp.linalg.cholesky(K)
-    alpha = jsl.cho_solve((L, True), y)
-    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
+    Kc = K.astype(_solve_dtype(K.dtype))
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = jnp.linalg.cholesky(Kc)
+    alpha = jsl.cho_solve((L, True), yc)
+    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
 
 def _lml_fwd(K, y):
-    L = jnp.linalg.cholesky(K)
-    alpha = jsl.cho_solve((L, True), y)
-    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
-    return val, (L, alpha)
+    Kc = K.astype(_solve_dtype(K.dtype))
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = jnp.linalg.cholesky(Kc)
+    alpha = jsl.cho_solve((L, True), yc)
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    # zero-length sentinels carry the primal dtypes through the residuals
+    # (custom_vjp residuals must be JAX types, not dtype objects)
+    return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
 
 
 def _lml_bwd(res, g):
@@ -100,7 +132,8 @@ def _lml_bwd(res, g):
     multiple N² loop buffers live (observed 35+GB at N=16k); the blocked scan
     keeps L + one (N,B) block + the stacked output — ~3.5GB at N=16k f32.
     """
-    L, alpha = res
+    L, alpha, k_sent, y_sent = res
+    K_dtype, y_dtype = k_sent.dtype, y_sent.dtype
     n = L.shape[0]
     B = min(n, 2048)
     nb = -(-n // B)
@@ -119,7 +152,7 @@ def _lml_bwd(res, g):
     _, blocks = jax.lax.scan(body, None, jnp.arange(nb))            # nb x n x B
     dK = jnp.transpose(blocks, (1, 0, 2)).reshape(n, nb * B)[:, :n]
     dy = -g * alpha
-    return dK, dy
+    return dK.astype(K_dtype), dy.astype(y_dtype)
 
 
 lml_quadform_logdet.defvjp(_lml_fwd, _lml_bwd)
@@ -134,21 +167,28 @@ def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
     The backward is two triangular solves on R columns instead of an N×N
     inverse — at N=16k this cuts the exact-GP backward from ~600ms to ~30ms.
     Gradients are unbiased with variance O(1/R) (BBMM, Gardner et al. 2018).
+
+    A bf16/f16 K is upcast to f32 for the factorization (see _solve_dtype).
     """
-    L = jnp.linalg.cholesky(K)
-    alpha = jsl.cho_solve((L, True), y)
-    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
+    Kc = K.astype(_solve_dtype(K.dtype))
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = jnp.linalg.cholesky(Kc)
+    alpha = jsl.cho_solve((L, True), yc)
+    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
 
 def _lml_stoch_fwd(K, y, num_probes, seed):
-    L = jnp.linalg.cholesky(K)
-    alpha = jsl.cho_solve((L, True), y)
-    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(y * alpha)
-    return val, (L, alpha)
+    Kc = K.astype(_solve_dtype(K.dtype))
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = jnp.linalg.cholesky(Kc)
+    alpha = jsl.cho_solve((L, True), yc)
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
 
 
 def _lml_stoch_bwd(num_probes, seed, res, g):
-    L, alpha = res
+    L, alpha, k_sent, y_sent = res
+    K_dtype, y_dtype = k_sent.dtype, y_sent.dtype
     n = L.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes), dtype=L.dtype)
     U = jsl.cho_solve((L, True), Z)
@@ -157,7 +197,7 @@ def _lml_stoch_bwd(num_probes, seed, res, g):
     B = jnp.concatenate([alpha, Z], axis=1)
     dK = A @ B.T
     dy = -g * alpha
-    return dK, dy
+    return dK.astype(K_dtype), dy.astype(y_dtype)
 
 
 lml_quadform_logdet_stochastic.defvjp(_lml_stoch_fwd, _lml_stoch_bwd)

@@ -157,3 +157,50 @@ def test_jitter_ladder_rescues_indefinite_matrix():
         assert bool(jnp.all(jnp.isfinite(Lc)))
     finally:
         gpr.use_jitter_ladder(0)
+
+
+def test_half_precision_solves_run_in_f32():
+    """use_half_precision keeps params/Gram in bf16 but the factorization
+    and LML solve upcast to f32 (ops/linalg._solve_dtype)."""
+    import mogptk_tpu.gpr as gpr
+
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(0, 10, 128)).reshape(-1, 1)
+    y = (np.sin(x[:, 0]) + 0.05 * rng.randn(128)).reshape(-1, 1)
+
+    def build_and_loss():
+        k = gpr.SquaredExponentialKernel()
+        k.lengthscale.assign(1.2)
+        m = gpr.Exact(k, x, y, variance=0.05)
+        loss = m.loss()
+        grads = jax.grad(m.make_loss_fn())(*m._split_raws())
+        return m, float(loss), grads
+
+    old = gpr.config._dtype
+    old_x64 = jax.config.jax_enable_x64
+    try:
+        gpr.config.dtype = jnp.float32
+        _, loss32, _ = build_and_loss()
+
+        gpr.use_half_precision()
+        m16, loss16, grads16 = build_and_loss()
+        assert m16.X.dtype == jnp.bfloat16
+        # value computed through the f32 upcast: close to the f32 loss at a
+        # tolerance set by the bf16 Gram entries (~3 decimal digits)
+        assert np.isfinite(loss16)
+        assert abs(loss16 - loss32) / (1.0 + abs(loss32)) < 0.05
+        leaves = jax.tree_util.tree_leaves(grads16)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        assert all(g.dtype == jnp.bfloat16 for g in leaves)
+
+        # without the upcast a bf16 Cholesky of this 128x128 Gram is garbage:
+        # jittered_cholesky must return an f32 factor for bf16 input
+        from mogptk_tpu.ops.linalg import jittered_cholesky
+        K16 = m16.K(m16.X).astype(jnp.bfloat16)
+        L = jittered_cholesky(K16 + 0.05 * jnp.eye(128, dtype=jnp.bfloat16), 1e-6)
+        assert L.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(L)))
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)  # use_half_precision flips it
+        gpr.config._dtype = old
+        gpr.config.bump()
