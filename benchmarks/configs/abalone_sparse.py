@@ -33,6 +33,7 @@ def main():
     data.transform(mogptk.TransformStandard())
     data.remove_randomly(pct=0.2)
 
+    mogptk.gpr.use_jitter_ladder(4)
     kernel = mogptk.gpr.SquaredExponentialKernel(input_dims=8)
     model = mogptk.Model(data, kernel,
                          inference=mogptk.Titsias(inducing_points=500,

@@ -161,6 +161,22 @@ def pallas_enabled():
     return False
 
 
+def set_matmul_precision(precision="highest"):
+    """Set XLA's matmul precision ("default" | "high" | "highest").
+
+    XLA:TPU computes nominal-f32 matmuls with bfloat16 multiply passes by
+    default — fine for neural nets, fatal for cancellation-sensitive GP
+    algebra: the GEMM-identity quadform and the blocked triangular solves
+    lose ~5 decimal digits, and f32 sparse training walks off a numerical
+    cliff that CPU-f32 never sees (abalone Titsias M=500 NaN'd on TPU while
+    the identical program survived 200 iterations on CPU). "highest" forces
+    full-f32 multi-pass MXU matmuls: measured 5x faster than falling back to
+    f64 on the same model. Affects TPU only; CPU/GPU f32 matmuls are always
+    true f32."""
+    jax.config.update("jax_default_matmul_precision", precision)
+    config.bump()
+
+
 def use_jitter_ladder(rungs=3):
     """Retry NaN'd Cholesky factorizations with up to `rungs` 10×-escalated
     jitters (0 disables). Extension beyond the reference: keeps f32 training
