@@ -7,9 +7,10 @@ synthesized inline instead of sklearn.make_classification).
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import jax
-# f64 like the reference: the joint variational objective over 1000
-# variational points is fragile in f32 (same optimizer-divergence mode as
-# the abalone sparse config — see ROADMAP #10).
+# f64 like the reference: the uncollapsed Hensman bound over 1000 variational
+# points (full q_sqrt tril) is genuinely fragile in f32 — it NaNs on CPU-f32
+# too, so unlike the abalone config this is NOT the TPU matmul-precision
+# issue and set_matmul_precision("highest") does not rescue it.
 jax.config.update("jax_enable_x64", True)
 import numpy as np
 import mogptk_tpu as mogptk
