@@ -1,6 +1,7 @@
 """Linalg op tests: the custom-VJP LML gradient must equal autodiff through
 the Cholesky factorization."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
@@ -204,3 +205,17 @@ def test_half_precision_solves_run_in_f32():
         jax.config.update("jax_enable_x64", old_x64)  # use_half_precision flips it
         gpr.config._dtype = old
         gpr.config.bump()
+
+
+def test_set_matmul_precision_roundtrip():
+    import mogptk_tpu.gpr as gpr
+    old = jax.config.jax_default_matmul_precision
+    try:
+        gpr.set_matmul_precision("highest")
+        assert jax.config.jax_default_matmul_precision == "highest"
+        gpr.set_matmul_precision("default")
+        assert jax.config.jax_default_matmul_precision == "default"
+        with pytest.raises(ValueError):
+            gpr.set_matmul_precision("not-a-precision")
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
