@@ -25,8 +25,9 @@ class Config:
         # Bumped whenever any Parameter's *structure* changes (transform,
         # trainability, pegging). Models use this to invalidate jit caches.
         self.structure_version = 0
-        # Pallas kernels for the hot Gram ops: None = auto (on TPU only),
-        # True/False to force. f32/bf16 only.
+        # Pallas kernels for the hot Gram ops: None = auto (enabled on TPU
+        # backends when the dtype is f32/bf16 — the kernels are f32/bf16-only),
+        # True/False to force either way.
         self.pallas = None
         # Cholesky retry rungs (10× jitter each) when a factorization NaNs.
         # 0 = off (reference behavior: fail with CholeskyException diagnostics).
@@ -147,18 +148,27 @@ def set_positive_minimum(val):
 
 
 def use_pallas(enable=True):
-    """Force the fused Pallas Gram kernels on or off (None = auto: TPU only)."""
+    """Force the fused Pallas Gram kernels on or off; use_pallas(None)
+    restores the auto policy (enabled on TPU for f32/bf16 dtypes)."""
     config.pallas = enable
     config.bump()
 
 
 def pallas_enabled():
-    # opt-in (mogptk_tpu.gpr.use_pallas(True)): the fused kernel matches the
-    # XLA path on forward speed (both HBM-bound) and exists primarily for
-    # deterministic backward memory; default path is the fused jnp chain
+    """Resolve the Pallas-Gram policy.
+
+    Explicit use_pallas(True/False) always wins. The auto default (None)
+    enables the fused kernels on TPU backends whenever the dtype is
+    f32/bf16: on TPU they bound backward memory (tile-local VJP, no N×N
+    autodiff residuals) and power the materialization-free iterative engine.
+    Off-TPU, or under f64 (the kernels are f32/bf16-only), auto is off and
+    the fused jnp chain is used instead.
+    """
     if config.pallas is not None:
         return bool(config.pallas)
-    return False
+    if config.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def set_matmul_precision(precision="highest"):

@@ -219,3 +219,40 @@ def test_set_matmul_precision_roundtrip():
             gpr.set_matmul_precision("not-a-precision")
     finally:
         jax.config.update("jax_default_matmul_precision", old)
+
+
+def test_pallas_auto_policy(monkeypatch):
+    """Auto (pallas=None) enables the fused kernels on TPU f32/bf16 only;
+    explicit use_pallas always wins."""
+    import importlib
+    import mogptk_tpu.gpr as gpr
+    cfg_mod = importlib.import_module("mogptk_tpu.gpr.config")
+
+    old_flag, old_dtype = gpr.config.pallas, gpr.config._dtype
+    try:
+        gpr.config.pallas = None
+
+        # off-TPU (this suite runs on CPU): auto is off regardless of dtype
+        gpr.config._dtype = jnp.float32
+        assert gpr.pallas_enabled() is False
+
+        # pretend we are on TPU: f32/bf16 auto-enable, f64 does not
+        monkeypatch.setattr(cfg_mod.jax, "default_backend", lambda: "tpu")
+        assert gpr.pallas_enabled() is True
+        gpr.config._dtype = jnp.bfloat16
+        assert gpr.pallas_enabled() is True
+        gpr.config._dtype = jnp.float64
+        assert gpr.pallas_enabled() is False
+
+        # explicit force wins over auto in both directions
+        gpr.config._dtype = jnp.float32
+        gpr.use_pallas(False)
+        assert gpr.pallas_enabled() is False
+        gpr.use_pallas(True)
+        assert gpr.pallas_enabled() is True
+        gpr.use_pallas(None)
+        assert gpr.pallas_enabled() is True
+    finally:
+        gpr.config.pallas = old_flag
+        gpr.config._dtype = old_dtype
+        gpr.config.bump()
