@@ -31,17 +31,21 @@ from ..ops.pallas_mosm import mosm_gram_matvec, mosm_gram_lowrank_vjp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _lml_iter(static, x, c, noise_diag, y, w, mu, var, theta, phi):
-    """−½ yᵀK⁻¹y − ½ logdet(K) for K = MOSM(x,c;θ) + diag(noise)."""
-    val, _ = _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi)
+def _lml_iter(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
+    """−½ yᵀK⁻¹y − ½ logdet(K) for K = MOSM(x,c;θ) + diag(noise).
+
+    mask is an optional (N,) 0/1 row mask: masked-out rows act as independent
+    unit-variance zeros (block-diagonal identity extension), so padded data
+    under mesh sharding contributes exactly 0 to both terms."""
+    val, _ = _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi)
     return val
 
 
-def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi):
+def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask=None):
     twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
 
     if use_pallas:
-        def matvec(V):
+        def base(V):
             return (mosm_gram_matvec(x, c, x, c, w, mu, var, theta, phi,
                                      twopi, phase_inside, V)
                     + noise_diag[:, None] * V)
@@ -49,8 +53,15 @@ def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi):
         from .multioutput import _mosm_K
         K = _mosm_K(c, x, c, None, (w, mu, var, theta, phi), twopi, phase_inside)
 
-        def matvec(V):
+        def base(V):
             return K @ V + noise_diag[:, None] * V
+    if mask is None:
+        return base
+    m = mask.reshape(-1, 1)
+
+    def matvec(V):
+        # apply M(K+σ²)M + (I−M): padded coordinates pass through untouched
+        return m * base(m * V) + (1.0 - m) * V
     return matvec
 
 
@@ -88,11 +99,18 @@ def _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi):
     return M_inv
 
 
-def _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi):
+def _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
     twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
     n = x.shape[0]
-    matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi)
+    matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask)
     M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
+    if mask is not None:
+        y = y * mask.reshape(-1, 1)
+        if M_inv is not None:
+            m = mask.reshape(-1, 1)
+            M0 = M_inv
+            # keep the preconditioner consistent with the masked operator
+            M_inv = lambda V: m * M0(m * V) + (1.0 - m) * V
 
     # one batched CG for y AND the gradient probes: (N, R+1) right-hand
     # sides fill the vector lanes, and the backward needs no solves at all
@@ -104,16 +122,21 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, w, mu, var, theta, phi):
     logdet = slq_logdet(matvec, n, num_probes=probes, lanczos_iters=lanczos_iters,
                         key=jax.random.PRNGKey(seed), dtype=y.dtype)
     val = -0.5 * jnp.sum(y * alpha) - 0.5 * logdet
-    return val, (x, c, noise_diag, y, w, mu, var, theta, phi, alpha, U, Z)
+    return val, (x, c, noise_diag, y, mask, w, mu, var, theta, phi, alpha, U, Z)
 
 
 def _lml_iter_bwd(static, res, g):
     twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
-    x, c, noise_diag, y, w, mu, var, theta, phi, alpha, U, Z = res
+    x, c, noise_diag, y, mask, w, mu, var, theta, phi, alpha, U, Z = res
 
     # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with (solves already done in fwd)
     A = (0.5 * g) * jnp.concatenate([alpha, -U / probes], axis=1)  # N x (R+1)
     B = jnp.concatenate([alpha, Z], axis=1)                        # N x (R+1)
+    if mask is not None:
+        # the kernel only sees the masked block: dK_masked = M dK M
+        m = mask.reshape(-1, 1)
+        A = A * m
+        B = B * m
 
     if use_pallas:
         dw, dmu, dvar, dth, dph = mosm_gram_lowrank_vjp(
@@ -129,7 +152,8 @@ def _lml_iter_bwd(static, res, g):
     dnoise = jnp.sum(A * B, axis=1)      # diag(A Bᵀ)
     dy = -g * alpha
     zeros = lambda a: jnp.zeros_like(a)
-    return (zeros(x), zeros(c), dnoise, dy, dw, dmu, dvar, dth, dph)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (zeros(x), zeros(c), dnoise, dy, dmask, dw, dmu, dvar, dth, dph)
 
 
 _lml_iter.defvjp(_lml_iter_fwd, _lml_iter_bwd)
@@ -216,14 +240,21 @@ class ExactIterative(Model):
         res = np.asarray(res)
         return float(res[0]), float(res[1:].max())
 
+    supports_row_mask = True
+
     def log_marginal_likelihood(self):
         c = self.X[:, 0].astype(jnp.int32)
         x = self.X[:, 1:]
         y = self._residual_y()
         w, mu, var, theta, phi = self._kernel_params()
-        val = _lml_iter(self._static(), x, c, self._noise_diag(), y,
+        mask = getattr(self, "_row_mask", None)
+        val = _lml_iter(self._static(), x, c, self._noise_diag(), y, mask,
                         w, mu, var, theta, phi)
-        return val - self.log_marginal_likelihood_constant
+        if mask is None:
+            const = self.log_marginal_likelihood_constant
+        else:
+            const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
+        return val - const
 
     def predict_f(self, X, full=False):
         """Posterior via CG solves; variance through batched CG on the

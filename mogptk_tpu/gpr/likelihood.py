@@ -35,6 +35,15 @@ def square(x):
     return jnp.square(x)
 
 
+def _weighted_sum(p, weights):
+    """Sum per-point terms p (N,1), optionally scaled by per-point weights
+    (N,). Weight 0 nulls a row — used to mask mesh-sharding padding out of
+    ELBO sums."""
+    if weights is None:
+        return jnp.sum(p)
+    return jnp.sum(p * weights.reshape(-1, 1))
+
+
 def exp(x):
     """y = eˣ"""
     return jnp.exp(x)
@@ -91,11 +100,13 @@ class Likelihood(Module):
         """log p(y|f); y is (N,1), f is (N,deg) → (N,deg)."""
         raise NotImplementedError()
 
-    def variational_expectation(self, X, y, mu, var):
+    def variational_expectation(self, X, y, mu, var, weights=None):
         """∫ log p(y|f) q(f) df with q = N(mu, var), via GH quadrature
-        (reference: gpr/likelihood.py:141-159)."""
+        (reference: gpr/likelihood.py:141-159). `weights` is an optional
+        per-point (N,) weight/mask vector — padded rows under mesh sharding
+        carry weight 0 so they drop out of the ELBO sum."""
         q = self.quadrature(mu, var, lambda f: self.log_prob(X, y, f))
-        return jnp.sum(q)
+        return _weighted_sum(q, weights)
 
     def conditional_mean(self, X, f):
         raise NotImplementedError()
@@ -179,14 +190,14 @@ class MultiOutputLikelihood(Likelihood):
             out = out + jnp.where(m, self.likelihoods[i].log_prob(X, y_safe, f), 0.0)
         return out
 
-    def variational_expectation(self, X, y, mu, var):
+    def variational_expectation(self, X, y, mu, var, weights=None):
         masks = self._channel_masks(X)
         total = jnp.zeros((), dtype=config.dtype)
         for i in range(self.output_dims):
             m = masks[i][:, None]
             y_safe = jnp.where(m, y, self._SAFE_Y)
             q = self.likelihoods[i].quadrature(mu, var, lambda f: self.likelihoods[i].log_prob(X, y_safe, f))
-            total = total + jnp.sum(jnp.where(m, q, 0.0))
+            total = total + _weighted_sum(jnp.where(m, q, 0.0), weights)
         return total
 
     def conditional_mean(self, X, f):
@@ -265,12 +276,12 @@ class GaussianLikelihood(Likelihood):
         s = self._scale_per_point(X)
         return -0.5 * (np.log(2.0 * _pi) + 2.0 * jnp.log(s) + ((y - f) / s) ** 2)
 
-    def variational_expectation(self, X, y, mu, var):
+    def variational_expectation(self, X, y, mu, var, weights=None):
         # closed form (reference: gpr/likelihood.py:338-343)
         s2 = self._scale_per_point(X) ** 2
         p = -((y - mu) ** 2 + var) / s2
         p = p - np.log(2.0 * _pi) - jnp.log(s2)
-        return 0.5 * jnp.sum(p)
+        return 0.5 * _weighted_sum(p, weights)
 
     def conditional_mean(self, X, f):
         return f
@@ -338,11 +349,11 @@ class ExponentialLikelihood(Likelihood):
             return -y / self.link(f) - f
         return -y / self.link(f) - jnp.log(self.link(f))
 
-    def variational_expectation(self, X, y, mu, var):
+    def variational_expectation(self, X, y, mu, var, weights=None):
         if self.link is not exp:
-            return super().variational_expectation(X, y, mu, var)
+            return super().variational_expectation(X, y, mu, var, weights)
         p = -mu - y * jnp.exp(var / 2.0 - mu)
-        return jnp.sum(p)
+        return _weighted_sum(p, weights)
 
     def conditional_mean(self, X, f):
         return self.link(f)
@@ -464,14 +475,14 @@ class GammaLikelihood(Likelihood):
             p -= self.shape() * jnp.log(self.link(f))
         return p
 
-    def variational_expectation(self, X, y, mu, var):
+    def variational_expectation(self, X, y, mu, var, weights=None):
         if self.link is not exp:
-            return super().variational_expectation(X, y, mu, var)
+            return super().variational_expectation(X, y, mu, var, weights)
         p = -self.shape() * mu
         p -= gammaln(self.shape())
         p += (self.shape() - 1.0) * jnp.log(y)
         p -= y * jnp.exp(var / 2.0 - mu)
-        return jnp.sum(p)
+        return _weighted_sum(p, weights)
 
     def conditional_mean(self, X, f):
         return self.shape() * self.link(f)
@@ -507,11 +518,11 @@ class PoissonLikelihood(Likelihood):
         p -= self.link(f)
         return p
 
-    def variational_expectation(self, X, y, mu, var):
+    def variational_expectation(self, X, y, mu, var, weights=None):
         if self.link is not exp:
-            return super().variational_expectation(X, y, mu, var)
+            return super().variational_expectation(X, y, mu, var, weights)
         p = y * mu - jnp.exp(var / 2.0 + mu) - gammaln(y + 1.0)
-        return jnp.sum(p)
+        return _weighted_sum(p, weights)
 
     def conditional_mean(self, X, f):
         return self.link(f)

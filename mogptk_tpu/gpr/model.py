@@ -112,6 +112,11 @@ class Model(Module):
         X, y: training data as device arrays.
     """
 
+    # models that can null padded data rows out of their objective (set by
+    # subclasses); mesh sharding pads N up to a device-count multiple and
+    # relies on this to keep the loss exact
+    supports_row_mask = False
+
     def __init__(self, kernel, X, y, likelihood=None, jitter=1e-8, mean=None):
         super().__init__()
         if likelihood is None:
@@ -145,6 +150,9 @@ class Model(Module):
         self.jitter = jitter
         self.input_dims = X.shape[1]
         object.__setattr__(self, "_jit_cache", {})
+        # per-point 0/1 weights; padded rows carry 0 (set transiently by the
+        # sharded training step, mogptk_tpu/parallel/sharding.py)
+        object.__setattr__(self, "_row_mask", None)
 
     # pickle support: drop the jit cache, move arrays to host
     def __getstate__(self):
@@ -437,17 +445,32 @@ class Exact(Model):
         idx = jnp.arange(n)
         return Kff.at[idx, idx].add(diag)
 
+    supports_row_mask = True
+
     def log_marginal_likelihood(self):
         """LML via Cholesky (reference: gpr/model.py:438-453), with the
         closed-form ∂LML/∂K custom VJP (ops/linalg.py) replacing autodiff
         through the factorization."""
         Kff = self._Kff(add_jitter=True)
         y = self._residual_y()
+        mask = getattr(self, "_row_mask", None)
+        if mask is None:
+            const = self.log_marginal_likelihood_constant
+        else:
+            # padded rows become independent unit-variance zeros — a
+            # block-diagonal extension that adds exactly 0 to both the
+            # quadratic form and the log-determinant
+            m = mask.reshape(-1)
+            Kff = Kff * (m[:, None] * m[None, :])
+            idx = jnp.arange(Kff.shape[0])
+            Kff = Kff.at[idx, idx].add(1.0 - m)
+            y = y * m[:, None]
+            const = 0.5 * jnp.sum(m) * np.log(2.0 * np.pi)
         if self.trace_probes:
             val = lml_quadform_logdet_stochastic(Kff, y, int(self.trace_probes), self.seed)
         else:
             val = lml_quadform_logdet(Kff, y)
-        return val - self.log_marginal_likelihood_constant
+        return val - const
 
     def predict_f(self, X, full=False):
         """Posterior mean/variance at X (reference: gpr/model.py:455-483)."""
@@ -683,6 +706,8 @@ class SparseHensman(Model):
     q(u) ~ N(L·μ_q, L·Σ_q·Lᵀ) with LLᵀ = Kuu, so p(u) is whitened to N(0,I).
     """
 
+    supports_row_mask = True  # sparse case only; elbo() raises otherwise
+
     def __init__(self, kernel, X, y, Z=None, Z_init="grid", likelihood=None, jitter=1e-8, mean=None):
         if likelihood is None:
             likelihood = GaussianLikelihood(1.0)
@@ -724,6 +749,10 @@ class SparseHensman(Model):
     def elbo(self):
         """SVGP ELBO (reference: gpr/model.py:816-837)."""
         y = self._residual_y()
+        mask = getattr(self, "_row_mask", None)
+        if mask is not None and not self.is_sparse:
+            raise ValueError("row masking requires inducing points (q(u) is "
+                             "tied to the data points in the non-sparse case)")
         if self.is_sparse:
             qf_mu, qf_var_diag = self._predict_f(self.X, full=False)
         else:
@@ -735,7 +764,8 @@ class SparseHensman(Model):
             qf_sqrt = Lff @ jnp.tril(self.q_sqrt())
             qf_var_diag = jnp.sum(qf_sqrt * qf_sqrt, axis=1).reshape(-1, 1)
 
-        var_exp = self.likelihood.variational_expectation(self.X, y, qf_mu, qf_var_diag)
+        var_exp = self.likelihood.variational_expectation(self.X, y, qf_mu, qf_var_diag,
+                                                          weights=mask)
         kl = self.kl_gaussian(self.q_mu(), self.q_sqrt())
         return var_exp - kl
 

@@ -46,10 +46,14 @@ def _pad_to_multiple(arr, mult, axis=0, pad_value=0.0):
 
 def shard_data(X, y, mesh, axis="data"):
     """Place (X, y) row-sharded over the mesh, padding N to a multiple of the
-    device count. Returns (X_sh, y_sh, n_real)."""
+    device count. Returns (X_sh, y_sh, n_real).
+
+    Padded y rows carry 0.5 — a value in every likelihood's support (so no
+    log(0) infinities leak through the masked terms); the training step masks
+    them out of the objective entirely."""
     n_dev = mesh.shape[axis]
     X, n_real = _pad_to_multiple(jnp.asarray(X, dtype=config.dtype), n_dev)
-    y, _ = _pad_to_multiple(jnp.asarray(y, dtype=config.dtype), n_dev)
+    y, _ = _pad_to_multiple(jnp.asarray(y, dtype=config.dtype), n_dev, pad_value=0.5)
     sh = NamedSharding(mesh, P(axis, None))
     return jax.device_put(X, sh), jax.device_put(y, sh), n_real
 
@@ -66,8 +70,17 @@ def data_parallel_step(model, mesh, optimizer, axis="data"):
         step(params, opt_state, X_sh, y_sh) -> (params, opt_state, loss)
     """
     X_sh, y_sh, n_real = shard_data(model.X, model.y, mesh, axis)
+    mask = None
     if n_real != X_sh.shape[0]:
-        raise ValueError("data size must divide the device count for now")
+        if not getattr(model, "supports_row_mask", False):
+            raise ValueError(
+                "N=%d does not divide the %d-device mesh and %s cannot mask "
+                "padded rows out of its objective" %
+                (n_real, mesh.shape[axis], type(model).__name__))
+        mask = jnp.concatenate([
+            jnp.ones((n_real,), dtype=config.dtype),
+            jnp.zeros((X_sh.shape[0] - n_real,), dtype=config.dtype)])
+        mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
 
     params0, fixed = model._split_raws()
     replicated = NamedSharding(mesh, P())
@@ -78,13 +91,16 @@ def data_parallel_step(model, mesh, optimizer, axis="data"):
         raws = model._merge_raws(params, fixed_sh)
         with model.bind(raws):
             old_X, old_y = model.X, model.y
+            old_mask = model._row_mask
             try:
                 object.__setattr__(model, "X", X)
                 object.__setattr__(model, "y", y)
+                object.__setattr__(model, "_row_mask", mask)
                 return model.forward()
             finally:
                 object.__setattr__(model, "X", old_X)
                 object.__setattr__(model, "y", old_y)
+                object.__setattr__(model, "_row_mask", old_mask)
 
     opt_state0 = optimizer.init(params0)
 
