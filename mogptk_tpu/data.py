@@ -777,9 +777,9 @@ class Data:
                 y0 = ax.get_ylim()[0]
                 y1 = ax.get_ylim()[1]
                 ax.add_patch(patches.Rectangle(
-                    (x0, y0), x1 - x0, y1 - y0, fill=True, color="xkcd:strawberry", alpha=0.4, lw=0))
+                    (x0, y0), x1 - x0, y1 - y0, fill=True, color="crimson", alpha=0.3, lw=0))
             legends.insert(0, patches.Rectangle(
-                (1, 1), 1, 1, fill=True, color="xkcd:strawberry", alpha=0.4, lw=0, label="Removed Ranges"))
+                (1, 1), 1, 1, fill=True, color="crimson", alpha=0.3, lw=0, label="Removed Ranges"))
 
         xmin = np.float64(xmin).astype(self.X_dtypes[0])
         xmax = np.float64(xmax).astype(self.X_dtypes[0])

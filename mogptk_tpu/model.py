@@ -713,9 +713,9 @@ class Model:
                     y0 = ax[j, 0].get_ylim()[0]
                     y1 = ax[j, 0].get_ylim()[1]
                     ax[j, 0].add_patch(patches.Rectangle(
-                        (x0, y0), x1 - x0, y1 - y0, fill=True, color="xkcd:strawberry", alpha=0.4, lw=0))
+                        (x0, y0), x1 - x0, y1 - y0, fill=True, color="crimson", alpha=0.3, lw=0))
                 legends.insert(0, patches.Rectangle(
-                    (1, 1), 1, 1, fill=True, color="xkcd:strawberry", alpha=0.4, lw=0, label="Removed Ranges"))
+                    (1, 1), 1, 1, fill=True, color="crimson", alpha=0.3, lw=0, label="Removed Ranges"))
 
             xmin = np.float64(xmin).astype(data.X_dtypes[0])
             xmax = np.float64(xmax).astype(data.X_dtypes[0])

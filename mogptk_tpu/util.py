@@ -56,7 +56,7 @@ def error(*models, X=None, Y=None, per_channel=False, transformed=False, disp=Fa
             if (len(X) != len(X2)
                     or not all(np.array_equal(X[j], X2[j]) for j in range(len(X)))
                     or not all(np.array_equal(Y[j], Y2[j]) for j in range(len(X)))):
-                raise ValueError("all models must have the same data set for testing, otherwise explicitly provide X and Y")
+                raise ValueError("models use different data sets; pass X and Y explicitly to compare them")
         if sum(x.size for x in X) == 0:
             raise ValueError("models have no test data")
     elif (X is None) != (Y is None):
