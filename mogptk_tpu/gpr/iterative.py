@@ -42,9 +42,18 @@ def _lml_iter(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
 
 
 def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask=None):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static[:9]
+    ring = static[9] if len(static) > 9 else None
 
-    if use_pallas:
+    if ring is not None:
+        from ..parallel.ring import mosm_ring_matvec
+        mesh, axis = ring
+
+        def base(V):
+            return mosm_ring_matvec(mesh, axis, x, c, noise_diag,
+                                    (w, mu, var, theta, phi), twopi,
+                                    phase_inside, use_pallas, V)
+    elif use_pallas:
         def base(V):
             return (mosm_gram_matvec(x, c, x, c, w, mu, var, theta, phi,
                                      twopi, phase_inside, V)
@@ -100,7 +109,7 @@ def _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi):
 
 
 def _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static[:9]
     n = x.shape[0]
     matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask)
     M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
@@ -126,7 +135,8 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
 
 
 def _lml_iter_bwd(static, res, g):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static
+    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static[:9]
+    ring = static[9] if len(static) > 9 else None
     x, c, noise_diag, y, mask, w, mu, var, theta, phi, alpha, U, Z = res
 
     # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with (solves already done in fwd)
@@ -138,7 +148,13 @@ def _lml_iter_bwd(static, res, g):
         A = A * m
         B = B * m
 
-    if use_pallas:
+    if ring is not None:
+        from ..parallel.ring import mosm_ring_lowrank_vjp
+        mesh, axis_name = ring
+        dw, dmu, dvar, dth, dph = mosm_ring_lowrank_vjp(
+            mesh, axis_name, x, c, (w, mu, var, theta, phi), twopi,
+            phase_inside, use_pallas, A, B)
+    elif use_pallas:
         dw, dmu, dvar, dth, dph = mosm_gram_lowrank_vjp(
             x, c, x, c, w, mu, var, theta, phi, twopi, phase_inside, A, B)
     else:
@@ -201,6 +217,16 @@ class ExactIterative(Model):
         self.seed = seed
         self.precond_rank = precond_rank
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
+        object.__setattr__(self, "_ring", None)
+
+    def use_ring(self, mesh, axis="data"):
+        """Distribute every Gram application over the mesh as a shard_map
+        ppermute ring: each device owns N/devices rows, per-device memory is
+        O(N/devices), and N scales linearly with the device count. Call with
+        mesh=None to go back to single-device. Training data should be
+        row-sharded over the same axis (parallel.sharding.shard_data)."""
+        object.__setattr__(self, "_ring", None if mesh is None else (mesh, axis))
+        self._jit_cache.clear()
 
     def _noise_diag(self):
         noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
@@ -216,7 +242,7 @@ class ExactIterative(Model):
         k = self.kernel
         return (k.twopi, True, self.max_cg_iters, self.cg_tol,
                 self.num_probes, self.lanczos_iters, self.seed, pallas_enabled(),
-                self.precond_rank)
+                self.precond_rank, getattr(self, "_ring", None))
 
     def _kernel_params(self):
         return self.kernel._params()

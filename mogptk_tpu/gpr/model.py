@@ -13,6 +13,7 @@ Snelson 485-576, OpperArchambeau 578-666, Titsias 668-765, SparseHensman
   detects NaN host-side and raises CholeskyException with the same diagnostics
   (parameter dump + Gram heatmap, reference gpr/model.py:242-255).
 """
+import functools
 import sys
 import numpy as np
 import jax
@@ -23,7 +24,7 @@ from .parameter import Parameter
 from .kernel import Kernel, MultiOutputKernel
 from .mean import Mean
 from .likelihood import Likelihood, MultiOutputLikelihood, GaussianLikelihood
-from .config import config
+from .config import config, sensitive_matmul_scope
 from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
                           lml_quadform_logdet, lml_quadform_logdet_stochastic)
 
@@ -89,6 +90,19 @@ def init_inducing_points(Z, X, method="grid", output_dims=None):
     elif isinstance(Z, int):
         Z = _init(Z, X)
     return jnp.asarray(Z, dtype=config.dtype)
+
+
+def _sensitive(fn):
+    """Trace fn's matmuls at the scoped sensitive-product precision
+    (config.sensitive_matmul_precision). The variational objectives subtract
+    Qff-style terms from Kff — on TPU, default bf16-pass f32 matmuls lose the
+    digits that cancellation needs (the f32 sparse-GP NaNs of ROADMAP #10);
+    the M×M algebra here is tiny so full precision costs nothing measurable."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with sensitive_matmul_scope():
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 class CholeskyException(Exception):
@@ -158,6 +172,9 @@ class Model(Module):
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_jit_cache"] = {}
+        # mesh-bound handles are process-local and not picklable
+        for key in ("_gram_sharding", "_ring", "_row_mask"):
+            state.pop(key, None)
         for key in ("X", "y", "data_variance"):
             if key in state and state[key] is not None:
                 state[key] = np.asarray(state[key])
@@ -350,6 +367,7 @@ class Model(Module):
         """Kernel matrix as NumPy (reference: gpr/model.py:294-306)."""
         return np.asarray(self.kernel(X1, X2))
 
+    @_sensitive
     def predict_f(self, X, full=False):
         raise NotImplementedError()
 
@@ -432,6 +450,11 @@ class Exact(Model):
         # elementwise chain instead of keeping O(Q·D) N×N residents in HBM
         # (trades ~1 extra Gram evaluation for several GB at N=16k)
         Kff = jax.checkpoint(lambda X: self.kernel.K(X))(self.X)
+        gram_sharding = getattr(self, "_gram_sharding", None)
+        if gram_sharding is not None:
+            # row-block the assembly (and, by propagation, its VJP) over the
+            # mesh; set by parallel.sharding.exact_sharded_step
+            Kff = jax.lax.with_sharding_constraint(Kff, gram_sharding)
         noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
         diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1), (self.X.shape[0],))
         if self.data_variance is not None:
@@ -472,6 +495,7 @@ class Exact(Model):
             val = lml_quadform_logdet(Kff, y)
         return val - const
 
+    @_sensitive
     def predict_f(self, X, full=False):
         """Posterior mean/variance at X (reference: gpr/model.py:455-483)."""
         X = self._check_input(X)
@@ -520,6 +544,7 @@ class Snelson(Model):
         if kernel.output_dims is not None:
             self.Z.num_parameters -= self.Z().shape[0]
 
+    @_sensitive
     def _common(self):
         y = self._residual_y()
         Kff_diag = self.kernel.K_diag(self.X)
@@ -546,6 +571,7 @@ class Snelson(Model):
         p = p + 0.5 * jnp.sum(c * c)
         return p
 
+    @_sensitive
     def predict_f(self, X, full=False):
         """FITC posterior (reference: gpr/model.py:542-576). The reference's
         full-covariance branch references undefined variables (gpr/model.py:571,
@@ -580,6 +606,7 @@ class OpperArchambeau(Model):
         self.q_nu = Parameter(jnp.zeros((n, 1)))
         self.q_lambda = Parameter(jnp.ones((n, 1)), lower=config.positive_minimum)
 
+    @_sensitive
     def elbo(self):
         """ELBO (reference: gpr/model.py:602-639)."""
         y = self._residual_y()
@@ -609,6 +636,7 @@ class OpperArchambeau(Model):
     def log_marginal_likelihood(self):
         return self.elbo()
 
+    @_sensitive
     def predict_f(self, X, full=False):
         """Posterior (reference: gpr/model.py:645-666)."""
         X = self._check_input(X)
@@ -642,6 +670,7 @@ class Titsias(Model):
         if kernel.output_dims is not None:
             self.Z.num_parameters -= self.Z().shape[0]
 
+    @_sensitive
     def elbo(self):
         """Collapsed ELBO (reference: gpr/model.py:700-724)."""
         y = self._residual_y()
@@ -668,6 +697,7 @@ class Titsias(Model):
     def log_marginal_likelihood(self):
         return self.elbo()
 
+    @_sensitive
     def predict_f(self, X, full=False):
         """Posterior via the matrix-inversion-lemma-stable form
         (reference: gpr/model.py:730-765)."""
@@ -746,6 +776,7 @@ class SparseHensman(Model):
         kl -= q_mu.shape[0]
         return 0.5 * kl
 
+    @_sensitive
     def elbo(self):
         """SVGP ELBO (reference: gpr/model.py:816-837)."""
         y = self._residual_y()
@@ -772,6 +803,7 @@ class SparseHensman(Model):
     def log_marginal_likelihood(self):
         return self.elbo()
 
+    @_sensitive
     def _predict_f(self, X, full=False):
         """Whitened posterior (reference: gpr/model.py:843-859)."""
         Kuu = self.kernel.K(self.Z())
@@ -788,6 +820,7 @@ class SparseHensman(Model):
             var = (Kss_diag - jnp.sum(a * a, axis=0) + jnp.sum(b * b, axis=0)).reshape(-1, 1)
         return mu, var
 
+    @_sensitive
     def predict_f(self, X, full=False):
         X = self._check_input(X)
         mu, var = self._predict_f(X, full=full)

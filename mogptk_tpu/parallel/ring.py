@@ -1,0 +1,125 @@
+"""Ring-scheduled distributed Gram products over a device mesh.
+
+The iterative exact-GP engine (gpr/iterative.py) reduces all O(N²) work to
+two primitives: K @ V and the low-rank parameter cotangent for dK = A Bᵀ.
+Here both are distributed over a 1-D mesh with a shard_map ppermute ring:
+
+- every device owns N/P rows of (x, c, V);
+- at ring step s, device i holds column block (i−s) mod P and computes the
+  (N/P, N/P) block product K(rows_i, block) @ V_block, accumulating into its
+  local output rows;
+- the column block (x, c, V) then rotates to the next device over ICI.
+
+Per-device memory is O(N/P) — the Gram is never materialized anywhere (the
+block product itself runs through the fused Pallas matvec on TPU, or a
+dense (N/P, N/P) block off-TPU) — so N scales linearly with devices. This is
+the multi-chip design SURVEY.md §7 calls for; the reference is single-device
+only (SURVEY.md §2).
+"""
+import functools
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops.pallas_mosm import mosm_gram_matvec, mosm_gram_lowrank_vjp
+
+
+def _ring_perm(n_dev):
+    # cyclic shift: device i sends to i+1, so after P steps every device has
+    # seen every column block exactly once
+    return [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+
+def mosm_ring_matvec(mesh, axis, x, c, noise_diag, params, twopi,
+                     phase_inside, use_pallas, V):
+    """Distributed (K + diag(noise)) @ V with rows of K sharded over `axis`.
+
+    x (N,D), c (N,) int, noise_diag (N,), V (N,R) — all row-sharded (or
+    shardable) over the mesh; N must be a multiple of the device count
+    (callers pad via parallel.sharding.shard_data). Returns K@V row-sharded.
+    """
+    n_dev = mesh.shape[axis]
+    w, mu, var, theta, phi = params
+    perm = _ring_perm(n_dev)
+
+    def block_product(x1, c1, x2, c2, Vb):
+        if use_pallas:
+            return mosm_gram_matvec(x1, c1, x2, c2, w, mu, var, theta, phi,
+                                    twopi, phase_inside, Vb)
+        from ..gpr.multioutput import _mosm_K
+        K = _mosm_K(c1, x1, c2, x2, (w, mu, var, theta, phi), twopi, phase_inside)
+        return K @ Vb
+
+    def local(x_loc, c_loc, noise_loc, V_loc):
+        def step(_, carry):
+            acc, xb, cb, Vb = carry
+            acc = acc + block_product(x_loc, c_loc, xb, cb, Vb)
+            xb = jax.lax.ppermute(xb, axis, perm)
+            cb = jax.lax.ppermute(cb, axis, perm)
+            Vb = jax.lax.ppermute(Vb, axis, perm)
+            return acc, xb, cb, Vb
+
+        acc0 = noise_loc[:, None] * V_loc
+        acc, _, _, _ = jax.lax.fori_loop(0, n_dev, step,
+                                         (acc0, x_loc, c_loc, V_loc))
+        return acc
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis), P(axis), P(axis, None)),
+                      out_specs=P(axis, None))
+    return f(x, c, noise_diag, V)
+
+
+def mosm_ring_lowrank_vjp(mesh, axis, x, c, params, twopi, phase_inside,
+                          use_pallas, A, B):
+    """Distributed parameter cotangents for dK = A Bᵀ (A, B row-sharded).
+
+    Each device accumulates the VJP of its row block against the rotating
+    column blocks of B, then the (O,Q)-shaped partials psum over the mesh.
+    dK is never materialized beyond one (N/P, N/P) block per device.
+    """
+    n_dev = mesh.shape[axis]
+    w, mu, var, theta, phi = params
+    perm = _ring_perm(n_dev)
+
+    def block_vjp(x1, c1, x2, c2, Ab, Bb):
+        if use_pallas:
+            return mosm_gram_lowrank_vjp(x1, c1, x2, c2, w, mu, var, theta,
+                                         phi, twopi, phase_inside, Ab, Bb)
+        from ..gpr.multioutput import _mosm_K
+        # pvary the (replicated) parameters so the cotangents stay LOCAL
+        # partials — otherwise JAX's vma-typed autodiff auto-psums the
+        # cotangent of every replicated input, and the explicit psum below
+        # would double-count (the Pallas branch has no autodiff and always
+        # yields the local partial, so both branches must agree)
+        pv = lambda a: jax.lax.pcast(a, axis, to="varying")
+        _, vjp = jax.vjp(
+            lambda w_, mu_, var_, th_, ph_: _mosm_K(
+                c1, x1, c2, x2, (w_, mu_, var_, th_, ph_), twopi, phase_inside),
+            pv(w), pv(mu), pv(var), pv(theta), pv(phi))
+        return vjp(Ab @ Bb.T)
+
+    def local(x_loc, c_loc, A_loc, B_loc):
+        pv = lambda a: jax.lax.pcast(a, axis, to="varying")
+        # zeros built from shape/dtype, NOT zeros_like: a closed-over tracer's
+        # aval carries its Auto-mesh sharding, which is illegal to broadcast
+        # inside the Manual (shard_map) context
+        zero = tuple(pv(jnp.zeros(a.shape, a.dtype)) for a in (w, mu, var, theta, phi))
+
+        def step(_, carry):
+            acc, xb, cb, Bb = carry
+            d = block_vjp(x_loc, c_loc, xb, cb, A_loc, Bb)
+            acc = tuple(a + g for a, g in zip(acc, d))
+            xb = jax.lax.ppermute(xb, axis, perm)
+            cb = jax.lax.ppermute(cb, axis, perm)
+            Bb = jax.lax.ppermute(Bb, axis, perm)
+            return acc, xb, cb, Bb
+
+        acc, _, _, _ = jax.lax.fori_loop(0, n_dev, step,
+                                         (zero, x_loc, c_loc, B_loc))
+        return tuple(jax.lax.psum(a, axis) for a in acc)
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None)),
+                      out_specs=(P(), P(), P(), P(), P()))
+    return f(x, c, A, B)

@@ -91,7 +91,7 @@ def data_parallel_step(model, mesh, optimizer, axis="data"):
         raws = model._merge_raws(params, fixed_sh)
         with model.bind(raws):
             old_X, old_y = model.X, model.y
-            old_mask = model._row_mask
+            old_mask = getattr(model, "_row_mask", None)
             try:
                 object.__setattr__(model, "X", X)
                 object.__setattr__(model, "y", y)
@@ -117,11 +117,32 @@ def data_parallel_step(model, mesh, optimizer, axis="data"):
 def exact_sharded_step(model, mesh, optimizer, axis="data"):
     """Exact-GP LML+grad step with the Gram assembly sharded by rows.
 
-    X is row-sharded; the N×N Gram is assembled with row-block locality (each
-    device computes its row block against the all-gathered X — the gather of
-    the (N,D) inputs is negligible next to the (N²) output). The Cholesky
-    operates on the gathered Gram. For the reference's N≈10²–10⁴ regime this
-    is the honest sharding: assembly and the backward pass dominate until
-    Cholesky takes over at large N.
+    X is row-sharded and the N×N Gram carries an explicit row-block sharding
+    constraint (each device assembles and back-propagates through only its
+    N/devices × N rows — the O(Q·D) elementwise assembly chain and its VJP
+    are the dominant cost and memory at this model's scale). The Cholesky
+    itself still gathers: XLA's factorization is single-device, so peak
+    factorization memory is N² on one device. For fully-distributed O(N/P)
+    memory use `iterative_ring_step` instead.
     """
+    from ..gpr.model import Exact
+    if isinstance(model, Exact):
+        object.__setattr__(model, "_gram_sharding",
+                           NamedSharding(mesh, P(axis, None)))
+    return data_parallel_step(model, mesh, optimizer, axis)
+
+
+def iterative_ring_step(model, mesh, optimizer, axis="data"):
+    """Fully row-sharded exact iterative training step.
+
+    Every Gram application (CG, SLQ, and the low-rank backward) runs as a
+    shard_map ppermute ring over row blocks (parallel/ring.py): each device
+    owns N/devices rows of (X, y), no device ever holds more than an
+    (N/P, N/P) block of K-related state, and N scales linearly with the
+    device count. This is the multi-chip scaling path for exact inference.
+    """
+    from ..gpr.iterative import ExactIterative
+    if not isinstance(model, ExactIterative):
+        raise ValueError("iterative_ring_step requires an ExactIterative model")
+    model.use_ring(mesh, axis)
     return data_parallel_step(model, mesh, optimizer, axis)

@@ -173,3 +173,108 @@ def test_nondivisible_n_rejected_without_mask_support():
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="mask"):
         data_parallel_step(titsias, mesh, optax.adam(1e-2))
+
+
+# -- real row-sharded exact inference (ring + Gram sharding constraint) ------
+
+def _mosm_setup(n_per=32):
+    x0 = np.linspace(0, 5, n_per).reshape(-1, 1)
+    x1 = np.linspace(0, 5, n_per).reshape(-1, 1)
+    _, X, Y = gpr.merge_data([x0, x1], [np.sin(x0), np.cos(x1)])
+    kernel = gpr.MultiOutputSpectralKernel(output_dims=2)
+    return X, Y, kernel
+
+
+def test_ring_matvec_matches_dense():
+    """The shard_map ppermute ring computes exactly (K + diag(noise)) @ V,
+    and its output stays row-sharded (each device holds N/P rows)."""
+    from mogptk_tpu.parallel import mosm_ring_matvec
+    from mogptk_tpu.parallel.sharding import shard_data
+    from mogptk_tpu.gpr.multioutput import _mosm_K
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    X, Y, kernel = _mosm_setup(32)  # N=64 over 8 devices
+    mesh = make_mesh(8)
+    X_sh, Y_sh, _ = shard_data(X, Y, mesh)
+    c = X_sh[:, 0].astype(jnp.int32)
+    x = X_sh[:, 1:]
+    params = kernel._params()
+    noise = 0.1 * jnp.ones(64)
+    rng = np.random.RandomState(0)
+    V = jnp.asarray(rng.randn(64, 4))
+    V = jax.device_put(V, NamedSharding(mesh, P("data", None)))
+
+    out = jax.jit(lambda v: mosm_ring_matvec(
+        mesh, "data", x, c, noise, params, kernel.twopi, True, False, v))(V)
+
+    K = _mosm_K(c, x, c, None, params, kernel.twopi, True)
+    expected = K @ V + noise[:, None] * V
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-10)
+
+    # per-device shard shapes must shrink: N/P rows each
+    shapes = sorted(s.data.shape for s in out.addressable_shards)
+    assert shapes == [(8, 4)] * 8
+
+
+def test_ring_lowrank_vjp_matches_dense():
+    from mogptk_tpu.parallel import mosm_ring_lowrank_vjp
+    from mogptk_tpu.gpr.multioutput import _mosm_K
+    import jax.numpy as jnp
+
+    X, Y, kernel = _mosm_setup(32)
+    mesh = make_mesh(8)
+    c = jnp.asarray(X[:, 0], dtype=jnp.int32)
+    x = jnp.asarray(X[:, 1:])
+    params = kernel._params()
+    rng = np.random.RandomState(1)
+    A = jnp.asarray(rng.randn(64, 3))
+    B = jnp.asarray(rng.randn(64, 3))
+
+    douts = jax.jit(lambda a, b: mosm_ring_lowrank_vjp(
+        mesh, "data", x, c, params, kernel.twopi, True, False, a, b))(A, B)
+
+    _, vjp = jax.vjp(lambda *p: _mosm_K(c, x, c, None, p, kernel.twopi, True), *params)
+    expected = vjp(A @ B.T)
+    for got, want in zip(douts, expected):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
+
+
+def test_iterative_ring_step_matches_dense_lml():
+    """Full training step with the ring: loss is a CG/SLQ estimate of the
+    same LML the dense model computes."""
+    from mogptk_tpu.parallel import iterative_ring_step
+
+    X, Y, kernel = _mosm_setup(32)
+    model = gpr.ExactIterative(kernel, X, Y, variance=0.1, num_probes=64,
+                               lanczos_iters=40, max_cg_iters=200)
+    dense = gpr.Exact(gpr.MultiOutputSpectralKernel(output_dims=2), X, Y, variance=0.1)
+    mesh = make_mesh(8)
+    step, params, opt_state, X_sh, Y_sh = iterative_ring_step(model, mesh, optax.adam(1e-2))
+    params1, _, loss = step(params, opt_state, X_sh, Y_sh)
+    np.testing.assert_allclose(float(loss), dense.loss(), rtol=0.05)
+    assert all(bool(np.all(np.isfinite(np.asarray(p)))) for p in params1)
+    # inputs stay row-sharded through the step
+    shapes = sorted(s.data.shape for s in X_sh.addressable_shards)
+    assert shapes == [(8, 2)] * 8
+    model.use_ring(None)
+
+
+def test_exact_sharded_gram_is_row_sharded():
+    """exact_sharded_step constrains the Gram assembly to row blocks: the
+    assembled N×N matrix is physically distributed, N/P rows per device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mogptk_tpu.parallel.sharding import shard_data
+
+    X, Y, kernel = _mosm_setup(32)
+    exact = gpr.Exact(kernel, X, Y, variance=0.1)
+    mesh = make_mesh(8)
+    step, params, opt_state, X_sh, Y_sh = exact_sharded_step(exact, mesh, optax.adam(1e-2))
+    _, _, loss = step(params, opt_state, X_sh, Y_sh)
+    np.testing.assert_allclose(float(loss), exact.loss(), rtol=1e-8)
+
+    # probe the Gram's physical layout under the same constraint
+    object.__setattr__(exact, "X", X_sh)
+    K = jax.jit(lambda: exact._Kff(add_jitter=True))()
+    shapes = sorted(s.data.shape for s in K.addressable_shards)
+    assert shapes == [(8, 64)] * 8
