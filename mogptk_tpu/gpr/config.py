@@ -32,6 +32,14 @@ class Config:
         # Cholesky retry rungs (10× jitter each) when a factorization NaNs.
         # 0 = off (reference behavior: fail with CholeskyException diagnostics).
         self.jitter_ladder = 0
+        # Matmul precision for the cancellation-sensitive products only
+        # (factorizations/triangular solves in ops/linalg.py and the
+        # GEMM-identity squared distance): XLA:TPU's default bf16-pass f32
+        # matmuls lose ~5 decimal digits exactly where the GP algebra
+        # subtracts large like terms. Scoped here so the rest of the step
+        # (Gram assembly, optimizer) keeps full-speed default matmuls.
+        # None = follow the global default.
+        self.sensitive_matmul_precision = "highest"
 
     @property
     def dtype(self):
@@ -185,6 +193,31 @@ def set_matmul_precision(precision="highest"):
     true f32."""
     jax.config.update("jax_default_matmul_precision", precision)
     config.bump()
+
+
+def set_sensitive_matmul_precision(precision="highest"):
+    """Set the matmul precision used ONLY for the cancellation-sensitive
+    products: Cholesky factorizations, triangular solves (ops/linalg.py) and
+    the GEMM-identity squared distance (gpr/singleoutput.py). This is the
+    scoped alternative to `set_matmul_precision` — f32 robustness on TPU
+    without paying the full-step "highest" tax. Pass None to follow the
+    global default.
+
+    Call before building/tracing models: JAX caches traced functions on
+    (function, shapes), so a change after tracing also needs
+    jax.clear_caches() to take effect on already-seen shapes."""
+    config.sensitive_matmul_precision = precision
+    config.bump()
+    jax.clear_caches()
+
+
+def sensitive_matmul_scope():
+    """Context manager applying the sensitive-product matmul precision
+    (no-op when config.sensitive_matmul_precision is None)."""
+    import contextlib
+    if config.sensitive_matmul_precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(config.sensitive_matmul_precision)
 
 
 def use_jitter_ladder(rungs=3):

@@ -152,12 +152,16 @@ def _quadform_gemm(kernel, X1, X2):
     with z = X Rᵀ (M = RᵀR), τᵀMτ = ‖z1‖² + ‖z2‖² − 2 z1·z2ᵀ.
     No (N,M,D) broadcast temp (whose minor D axis would be lane-padded on
     TPU); the cross term is one MXU matmul."""
-    R = _prec_factor(kernel)
-    z1 = X1 @ R.T
-    z2 = z1 if X2 is None else X2 @ R.T
-    sq1 = jnp.sum(z1 * z1, axis=1)
-    sq2 = sq1 if X2 is None else jnp.sum(z2 * z2, axis=1)
-    q = sq1[:, None] + sq2[None, :] - 2.0 * (z1 @ z2.T)
+    from .config import sensitive_matmul_scope
+    with sensitive_matmul_scope():
+        # the subtraction cancels to ~‖τ‖² ≪ ‖z‖² for nearby points, so the
+        # cross GEMM runs at the sensitive (full-f32) matmul precision
+        R = _prec_factor(kernel)
+        z1 = X1 @ R.T
+        z2 = z1 if X2 is None else X2 @ R.T
+        sq1 = jnp.sum(z1 * z1, axis=1)
+        sq2 = sq1 if X2 is None else jnp.sum(z2 * z2, axis=1)
+        q = sq1[:, None] + sq2[None, :] - 2.0 * (z1 @ z2.T)
     return jnp.maximum(q, 0.0)
 
 

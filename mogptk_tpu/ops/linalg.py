@@ -14,6 +14,20 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 
+def _sensitive(fn):
+    """Run fn's matmuls at the scoped sensitive-product precision
+    (gpr.config.sensitive_matmul_precision): factorizations and triangular
+    solves subtract large like terms, and XLA:TPU's default bf16-pass f32
+    matmuls lose exactly the digits the cancellation needs."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        from ..gpr.config import sensitive_matmul_scope
+        with sensitive_matmul_scope():
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@_sensitive
 def jittered_cholesky(K, jitter=None, ladder=None):
     """Cholesky factor of K with optional relative jitter added to the diagonal.
 
@@ -71,14 +85,17 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     return jnp.linalg.cholesky(K + (jit_val * md) * eye)
 
 
+@_sensitive
 def solve_triangular(L, B, lower=True, trans=False):
     return jsl.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
 
 
+@_sensitive
 def trisolve_lower(L, B):
     return jsl.solve_triangular(L, B, lower=True)
 
 
+@_sensitive
 def cholesky_solve(L, B):
     """Solve K x = B given the lower Cholesky factor L of K."""
     return jsl.cho_solve((L, True), B)
@@ -95,6 +112,7 @@ def _solve_dtype(dtype):
 
 
 @jax.custom_vjp
+@_sensitive
 def lml_quadform_logdet(K, y):
     """−Σ log diag(chol(K)) − ½ yᵀK⁻¹y — the data-dependent part of the exact
     GP log marginal likelihood (reference math: mogptk/gpr/model.py:438-453).
@@ -114,6 +132,7 @@ def lml_quadform_logdet(K, y):
     return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
 
+@_sensitive
 def _lml_fwd(K, y):
     Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
@@ -125,6 +144,7 @@ def _lml_fwd(K, y):
     return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
 
 
+@_sensitive
 def _lml_bwd(res, g):
     """dK = ½g(ααᵀ − K⁻¹), with K⁻¹ computed in column blocks under lax.scan.
 
@@ -159,6 +179,7 @@ lml_quadform_logdet.defvjp(_lml_fwd, _lml_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@_sensitive
 def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
     """Same value as lml_quadform_logdet, but the backward estimates
     tr(K⁻¹ ∂K) with Hutchinson probes solved against the saved Cholesky
@@ -177,6 +198,7 @@ def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
     return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
 
+@_sensitive
 def _lml_stoch_fwd(K, y, num_probes, seed):
     Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
@@ -186,6 +208,7 @@ def _lml_stoch_fwd(K, y, num_probes, seed):
     return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
 
 
+@_sensitive
 def _lml_stoch_bwd(num_probes, seed, res, g):
     L, alpha, k_sent, y_sent = res
     K_dtype, y_dtype = k_sent.dtype, y_sent.dtype

@@ -256,3 +256,49 @@ def test_pallas_auto_policy(monkeypatch):
         gpr.config.pallas = old_flag
         gpr.config._dtype = old_dtype
         gpr.config.bump()
+
+
+def test_sensitive_matmul_precision_scoping():
+    """The sensitive-product precision is scoped: the solves trace at
+    config.sensitive_matmul_precision while matmuls outside stay at the
+    global default. Verified via the precision recorded in the jaxpr."""
+    import mogptk_tpu.gpr as gpr
+    from mogptk_tpu.ops.linalg import lml_quadform_logdet_stochastic
+
+    K = jnp.eye(8) * 2.0
+    y = jnp.ones((8, 1))
+    # the stochastic backward contains an explicit N×R GEMM (A @ Bᵀ)
+    grad_fn = jax.grad(lambda K_: lml_quadform_logdet_stochastic(K_, y, 4, 0))
+
+    old = gpr.config.sensitive_matmul_precision
+    try:
+        gpr.set_sensitive_matmul_precision("highest")
+        jaxpr = str(jax.make_jaxpr(grad_fn)(K))
+        assert "Precision.HIGHEST" in jaxpr
+
+        # a distinct scoped value must show up verbatim ("HIGH", not the f64
+        # default "HIGHEST"), proving the scope — not the global default —
+        # sets the dots' precision
+        gpr.set_sensitive_matmul_precision("high")
+        jax.clear_caches()  # custom_vjp traces cache on (fn, avals)
+        jaxpr = str(jax.make_jaxpr(grad_fn)(K))
+        assert "Precision.HIGH" in jaxpr and "Precision.HIGHEST" not in jaxpr
+    finally:
+        gpr.config.sensitive_matmul_precision = old
+        gpr.config.bump()
+
+
+def test_quadform_gemm_precision_scope():
+    import mogptk_tpu.gpr as gpr
+    from mogptk_tpu.gpr.singleoutput import _quadform_gemm
+
+    k = gpr.SquaredExponentialKernel(input_dims=2)
+    X = jnp.asarray(np.random.RandomState(0).randn(8, 2))
+    old = gpr.config.sensitive_matmul_precision
+    try:
+        gpr.set_sensitive_matmul_precision("highest")
+        jaxpr = str(jax.make_jaxpr(lambda x: _quadform_gemm(k, x, None))(X))
+        assert "HIGHEST" in jaxpr.upper()
+    finally:
+        gpr.config.sensitive_matmul_precision = old
+        gpr.config.bump()
