@@ -282,40 +282,71 @@ class ExactIterative(Model):
             const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
         return val - const
 
-    def predict_f(self, X, full=False):
-        """Posterior via CG solves; variance through batched CG on the
-        cross-covariance columns."""
+    def predict_f(self, X, full=False, block_size=1024):
+        """Posterior via CG solves, blocked over the prediction grid.
+
+        The diagonal-variance path never materializes the N×S cross-Gram:
+        prediction points are processed in `block_size` column blocks under
+        lax.scan — per-block memory is N×B for the cross block and the CG
+        state, so predicting at N=65k with arbitrarily large grids stays
+        within the single-chip HBM budget the training path established.
+        `full=True` (an S×S posterior covariance) necessarily materializes
+        N×S and S×S and is intended for small grids.
+        """
         X = self._check_input(X)
         c = self.X[:, 0].astype(jnp.int32)
         x = self.X[:, 1:]
         cs = X[:, 0].astype(jnp.int32)
         xs = X[:, 1:]
         y = self._residual_y()
-        w, mu, var, theta, phi = self._kernel_params()
+        params = self._kernel_params()
+        w, mu, var, theta, phi = params
         static = self._static()
-        matvec = _make_matvec(static, x, c, self._noise_diag(), w, mu, var, theta, phi)
-
-        alpha, _ = cg_solve(matvec, y, max_iters=self.max_cg_iters, tol=self.cg_tol)
         twopi, phase_inside = static[0], static[1]
-        if static[7]:
-            Ksf_alpha = mosm_gram_matvec(xs, cs, x, c, w, mu, var, theta, phi,
-                                         twopi, phase_inside, alpha)
-            mu_s = Ksf_alpha
-        else:
-            from .multioutput import _mosm_K
-            Ksf = _mosm_K(cs, xs, c, x, (w, mu, var, theta, phi), twopi, phase_inside)
-            mu_s = Ksf @ alpha
-        if self.mean is not None:
-            mu_s = mu_s + self.mean(X).reshape(-1, 1)
+        use_pallas = static[7]
+        matvec = _make_matvec(static, x, c, self._noise_diag(), *params)
+        M_inv = _make_preconditioner(static, x, c, self._noise_diag(), *params)
 
-        # variance: solve K V = Kfs column-block-wise
-        from .multioutput import _mosm_K
-        Kfs = _mosm_K(c, x, cs, xs, (w, mu, var, theta, phi), twopi, phase_inside)  # N x S
-        V, _ = cg_solve(matvec, Kfs, max_iters=self.max_cg_iters, tol=self.cg_tol)
+        alpha, _ = cg_solve(matvec, y, max_iters=self.max_cg_iters,
+                            tol=self.cg_tol, M_inv=M_inv)
+
+        def cross(cs_b, xs_b):
+            # K(X_train, X_s block): (N, B) — the only O(N·B) temp
+            if use_pallas:
+                from ..ops.pallas_mosm import mosm_gram
+                return mosm_gram(x, c, xs_b, cs_b, w, mu, var, theta, phi,
+                                 twopi, phase_inside)
+            from .multioutput import _mosm_K
+            return _mosm_K(c, x, cs_b, xs_b, params, twopi, phase_inside)
+
         if full:
+            Kfs = cross(cs, xs)
+            V, _ = cg_solve(matvec, Kfs, max_iters=self.max_cg_iters,
+                            tol=self.cg_tol, M_inv=M_inv)
+            mu_s = Kfs.T @ alpha
             Kss = self.kernel.K(X)
             var_s = Kss - Kfs.T @ V
         else:
+            S = xs.shape[0]
+            B = int(min(block_size, S))
+            pad = (-S) % B
+            xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
+            cs_p = jnp.pad(cs, (0, pad))
+            nb = (S + pad) // B
+
+            def body(_, i):
+                xs_b = jax.lax.dynamic_slice(xs_p, (i * B, 0), (B, xs_p.shape[1]))
+                cs_b = jax.lax.dynamic_slice(cs_p, (i * B,), (B,))
+                Kfs_b = cross(cs_b, xs_b)                        # N x B
+                V_b, _ = cg_solve(matvec, Kfs_b, max_iters=self.max_cg_iters,
+                                  tol=self.cg_tol, M_inv=M_inv)
+                return None, (Kfs_b.T @ alpha[:, 0],             # B
+                              jnp.sum(Kfs_b * V_b, axis=0))      # B
+            _, (mus, qfs) = jax.lax.scan(body, None, jnp.arange(nb))
+            mu_s = mus.reshape(-1)[:S].reshape(-1, 1)
             Kss_diag = self.kernel.K_diag(X)
-            var_s = (Kss_diag - jnp.sum(Kfs * V, axis=0)).reshape(-1, 1)
+            var_s = (Kss_diag - qfs.reshape(-1)[:S]).reshape(-1, 1)
+
+        if self.mean is not None:
+            mu_s = mu_s + self.mean(X).reshape(-1, 1)
         return mu_s, var_s

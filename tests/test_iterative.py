@@ -174,3 +174,16 @@ def test_cg_diagnostics():
     under = _mosm_model(gpr.ExactIterative, max_cg_iters=2, cg_tol=1e-10)
     r_y2, _ = under.cg_diagnostics()
     assert r_y2 > r_y
+
+
+def test_iterative_blocked_prediction_matches_unblocked():
+    """The blocked (materialization-free) variance path must agree with the
+    dense Cholesky posterior, including when S does not divide the block."""
+    exact = _mosm_model(gpr.Exact)
+    iterative = _mosm_model(gpr.ExactIterative, max_cg_iters=200, cg_tol=1e-10)
+    Xs = np.concatenate([np.zeros((13, 1)), np.linspace(0, 6, 13).reshape(-1, 1)], axis=1)
+    mu_c, var_c = exact.predict_f(Xs)
+    # 13 points over blocks of 4 → 4 blocks with 3 padded columns
+    mu_b, var_b = iterative.predict_f(Xs, block_size=4)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_c), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_c), rtol=1e-2, atol=1e-5)
