@@ -6,12 +6,12 @@ Lanczos quadrature, and the parameter gradients use the probe-vector trace
 identity  dLML/dθ = ½ tr((ααᵀ − K⁻¹) ∂K/∂θ)  with K⁻¹ ≈ R⁻¹ Σ u_r z_rᵀ,
 u_r = K⁻¹ z_r — i.e. a LOW-RANK cotangent.
 
-For MOSM-family kernels every K-application runs through the fused Pallas
-Gram matvec (ops/pallas_mosm.mosm_gram_matvec) and the low-rank cotangent is
-consumed tile-by-tile (mosm_gram_lowrank_vjp): the N×N Gram is NEVER
-materialized. This removes the O(N²) HBM wall of Cholesky inference — exact
-GPs at N far beyond what the reference (or any materialized-K approach) can
-hold on one chip.
+Every K-application runs through a fused Pallas Gram kernel (ops/fused.py:
+one tile machine parameterized per kernel family — MOSM, MOSM-Q, uMOSM, CSM,
+CONV) and the low-rank cotangent is consumed tile-by-tile: the N×N Gram is
+NEVER materialized. This removes the O(N²) HBM wall of Cholesky inference —
+exact GPs at N far beyond what the reference (or any materialized-K
+approach) can hold on one chip.
 
 The reference has no analog of this subsystem (SURVEY.md §5: scaling N is
 only via sparse approximations); this is TPU-native headroom, not a port.
@@ -24,43 +24,70 @@ import jax.numpy as jnp
 from .model import Model
 from .likelihood import GaussianLikelihood
 from .multioutput import (MultiOutputSpectralKernel,
-                          MultiOutputSpectralMixtureKernel)
+                          MultiOutputSpectralMixtureKernel,
+                          UncoupledMultiOutputSpectralKernel,
+                          CrossSpectralKernel,
+                          GaussianConvolutionProcessKernel)
 from .config import config
 from ..ops.iterative import cg_solve, slq_logdet, pivoted_cholesky
-from ..ops.pallas_mosm import mosm_gram_matvec, mosm_gram_lowrank_vjp
+from ..ops.fused import resolve_family, fused_gram_matvec, fused_gram_lowrank_vjp
+
+
+def _family_of(kernel):
+    """Map a kernel instance to its fused-family id (name, statics) — a
+    hashable pair that rides in custom_vjp static arguments."""
+    if isinstance(kernel, (MultiOutputSpectralKernel,
+                           MultiOutputSpectralMixtureKernel)):
+        return ("mosm", (kernel.twopi, True))
+    if isinstance(kernel, UncoupledMultiOutputSpectralKernel):
+        return ("umosm", (kernel.twopi,))
+    if isinstance(kernel, CrossSpectralKernel):
+        return ("csm", (kernel.Rq, kernel.input_dims))
+    if isinstance(kernel, GaussianConvolutionProcessKernel):
+        return ("conv", (kernel.input_dims,))
+    raise ValueError(
+        "ExactIterative supports the fused multi-output spectral families "
+        "(MOSM, MOSM-Q, uMOSM, CSM, CONV); use Exact for other kernels")
+
+
+def _fused_kernel_params(kernel):
+    """Pure parameter tuple matching the family's tile/dense signatures."""
+    if isinstance(kernel, UncoupledMultiOutputSpectralKernel):
+        w, mu, var, theta, phi = (kernel.weight(),) + kernel._params()[1:]
+        return (w, mu, var, theta, phi)
+    if isinstance(kernel, (CrossSpectralKernel, GaussianConvolutionProcessKernel)):
+        return kernel._fused_params()
+    return kernel._params()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _lml_iter(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
-    """−½ yᵀK⁻¹y − ½ logdet(K) for K = MOSM(x,c;θ) + diag(noise).
+def _lml_iter(static, x, c, noise_diag, y, mask, params):
+    """−½ yᵀK⁻¹y − ½ logdet(K) for K = family(x,c;params) + diag(noise).
 
     mask is an optional (N,) 0/1 row mask: masked-out rows act as independent
     unit-variance zeros (block-diagonal identity extension), so padded data
     under mesh sharding contributes exactly 0 to both terms."""
-    val, _ = _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi)
+    val, _ = _lml_iter_fwd(static, x, c, noise_diag, y, mask, params)
     return val
 
 
-def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask=None):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static[:9]
-    ring = static[9] if len(static) > 9 else None
+def _make_matvec(static, x, c, noise_diag, params, mask=None):
+    family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank, ring = static
 
     if ring is not None:
-        from ..parallel.ring import mosm_ring_matvec
+        from ..parallel.ring import ring_gram_matvec
         mesh, axis = ring
 
         def base(V):
-            return mosm_ring_matvec(mesh, axis, x, c, noise_diag,
-                                    (w, mu, var, theta, phi), twopi,
-                                    phase_inside, use_pallas, V)
+            return ring_gram_matvec(mesh, axis, family, O, x, c, noise_diag,
+                                    params, use_pallas, V)
     elif use_pallas:
         def base(V):
-            return (mosm_gram_matvec(x, c, x, c, w, mu, var, theta, phi,
-                                     twopi, phase_inside, V)
+            return (fused_gram_matvec(family, O, x, c, x, c, params, V)
                     + noise_diag[:, None] * V)
     else:
-        from .multioutput import _mosm_K
-        K = _mosm_K(c, x, c, None, (w, mu, var, theta, phi), twopi, phase_inside)
+        _, dense, _ = resolve_family(family)
+        K = dense(c, x, c, None, params)
 
         def base(V):
             return K @ V + noise_diag[:, None] * V
@@ -74,28 +101,23 @@ def _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask=None):
     return matvec
 
 
-def _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi):
+def _make_preconditioner(static, x, c, noise_diag, params):
     """Woodbury-inverted partial-pivoted-Cholesky preconditioner
     P = σ̄²I + L Lᵀ (Gardner et al. 2018). Returns M_inv or None."""
-    twopi, phase_inside = static[0], static[1]
+    family = static[0]
     precond_rank = static[8]
     if not precond_rank:
         return None
-    from .multioutput import _mosm_K
+    _, dense, diag = resolve_family(family)
     n = x.shape[0]
     sigma2 = jnp.mean(noise_diag)
 
     def K_row(i):
         xi = jax.lax.dynamic_slice(x, (i, 0), (1, x.shape[1]))
         ci = jax.lax.dynamic_slice(c, (i,), (1,))
-        return _mosm_K(ci, xi, c, x, (w, mu, var, theta, phi), twopi, phase_inside)[0, :]
+        return dense(ci, xi, c, x, params)[0, :]
 
-    def K_diag_fn():
-        # MOSM diagonal is channel-constant: α_c = Σ_q w² twopi √(Πd Σ)
-        alpha = (w ** 2) * twopi * jnp.sqrt(jnp.prod(var, axis=-1))   # O x Q
-        return jnp.sum(alpha, axis=-1)[c]
-
-    L = pivoted_cholesky(K_diag_fn(), K_row, n, precond_rank)
+    L = pivoted_cholesky(diag(c, x, params), K_row, n, precond_rank)
     r = L.shape[1]
     inner = sigma2 * jnp.eye(r, dtype=L.dtype) + L.T @ L
     Linner = jnp.linalg.cholesky(inner)
@@ -108,11 +130,11 @@ def _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi):
     return M_inv
 
 
-def _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static[:9]
+def _lml_iter_fwd(static, x, c, noise_diag, y, mask, params):
+    family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank, ring = static
     n = x.shape[0]
-    matvec = _make_matvec(static, x, c, noise_diag, w, mu, var, theta, phi, mask)
-    M_inv = _make_preconditioner(static, x, c, noise_diag, w, mu, var, theta, phi)
+    matvec = _make_matvec(static, x, c, noise_diag, params, mask)
+    M_inv = _make_preconditioner(static, x, c, noise_diag, params)
     if mask is not None:
         y = y * mask.reshape(-1, 1)
         if M_inv is not None:
@@ -131,13 +153,12 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, mask, w, mu, var, theta, phi):
     logdet = slq_logdet(matvec, n, num_probes=probes, lanczos_iters=lanczos_iters,
                         key=jax.random.PRNGKey(seed), dtype=y.dtype)
     val = -0.5 * jnp.sum(y * alpha) - 0.5 * logdet
-    return val, (x, c, noise_diag, y, mask, w, mu, var, theta, phi, alpha, U, Z)
+    return val, (x, c, noise_diag, y, mask, params, alpha, U, Z)
 
 
 def _lml_iter_bwd(static, res, g):
-    twopi, phase_inside, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank = static[:9]
-    ring = static[9] if len(static) > 9 else None
-    x, c, noise_diag, y, mask, w, mu, var, theta, phi, alpha, U, Z = res
+    family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank, ring = static
+    x, c, noise_diag, y, mask, params, alpha, U, Z = res
 
     # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with (solves already done in fwd)
     A = (0.5 * g) * jnp.concatenate([alpha, -U / probes], axis=1)  # N x (R+1)
@@ -149,27 +170,23 @@ def _lml_iter_bwd(static, res, g):
         B = B * m
 
     if ring is not None:
-        from ..parallel.ring import mosm_ring_lowrank_vjp
+        from ..parallel.ring import ring_gram_lowrank_vjp
         mesh, axis_name = ring
-        dw, dmu, dvar, dth, dph = mosm_ring_lowrank_vjp(
-            mesh, axis_name, x, c, (w, mu, var, theta, phi), twopi,
-            phase_inside, use_pallas, A, B)
+        dparams = ring_gram_lowrank_vjp(mesh, axis_name, family, O, x, c,
+                                        params, use_pallas, A, B)
     elif use_pallas:
-        dw, dmu, dvar, dth, dph = mosm_gram_lowrank_vjp(
-            x, c, x, c, w, mu, var, theta, phi, twopi, phase_inside, A, B)
+        dparams = fused_gram_lowrank_vjp(family, O, x, c, x, c, params, A, B)
     else:
-        from .multioutput import _mosm_K
+        _, dense, _ = resolve_family(family)
         dK = A @ B.T
-        _, vjp = jax.vjp(lambda w_, mu_, var_, th_, ph_: _mosm_K(
-            c, x, c, None, (w_, mu_, var_, th_, ph_), twopi, phase_inside),
-            w, mu, var, theta, phi)
-        dw, dmu, dvar, dth, dph = vjp(dK)
+        _, vjp = jax.vjp(lambda ps: dense(c, x, c, None, ps), params)
+        (dparams,) = vjp(dK)
 
     dnoise = jnp.sum(A * B, axis=1)      # diag(A Bᵀ)
     dy = -g * alpha
     zeros = lambda a: jnp.zeros_like(a)
     dmask = None if mask is None else jnp.zeros_like(mask)
-    return (zeros(x), zeros(c), dnoise, dy, dmask, dw, dmu, dvar, dth, dph)
+    return (zeros(x), zeros(c), dnoise, dy, dmask, tuple(dparams))
 
 
 _lml_iter.defvjp(_lml_iter_fwd, _lml_iter_bwd)
@@ -178,27 +195,27 @@ _lml_iter.defvjp(_lml_iter_fwd, _lml_iter_bwd)
 class ExactIterative(Model):
     """Exact GP regression with iterative (CG/SLQ) inference.
 
-    Drop-in alternative to `Exact` for MOSM-family kernels
-    (`MultiOutputSpectralKernel`, `MultiOutputSpectralMixtureKernel`):
+    Drop-in alternative to `Exact` for the fused multi-output spectral
+    families (`MultiOutputSpectralKernel`, `MultiOutputSpectralMixtureKernel`,
+    `UncoupledMultiOutputSpectralKernel`, `CrossSpectralKernel`,
+    `GaussianConvolutionProcessKernel`):
 
     - the LML quadratic form: batched CG (`max_cg_iters`, `cg_tol`),
     - the log-determinant: stochastic Lanczos quadrature (`num_probes`,
       `lanczos_iters`) — a consistent stochastic estimate, so reported
       losses carry ~1% probe noise while gradients stay unbiased,
     - gradients: probe-vector trace estimation with a LOW-RANK cotangent
-      consumed by the materialization-free Pallas VJP.
+      consumed by the materialization-free Pallas VJP (ops/fused.py).
 
     Args mirror `Exact` plus the solver controls.
     """
 
+    supports_row_mask = True
+
     def __init__(self, kernel, X, y, variance=1.0, data_variance=None,
                  jitter=1e-8, mean=None, max_cg_iters=100, cg_tol=1e-5,
                  num_probes=16, lanczos_iters=32, seed=0, precond_rank=16):
-        if not isinstance(kernel, (MultiOutputSpectralKernel, MultiOutputSpectralMixtureKernel)):
-            raise ValueError(
-                "ExactIterative currently supports the MOSM kernel family "
-                "(MultiOutputSpectralKernel, MultiOutputSpectralMixtureKernel); "
-                "use Exact for other kernels")
+        _family_of(kernel)  # raises for unsupported kernels
 
         if data_variance is not None:
             data_variance = jnp.asarray(data_variance, dtype=config.dtype).reshape(-1)
@@ -239,13 +256,13 @@ class ExactIterative(Model):
 
     def _static(self):
         from .config import pallas_enabled
-        k = self.kernel
-        return (k.twopi, True, self.max_cg_iters, self.cg_tol,
+        return (_family_of(self.kernel), self.kernel.output_dims,
+                self.max_cg_iters, self.cg_tol,
                 self.num_probes, self.lanczos_iters, self.seed, pallas_enabled(),
                 self.precond_rank, getattr(self, "_ring", None))
 
     def _kernel_params(self):
-        return self.kernel._params()
+        return _fused_kernel_params(self.kernel)
 
     def cg_diagnostics(self):
         """Return the CG relative residuals for the current parameters —
@@ -257,8 +274,8 @@ class ExactIterative(Model):
         y = self._residual_y()
         params = self._kernel_params()
         static = self._static()
-        matvec = _make_matvec(static, x, c, self._noise_diag(), *params)
-        M_inv = _make_preconditioner(static, x, c, self._noise_diag(), *params)
+        matvec = _make_matvec(static, x, c, self._noise_diag(), params)
+        M_inv = _make_preconditioner(static, x, c, self._noise_diag(), params)
         Z = jax.random.rademacher(jax.random.PRNGKey(self.seed + 1),
                                   (self.X.shape[0], self.num_probes), dtype=y.dtype)
         _, res = cg_solve(matvec, jnp.concatenate([y, Z], axis=1),
@@ -266,16 +283,13 @@ class ExactIterative(Model):
         res = np.asarray(res)
         return float(res[0]), float(res[1:].max())
 
-    supports_row_mask = True
-
     def log_marginal_likelihood(self):
         c = self.X[:, 0].astype(jnp.int32)
         x = self.X[:, 1:]
         y = self._residual_y()
-        w, mu, var, theta, phi = self._kernel_params()
         mask = getattr(self, "_row_mask", None)
         val = _lml_iter(self._static(), x, c, self._noise_diag(), y, mask,
-                        w, mu, var, theta, phi)
+                        self._kernel_params())
         if mask is None:
             const = self.log_marginal_likelihood_constant
         else:
@@ -300,12 +314,11 @@ class ExactIterative(Model):
         xs = X[:, 1:]
         y = self._residual_y()
         params = self._kernel_params()
-        w, mu, var, theta, phi = params
         static = self._static()
-        twopi, phase_inside = static[0], static[1]
+        family, O = static[0], static[1]
         use_pallas = static[7]
-        matvec = _make_matvec(static, x, c, self._noise_diag(), *params)
-        M_inv = _make_preconditioner(static, x, c, self._noise_diag(), *params)
+        matvec = _make_matvec(static, x, c, self._noise_diag(), params)
+        M_inv = _make_preconditioner(static, x, c, self._noise_diag(), params)
 
         alpha, _ = cg_solve(matvec, y, max_iters=self.max_cg_iters,
                             tol=self.cg_tol, M_inv=M_inv)
@@ -313,11 +326,10 @@ class ExactIterative(Model):
         def cross(cs_b, xs_b):
             # K(X_train, X_s block): (N, B) — the only O(N·B) temp
             if use_pallas:
-                from ..ops.pallas_mosm import mosm_gram
-                return mosm_gram(x, c, xs_b, cs_b, w, mu, var, theta, phi,
-                                 twopi, phase_inside)
-            from .multioutput import _mosm_K
-            return _mosm_K(c, x, cs_b, xs_b, params, twopi, phase_inside)
+                from ..ops.fused import fused_gram
+                return fused_gram(family, O, x, c, xs_b, cs_b, params)
+            _, dense, _ = resolve_family(family)
+            return dense(c, x, cs_b, xs_b, params)
 
         if full:
             Kfs = cross(cs, xs)

@@ -137,6 +137,72 @@ def _mosm_K(c1, x1, c2, x2, params, twopi, phase_inside_2pi=True, cross_weight=N
     return K                                                         # NxM
 
 
+def _umosm_cross_weight(W, c1, c2):
+    """uMOSM cross-channel magnitude Wtril·Wtrilᵀ gathered per point pair as
+    an (N,O)·(O,O)·(O,M) matmul chain on the MXU — no (N,M)-shaped gather."""
+    O = W.shape[0]
+    mag = jnp.tril(W) @ jnp.tril(W).T  # OxO
+    onehot1 = (c1[:, None] == jnp.arange(O)[None, :]).astype(mag.dtype)
+    onehot2 = (c2[:, None] == jnp.arange(O)[None, :]).astype(mag.dtype)
+    return onehot1 @ mag @ onehot2.T  # NxM
+
+
+def _umosm_K(c1, x1, c2, x2, params, twopi):
+    """uMOSM Gram as a pure function of params = (W, mu, var, theta, phi)
+    (reference math: mogptk/gpr/multioutput.py:212-293; phase sits outside
+    the 2π factor there)."""
+    W, mu, var, theta, phi = params
+    cw = _umosm_cross_weight(W, c1, c1 if c2 is None else c2)
+    return _mosm_K(c1, x1, c2, x2, (None, mu, var, theta, phi), twopi,
+                   phase_inside_2pi=False, cross_weight=cw)
+
+
+def _csm_K(c1, x1, c2, x2, params):
+    """CSM Gram as a pure function of params = (amp (O,Rq), mu (1,D),
+    var (1,D), shift (O,Rq)) (reference math: mogptk/gpr/multioutput.py:
+    397-454). All large temps are (N,M); Rq and D unrolled."""
+    amp, mu, var, shift = params
+    x2e = x1 if x2 is None else x2
+    c2e = c1 if c2 is None else c2
+    Rq = amp.shape[1]
+    expo_acc = None
+    ang_acc = None
+    for d in range(x1.shape[1]):
+        taud = x1[:, None, d] - x2e[None, :, d]        # NxM
+        e = taud * taud * var[0, d]
+        a_ = taud * mu[0, d]
+        expo_acc = e if expo_acc is None else expo_acc + e
+        ang_acc = a_ if ang_acc is None else ang_acc + a_
+    expo = jnp.exp(-0.5 * expo_acc)                    # NxM
+    K = None
+    for r in range(Rq):
+        amplitude = jnp.sqrt(amp[c1, r][:, None] * amp[c2e, r][None, :])  # NxM
+        sh = shift[c1, r][:, None] - shift[c2e, r][None, :]               # NxM
+        Kr = amplitude * expo * jnp.cos(2.0 * _pi * (ang_acc + sh))
+        K = Kr if K is None else K + Kr
+    return K
+
+
+def _conv_K(c1, x1, c2, x2, params):
+    """CONV Gram as a pure function of params = (w (O,1), var (O,D),
+    base (1,D)) (reference math: mogptk/gpr/multioutput.py:504-553)."""
+    w, var, base = params
+    x2e = x1 if x2 is None else x2
+    c2e = c1 if c2 is None else c2
+    w1 = w[c1, 0]                                       # N
+    w2 = w[c2e, 0]                                      # M
+    expo_acc = None
+    prod_var = None
+    for d in range(x1.shape[1]):
+        taud2 = (x1[:, None, d] - x2e[None, :, d]) ** 2  # NxM
+        vd = var[c1, d][:, None] + var[c2e, d][None, :] + base[0, d]  # NxM
+        e = taud2 / vd
+        expo_acc = e if expo_acc is None else expo_acc + e
+        prod_var = vd if prod_var is None else prod_var * vd
+    magnitude = w1[:, None] * w2[None, :] * jnp.sqrt(jnp.prod(base) / prod_var)
+    return magnitude * jnp.exp(-0.5 * expo_acc)
+
+
 class MultiOutputSpectralKernel(MultiOutputKernel):
     """Multi-output spectral kernel (MOSM, Q=1), Parra & Tobar 2017
     (reference: mogptk/gpr/multioutput.py:41-123)."""
@@ -241,13 +307,7 @@ class UncoupledMultiOutputSpectralKernel(MultiOutputKernel):
                 self.delay()[:, None, :], self.phase()[:, None])
 
     def _cross_weight(self, c1, c2):
-        # Wtril·Wtrilᵀ gathered per point-pair as an (N,O)·(O,O)·(O,M) matmul
-        # chain on the MXU — no (N,M)-shaped gather
-        W = jnp.tril(self.weight())
-        mag = W @ W.T  # OxO
-        onehot1 = (c1[:, None] == jnp.arange(self.output_dims)[None, :]).astype(config.dtype)
-        onehot2 = (c2[:, None] == jnp.arange(self.output_dims)[None, :]).astype(config.dtype)
-        return onehot1 @ mag @ onehot2.T  # NxM
+        return _umosm_cross_weight(self.weight(), c1, c2)
 
     def K_mo(self, c1, x1, c2, x2=None):
         # reference places the phase outside the 2π factor for uMOSM
@@ -339,31 +399,14 @@ class CrossSpectralKernel(MultiOutputKernel):
         self.variance = Parameter(jnp.ones(input_dims), lower=config.positive_minimum)
         self.shift = Parameter(jnp.zeros((output_dims, Rq)))
 
+    def _fused_params(self):
+        """Pure-function parameter tuple for _csm_K / the fused engine."""
+        return (self.amplitude(), self.mean().reshape(1, -1),
+                self.variance().reshape(1, -1), self.shift())
+
     def K_mo(self, c1, x1, c2, x2=None):
         # all large temps kept (N,M); Rq and D unrolled (TPU lane padding)
-        x2e = x1 if x2 is None else x2
-        var = self.variance()
-        mu = self.mean()
-        expo_acc = None
-        ang_acc = None
-        for d in range(x1.shape[1]):
-            taud = x1[:, None, d] - x2e[None, :, d]        # NxM
-            e = taud * taud * var[d]
-            a_ = taud * mu[d]
-            expo_acc = e if expo_acc is None else expo_acc + e
-            ang_acc = a_ if ang_acc is None else ang_acc + a_
-        expo = jnp.exp(-0.5 * expo_acc)                    # NxM
-        amp = self.amplitude()                             # OxRq
-        shf = self.shift()                                 # OxRq
-        K = None
-        for r in range(self.Rq):
-            a1 = amp[c1, r]                                # N
-            a2 = amp[c2, r]                                # M
-            amplitude = jnp.sqrt(a1[:, None] * a2[None, :])  # NxM
-            shift = shf[c1, r][:, None] - shf[c2, r][None, :]  # NxM
-            Kr = amplitude * expo * jnp.cos(2.0 * _pi * (ang_acc + shift))
-            K = Kr if K is None else K + Kr
-        return K
+        return _csm_K(c1, x1, c2, x2, self._fused_params())
 
     def K_mo_diag(self, c1, x1):
         return jnp.sum(self.amplitude(), axis=-1)[c1]
@@ -442,24 +485,14 @@ class GaussianConvolutionProcessKernel(MultiOutputKernel):
         self.variance = Parameter(jnp.ones((output_dims, input_dims)), lower=0.0)
         self.base_variance = Parameter(jnp.ones(input_dims), lower=config.positive_minimum)
 
+    def _fused_params(self):
+        """Pure-function parameter tuple for _conv_K / the fused engine."""
+        return (self.weight().reshape(-1, 1), self.variance(),
+                self.base_variance().reshape(1, -1))
+
     def K_mo(self, c1, x1, c2, x2=None):
         # all large temps kept (N,M); D unrolled (TPU lane padding)
-        x2e = x1 if x2 is None else x2
-        var = self.variance()                               # OxD
-        w = self.weight()                                   # O
-        base = self.base_variance()                         # D
-        w1 = w[c1]                                          # N
-        w2 = w[c2]                                          # M
-        expo_acc = None
-        prod_var = None
-        for d in range(x1.shape[1]):
-            taud2 = (x1[:, None, d] - x2e[None, :, d]) ** 2  # NxM
-            vd = var[c1, d][:, None] + var[c2, d][None, :] + base[d]  # NxM; = 2Σi+Σ0 at i==j
-            e = taud2 / vd
-            expo_acc = e if expo_acc is None else expo_acc + e
-            prod_var = vd if prod_var is None else prod_var * vd
-        magnitude = w1[:, None] * w2[None, :] * jnp.sqrt(jnp.prod(base) / prod_var)  # NxM
-        return magnitude * jnp.exp(-0.5 * expo_acc)
+        return _conv_K(c1, x1, c2, x2, self._fused_params())
 
     def K_mo_diag(self, c1, x1):
         variances = 2.0 * self.variance() + self.base_variance()  # OxD

@@ -29,11 +29,13 @@ TILE = 512
 BWD_TILE = 256  # backward holds ~40 VJP temps per tile in VMEM
 
 
-def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi, phase_inside):
+def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi,
+                  phase_inside, cross_weight=None):
     """MOSM math for one (TN, TM) tile. x1t (TN,1), c1oh (TN,O) one-hot.
 
     Same per-point-gather + broadcast formulation as gpr/multioutput.py
     _mosm_K, with the gathers realized as one-hot matmuls (Mosaic-friendly).
+    `cross_weight` (TN,TM) replaces the wi·wj factor (uMOSM, ops/fused.py).
     """
     O, Q, D = mu.shape
     K = None
@@ -65,11 +67,15 @@ def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi, phase_ins
             mag_acc = g if mag_acc is None else mag_acc + g
             var_prod = var_nm if var_prod is None else var_prod * var_nm
 
-        w1 = c1oh @ w[:, q][:, None]
-        w2 = (c2oh @ w[:, q][:, None]).T
+        if cross_weight is None:
+            w1 = c1oh @ w[:, q][:, None]
+            w2 = (c2oh @ w[:, q][:, None]).T
+            w1w2 = w1 * w2
+        else:
+            w1w2 = cross_weight
         p1 = c1oh @ phi[:, q][:, None]
         p2 = (c2oh @ phi[:, q][:, None]).T
-        alpha = w1 * w2 * jnp.exp(-_pi ** 2 * mag_acc) * twopi * jnp.sqrt(var_prod)
+        alpha = w1w2 * jnp.exp(-_pi ** 2 * mag_acc) * twopi * jnp.sqrt(var_prod)
         if phase_inside:
             cos = jnp.cos(2.0 * _pi * (ang_acc + (p1 - p2)))
         else:

@@ -11,17 +11,16 @@ Here both are distributed over a 1-D mesh with a shard_map ppermute ring:
 - the column block (x, c, V) then rotates to the next device over ICI.
 
 Per-device memory is O(N/P) — the Gram is never materialized anywhere (the
-block product itself runs through the fused Pallas matvec on TPU, or a
-dense (N/P, N/P) block off-TPU) — so N scales linearly with devices. This is
-the multi-chip design SURVEY.md §7 calls for; the reference is single-device
-only (SURVEY.md §2).
+block product itself runs through the fused Pallas kernels on TPU, or a
+dense (N/P, N/P) block off-TPU) — so N scales linearly with devices. Works
+for every fused kernel family (ops/fused.py). This is the multi-chip design
+SURVEY.md §7 calls for; the reference is single-device only (SURVEY.md §2).
 """
-import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.pallas_mosm import mosm_gram_matvec, mosm_gram_lowrank_vjp
+from ..ops.fused import resolve_family, fused_gram_matvec, fused_gram_lowrank_vjp
 
 
 def _ring_perm(n_dev):
@@ -30,8 +29,8 @@ def _ring_perm(n_dev):
     return [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
 
-def mosm_ring_matvec(mesh, axis, x, c, noise_diag, params, twopi,
-                     phase_inside, use_pallas, V):
+def ring_gram_matvec(mesh, axis, family, O, x, c, noise_diag, params,
+                     use_pallas, V):
     """Distributed (K + diag(noise)) @ V with rows of K sharded over `axis`.
 
     x (N,D), c (N,) int, noise_diag (N,), V (N,R) — all row-sharded (or
@@ -39,16 +38,13 @@ def mosm_ring_matvec(mesh, axis, x, c, noise_diag, params, twopi,
     (callers pad via parallel.sharding.shard_data). Returns K@V row-sharded.
     """
     n_dev = mesh.shape[axis]
-    w, mu, var, theta, phi = params
     perm = _ring_perm(n_dev)
 
     def block_product(x1, c1, x2, c2, Vb):
         if use_pallas:
-            return mosm_gram_matvec(x1, c1, x2, c2, w, mu, var, theta, phi,
-                                    twopi, phase_inside, Vb)
-        from ..gpr.multioutput import _mosm_K
-        K = _mosm_K(c1, x1, c2, x2, (w, mu, var, theta, phi), twopi, phase_inside)
-        return K @ Vb
+            return fused_gram_matvec(family, O, x1, c1, x2, c2, params, Vb)
+        _, dense, _ = resolve_family(family)
+        return dense(c1, x1, c2, x2, params) @ Vb
 
     def local(x_loc, c_loc, noise_loc, V_loc):
         def step(_, carry):
@@ -70,41 +66,40 @@ def mosm_ring_matvec(mesh, axis, x, c, noise_diag, params, twopi,
     return f(x, c, noise_diag, V)
 
 
-def mosm_ring_lowrank_vjp(mesh, axis, x, c, params, twopi, phase_inside,
-                          use_pallas, A, B):
+def ring_gram_lowrank_vjp(mesh, axis, family, O, x, c, params, use_pallas,
+                          A, B):
     """Distributed parameter cotangents for dK = A Bᵀ (A, B row-sharded).
 
     Each device accumulates the VJP of its row block against the rotating
-    column blocks of B, then the (O,Q)-shaped partials psum over the mesh.
-    dK is never materialized beyond one (N/P, N/P) block per device.
+    column blocks of B, then the parameter-shaped partials psum over the
+    mesh. dK is never materialized beyond one (N/P, N/P) block per device.
+    Returns a tuple matching `params`.
     """
     n_dev = mesh.shape[axis]
-    w, mu, var, theta, phi = params
     perm = _ring_perm(n_dev)
 
     def block_vjp(x1, c1, x2, c2, Ab, Bb):
         if use_pallas:
-            return mosm_gram_lowrank_vjp(x1, c1, x2, c2, w, mu, var, theta,
-                                         phi, twopi, phase_inside, Ab, Bb)
-        from ..gpr.multioutput import _mosm_K
-        # pvary the (replicated) parameters so the cotangents stay LOCAL
+            return fused_gram_lowrank_vjp(family, O, x1, c1, x2, c2, params,
+                                          Ab, Bb)
+        _, dense, _ = resolve_family(family)
+        # pcast the (replicated) parameters so the cotangents stay LOCAL
         # partials — otherwise JAX's vma-typed autodiff auto-psums the
         # cotangent of every replicated input, and the explicit psum below
         # would double-count (the Pallas branch has no autodiff and always
         # yields the local partial, so both branches must agree)
         pv = lambda a: jax.lax.pcast(a, axis, to="varying")
-        _, vjp = jax.vjp(
-            lambda w_, mu_, var_, th_, ph_: _mosm_K(
-                c1, x1, c2, x2, (w_, mu_, var_, th_, ph_), twopi, phase_inside),
-            pv(w), pv(mu), pv(var), pv(theta), pv(phi))
-        return vjp(Ab @ Bb.T)
+        _, vjp = jax.vjp(lambda ps: dense(c1, x1, c2, x2, ps),
+                         tuple(pv(p) for p in params))
+        (d,) = vjp(Ab @ Bb.T)
+        return d
 
     def local(x_loc, c_loc, A_loc, B_loc):
         pv = lambda a: jax.lax.pcast(a, axis, to="varying")
         # zeros built from shape/dtype, NOT zeros_like: a closed-over tracer's
         # aval carries its Auto-mesh sharding, which is illegal to broadcast
         # inside the Manual (shard_map) context
-        zero = tuple(pv(jnp.zeros(a.shape, a.dtype)) for a in (w, mu, var, theta, phi))
+        zero = tuple(pv(jnp.zeros(p.shape, p.dtype)) for p in params)
 
         def step(_, carry):
             acc, xb, cb, Bb = carry
@@ -121,5 +116,21 @@ def mosm_ring_lowrank_vjp(mesh, axis, x, c, params, twopi, phase_inside,
 
     f = jax.shard_map(local, mesh=mesh,
                       in_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None)),
-                      out_specs=(P(), P(), P(), P(), P()))
+                      out_specs=tuple(P() for _ in params))
     return f(x, c, A, B)
+
+
+# -- MOSM-specific wrappers (back-compat with the original MOSM-only API) ----
+
+def mosm_ring_matvec(mesh, axis, x, c, noise_diag, params, twopi,
+                     phase_inside, use_pallas, V):
+    O = params[0].shape[0]
+    return ring_gram_matvec(mesh, axis, ("mosm", (twopi, phase_inside)), O,
+                            x, c, noise_diag, params, use_pallas, V)
+
+
+def mosm_ring_lowrank_vjp(mesh, axis, x, c, params, twopi, phase_inside,
+                          use_pallas, A, B):
+    O = params[0].shape[0]
+    return ring_gram_lowrank_vjp(mesh, axis, ("mosm", (twopi, phase_inside)),
+                                 O, x, c, params, use_pallas, A, B)

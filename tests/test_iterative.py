@@ -187,3 +187,66 @@ def test_iterative_blocked_prediction_matches_unblocked():
     mu_b, var_b = iterative.predict_f(Xs, block_size=4)
     np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_c), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_c), rtol=1e-2, atol=1e-5)
+
+
+# -- fused families beyond MOSM (uMOSM / CSM / CONV) --------------------------
+
+def _family_kernel(name, rng):
+    if name == "umosm":
+        k = gpr.UncoupledMultiOutputSpectralKernel(output_dims=2)
+        k.weight.assign(np.tril(0.5 + rng.rand(2, 2)))
+        k.mean.assign(0.1 + 0.1 * rng.rand(2, 1))
+        k.variance.assign(0.3 + 0.1 * rng.rand(2, 1))
+        return k
+    if name == "csm":
+        k = gpr.CrossSpectralKernel(output_dims=2, Rq=2)
+        k.mean.assign(0.1 + 0.1 * rng.rand(1))
+        k.variance.assign(0.3 + 0.1 * rng.rand(1))
+        k.amplitude.assign(0.5 + rng.rand(2, 2))
+        return k
+    if name == "conv":
+        k = gpr.GaussianConvolutionProcessKernel(output_dims=2)
+        k.variance.assign(0.3 + 0.1 * rng.rand(2, 1))
+        return k
+    raise ValueError(name)
+
+
+def _family_models(name, n_per=24):
+    rng = np.random.RandomState(0)
+    x0 = np.linspace(0, 6, n_per).reshape(-1, 1)
+    x1 = np.linspace(0, 6, n_per).reshape(-1, 1)
+    _, X, Y = gpr.merge_data([x0, x1],
+                             [np.sin(1.2 * x0) + 0.05 * rng.randn(n_per, 1),
+                              np.cos(1.2 * x1) + 0.05 * rng.randn(n_per, 1)])
+    dense = gpr.Exact(_family_kernel(name, np.random.RandomState(1)), X, Y, variance=0.1)
+    it = gpr.ExactIterative(_family_kernel(name, np.random.RandomState(1)), X, Y,
+                            variance=0.1, max_cg_iters=300, cg_tol=1e-10,
+                            num_probes=128, lanczos_iters=48)
+    return dense, it
+
+
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+def test_iterative_family_lml_matches_cholesky(name):
+    dense, it = _family_models(name)
+    # the SLQ logdet carries probe noise of ~±0.5 nats at this conditioning
+    # (verified directly against slogdet of the same operator); the LML is a
+    # small difference of large terms, so bound the absolute error
+    np.testing.assert_allclose(float(it.loss()), float(dense.loss()),
+                               rtol=0.05, atol=0.7)
+
+
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+def test_iterative_family_prediction_matches_cholesky(name):
+    dense, it = _family_models(name)
+    Xs = np.concatenate([np.zeros((9, 1)), np.linspace(0, 6, 9).reshape(-1, 1)], axis=1)
+    mu_c, var_c = dense.predict_f(Xs)
+    mu_i, var_i = it.predict_f(Xs, block_size=4)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_c), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_c), rtol=1e-2, atol=1e-5)
+
+
+def test_iterative_family_trains():
+    _, it = _family_models("conv")
+    loss0 = it.loss()
+    losses, _ = gpr.train(it, method="Adam", lr=0.02, iters=30)
+    assert losses[-1] < loss0

@@ -73,3 +73,97 @@ def test_under_jit_with_tracer_inputs():
     assert np.isfinite(float(out))
     g = jax.jit(jax.grad(f, argnums=1))(x1, w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# -- generalized fused families (ops/fused.py) --------------------------------
+
+import mogptk_tpu.ops.fused as fused
+
+
+@pytest.fixture(autouse=True)
+def interpret_fused(monkeypatch):
+    orig = fused.pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fused.pl, "pallas_call", interp)
+    monkeypatch.setattr(pm, "BWD_TILE", 64)
+    yield
+
+
+def _family_setup(name, O=3, D=1, N=96, M=72, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = jnp.asarray(rng.rand(N, D) * 5, dtype=jnp.float32)
+    x2 = jnp.asarray(rng.rand(M, D) * 5, dtype=jnp.float32)
+    c1 = jnp.asarray(rng.randint(0, O, N), dtype=jnp.int32)
+    c2 = jnp.asarray(rng.randint(0, O, M), dtype=jnp.int32)
+    twopi = float((2 * np.pi) ** (D / 2))
+    if name == "umosm":
+        params = (jnp.asarray(np.tril(0.5 + rng.rand(O, O)), dtype=jnp.float32),
+                  jnp.asarray(0.1 + rng.rand(O, 1, D), dtype=jnp.float32),
+                  jnp.asarray(0.2 + rng.rand(O, 1, D), dtype=jnp.float32),
+                  jnp.asarray(0.1 * rng.randn(O, 1, D), dtype=jnp.float32),
+                  jnp.asarray(0.1 * rng.randn(O, 1), dtype=jnp.float32))
+        family = ("umosm", (twopi,))
+    elif name == "csm":
+        Rq = 2
+        params = (jnp.asarray(0.5 + rng.rand(O, Rq), dtype=jnp.float32),
+                  jnp.asarray(0.1 + rng.rand(1, D), dtype=jnp.float32),
+                  jnp.asarray(0.2 + rng.rand(1, D), dtype=jnp.float32),
+                  jnp.asarray(0.1 * rng.randn(O, Rq), dtype=jnp.float32))
+        family = ("csm", (Rq, D))
+    elif name == "conv":
+        params = (jnp.asarray(0.5 + rng.rand(O, 1), dtype=jnp.float32),
+                  jnp.asarray(0.2 + rng.rand(O, D), dtype=jnp.float32),
+                  jnp.asarray(0.3 + rng.rand(1, D), dtype=jnp.float32))
+        family = ("conv", (D,))
+    else:
+        raise ValueError(name)
+    return family, O, x1, c1, x2, c2, params
+
+
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+def test_fused_gram_matches_dense(name):
+    family, O, x1, c1, x2, c2, params = _family_setup(name)
+    _, dense, _ = fused.resolve_family(family)
+    K_pallas = fused.fused_gram(family, O, x1, c1, x2, c2, params)
+    K_dense = dense(c1, x1, c2, x2, params)
+    np.testing.assert_allclose(np.asarray(K_pallas), np.asarray(K_dense),
+                               rtol=1e-3, atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+def test_fused_matvec_matches_dense(name):
+    family, O, x1, c1, x2, c2, params = _family_setup(name)
+    _, dense, _ = fused.resolve_family(family)
+    V = jnp.asarray(np.random.RandomState(3).randn(x2.shape[0], 4), dtype=jnp.float32)
+    got = fused.fused_gram_matvec(family, O, x1, c1, x2, c2, params, V)
+    want = dense(c1, x1, c2, x2, params) @ V
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+def test_fused_lowrank_vjp_matches_dense(name):
+    family, O, x1, c1, x2, c2, params = _family_setup(name)
+    _, dense, _ = fused.resolve_family(family)
+    rng = np.random.RandomState(4)
+    A = jnp.asarray(rng.randn(x1.shape[0], 3), dtype=jnp.float32)
+    B = jnp.asarray(rng.randn(x2.shape[0], 3), dtype=jnp.float32)
+    got = fused.fused_gram_lowrank_vjp(family, O, x1, c1, x2, c2, params, A, B)
+    _, vjp = jax.vjp(lambda ps: dense(c1, x1, c2, x2, ps), params)
+    (want,) = vjp(jnp.asarray(A @ B.T))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["mosm"])
+def test_fused_diag_matches_dense(name):
+    x1, c1, x2, c2, w, mu, var, th, ph, twopi = _setup()
+    family = ("mosm", (twopi, True))
+    _, dense, diag = fused.resolve_family(family)
+    got = diag(c1, x1, (w, mu, var, th, ph))
+    K = dense(c1, x1, c1, None, (w, mu, var, th, ph))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.diagonal(K)),
+                               rtol=1e-4, atol=1e-6)
