@@ -32,6 +32,17 @@ class Config:
         # Cholesky retry rungs (10× jitter each) when a factorization NaNs.
         # 0 = off (reference behavior: fail with CholeskyException diagnostics).
         self.jitter_ladder = 0
+        # Blocked left-looking Cholesky (ops/blocked_cholesky.py): None =
+        # auto (enabled on TPU backends for 2-D f32 matrices of at least
+        # blocked_cholesky_min_n rows — measured ~3× XLA's expander at
+        # N=16k), True/False to force either way.
+        self.blocked_cholesky = None
+        self.blocked_cholesky_block = 1024
+        self.blocked_cholesky_min_n = 4096
+        # Precision of the blocked Cholesky's trailing accumulation GEMM
+        # (the N³/3 bulk). "high" = bf16x3 passes, ~f32-quality
+        # accumulation at ~2.7× the speed of "highest".
+        self.blocked_cholesky_update_precision = "high"
         # Matmul precision for the cancellation-sensitive products only
         # (factorizations/triangular solves in ops/linalg.py and the
         # GEMM-identity squared distance): XLA:TPU's default bf16-pass f32
@@ -177,6 +188,33 @@ def pallas_enabled():
     if config.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     return jax.default_backend() == "tpu"
+
+
+def use_blocked_cholesky(enable=True, block_size=None, update_precision=None,
+                         min_n=None):
+    """Force the MXU-blocked left-looking Cholesky on or off;
+    use_blocked_cholesky(None) restores the auto policy (enabled on TPU for
+    2-D f32 factorizations of at least `min_n` rows). See
+    ops/blocked_cholesky.py for the design and measured numbers."""
+    config.blocked_cholesky = enable
+    if block_size is not None:
+        config.blocked_cholesky_block = int(block_size)
+    if update_precision is not None:
+        config.blocked_cholesky_update_precision = update_precision
+    if min_n is not None:
+        config.blocked_cholesky_min_n = int(min_n)
+    config.bump()
+
+
+def blocked_cholesky_enabled(n, ndim=2, dtype=None):
+    """Resolve the blocked-Cholesky policy for an (n, n) factorization."""
+    if ndim != 2:
+        return False
+    if dtype is not None and dtype not in (jnp.float32, jnp.float64):
+        return False
+    if config.blocked_cholesky is not None:
+        return bool(config.blocked_cholesky)
+    return n >= config.blocked_cholesky_min_n and jax.default_backend() == "tpu"
 
 
 def set_matmul_precision(precision="highest"):

@@ -1,0 +1,115 @@
+"""Left-looking blocked Cholesky tuned for the TPU MXU.
+
+XLA:TPU's built-in Cholesky factorizes N=16k f32 in ~74 ms (~20 TFLOP/s at
+N³/3) on a v5e whose default-precision f32 GEMM sustains ~165 TFLOP/s — the
+expander's small internal blocks leave the MXU idle. This implementation
+moves ~all of the N³/3 FLOPs into one large GEMM per block column
+(`S = K_panel − L_below @ L_topᵀ`) whose precision is independently
+configurable, while the cancellation-sensitive panel work (the B×B diagonal
+factorization and the triangular solve that forms the sub-diagonal panel)
+runs at "highest" (full-f32 multi-pass) precision.
+
+The block-column loop is a Python unroll: every GEMM/solve has a static
+shape, the trace stays small (N/B ≤ ~32 iterations), and XLA schedules each
+trailing GEMM as a single MXU-saturating dot. FLOPs are exactly the
+left-looking N³/3 — no masked full-width updates, no wasted symmetric half.
+
+Semantics match `jnp.linalg.cholesky`: lower factor; rows of NaN where the
+matrix is not positive definite (callers' NaN-based jitter ladders keep
+working). Differentiable through the standard chol/solve/dot VJPs.
+
+Capability reference: torch.linalg.cholesky as used by the reference at
+mogptk/gpr/model.py:246; this file exists because the TPU expander leaves a
+~3× gap on large N (measured in benchmarks/microprobe.py).
+"""
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+def _dot_t(a, b, precision):
+    """a @ b.T at the given matmul precision."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               precision=precision)
+
+
+def _panel_factor(S, update_precision, panel_precision):
+    """Factor a B×B diagonal block. XLA's expander is slow on 1024² blocks
+    (~1.5 ms each, ~25 ms of pure panel time at N=16k); recurse with
+    quarter-width blocks down to a 256² leaf where the expander is cheap."""
+    B = S.shape[0]
+    if B <= 256:
+        return jnp.linalg.cholesky(S)
+    return blocked_cholesky(S, block_size=max(B // 4, 256),
+                            update_precision=update_precision,
+                            panel_precision=panel_precision)
+
+
+def _tri_inverse(Ljj):
+    """Explicit inverse of a small lower-triangular block (runs under the
+    panel-precision scope). Lets the sub-diagonal panel solve be a single
+    MXU GEMM instead of XLA's sequential triangular-solve expander."""
+    B = Ljj.shape[0]
+    return jsl.solve_triangular(Ljj, jnp.eye(B, dtype=Ljj.dtype), lower=True)
+
+
+def blocked_cholesky(K, block_size=1024, update_precision="high",
+                     panel_precision="highest"):
+    """Lower-Cholesky factor of a symmetric PSD matrix, blocked for the MXU.
+
+    Args:
+        K: (n, n) symmetric positive-definite matrix (f32/f64; bf16 inputs
+            should be upcast by the caller — a bf16 factorization is
+            numerically meaningless).
+        block_size: panel width B. The trailing GEMM at block column j has
+            shape (n−jB, jB)×(jB, B); 1024 keeps the MXU saturated at n≥8k.
+        update_precision: matmul precision for the big accumulation GEMM
+            (the N³/3 bulk). "high" (bf16x3) is ~2.7× the speed of
+            "highest" and keeps ~f32-quality accumulation; "default"
+            (single bf16 pass) is fastest but drops ~5 decimal digits.
+        panel_precision: precision scope for the B×B factorization and the
+            panel triangular solve — the cancellation-sensitive steps.
+
+    Returns:
+        (n, n) lower-triangular L with K = L @ L.T (upper half zero).
+    """
+    n = K.shape[-1]
+    if K.ndim != 2:
+        raise ValueError("blocked_cholesky expects a 2-D matrix; got shape %r"
+                         % (K.shape,))
+    B = int(min(block_size, n))
+    nb = -(-n // B)
+    npad = nb * B
+    if npad != n:
+        # pad with an identity tail: factorization of the padded matrix has
+        # the original L in its leading block and 1s on the padded diagonal
+        K = jnp.pad(K, ((0, npad - n), (0, npad - n)))
+        K = K.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+
+    cols = []  # block column j: full-height (npad, B), zeros above row j*B
+    for j in range(nb):
+        r0 = j * B
+        Kj = K[r0:, r0:r0 + B]                      # (npad − jB, B)
+        if j > 0:
+            # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
+            Lleft = jnp.concatenate([c[r0:] for c in cols], axis=1)
+            S = Kj - _dot_t(Lleft, Lleft[:B], update_precision)
+        else:
+            S = Kj
+        with jax.default_matmul_precision(panel_precision):
+            Ljj = _panel_factor(S[:B], update_precision, panel_precision)
+            if j < nb - 1:
+                # X · Ljjᵀ = S_below  ⇔  X = S_below · Ljj⁻ᵀ — one GEMM
+                # against the explicit B×B triangular inverse (MAGMA-style
+                # TRSM-via-inverse; the B×B blocks are jittered Gram
+                # diagonals, well within inverse-stability territory)
+                below = _dot_t(S[B:], _tri_inverse(Ljj), "highest")
+                colj = jnp.concatenate([Ljj, below], axis=0)
+            else:
+                colj = Ljj
+        if r0 > 0:
+            colj = jnp.pad(colj, ((r0, 0), (0, 0)))
+        cols.append(colj)
+
+    L = jnp.concatenate(cols, axis=1)
+    return L[:n, :n]

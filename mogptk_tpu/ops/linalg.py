@@ -13,6 +13,21 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from .blocked_cholesky import blocked_cholesky
+
+
+def cholesky(K):
+    """Lower-Cholesky factor, routed to the MXU-blocked implementation when
+    the policy says so (gpr.config.blocked_cholesky_enabled: auto = TPU,
+    2-D, n ≥ 4096 — where it measures ~3× XLA's expander), else
+    jnp.linalg.cholesky. Both return NaN rows for non-PSD input."""
+    from ..gpr.config import config, blocked_cholesky_enabled
+    if blocked_cholesky_enabled(K.shape[-1], K.ndim, K.dtype):
+        return blocked_cholesky(
+            K, block_size=config.blocked_cholesky_block,
+            update_precision=config.blocked_cholesky_update_precision)
+    return jnp.linalg.cholesky(K)
+
 
 def _sensitive(fn):
     """Run fn's matmuls at the scoped sensitive-product precision
@@ -56,7 +71,7 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)[..., None, None]
     base = jitter if jitter is not None else 0.0
     if int(ladder) <= 0:
-        return jnp.linalg.cholesky(K + (base * mean_diag) * eye if base != 0.0 else K)
+        return cholesky(K + (base * mean_diag) * eye if base != 0.0 else K)
 
     # All trial factorizations run under stop_gradient and only select the
     # *jitter value*; the returned factor comes from ONE final differentiable
@@ -72,17 +87,17 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     Ks = jax.lax.stop_gradient(K)
     md = jax.lax.stop_gradient(mean_diag)
     jit_val = jnp.asarray(base, K.dtype)
-    L_trial = jnp.linalg.cholesky(Ks + (base * md) * eye if base != 0.0 else Ks)
+    L_trial = cholesky(Ks + (base * md) * eye if base != 0.0 else Ks)
     for i in range(int(ladder)):
         rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
         bad = unusable(L_trial)
         jit_val = jnp.where(bad, jnp.asarray(rung, K.dtype), jit_val)
         L_trial = jax.lax.cond(
             bad,
-            lambda _, rung=rung: jnp.linalg.cholesky(Ks + (rung * md) * eye),
+            lambda _, rung=rung: cholesky(Ks + (rung * md) * eye),
             lambda L_prev, rung=rung: L_prev,
             L_trial)
-    return jnp.linalg.cholesky(K + (jit_val * md) * eye)
+    return cholesky(K + (jit_val * md) * eye)
 
 
 @_sensitive
@@ -127,7 +142,7 @@ def lml_quadform_logdet(K, y):
     """
     Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = jnp.linalg.cholesky(Kc)
+    L = cholesky(Kc)
     alpha = jsl.cho_solve((L, True), yc)
     return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
@@ -136,7 +151,7 @@ def lml_quadform_logdet(K, y):
 def _lml_fwd(K, y):
     Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = jnp.linalg.cholesky(Kc)
+    L = cholesky(Kc)
     alpha = jsl.cho_solve((L, True), yc)
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     # zero-length sentinels carry the primal dtypes through the residuals
@@ -193,7 +208,7 @@ def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
     """
     Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = jnp.linalg.cholesky(Kc)
+    L = cholesky(Kc)
     alpha = jsl.cho_solve((L, True), yc)
     return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
@@ -202,7 +217,7 @@ def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
 def _lml_stoch_fwd(K, y, num_probes, seed):
     Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = jnp.linalg.cholesky(Kc)
+    L = cholesky(Kc)
     alpha = jsl.cho_solve((L, True), yc)
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))

@@ -302,3 +302,92 @@ def test_quadform_gemm_precision_scope():
     finally:
         gpr.config.sensitive_matmul_precision = old
         gpr.config.bump()
+
+
+class TestBlockedCholesky:
+    def test_matches_xla_cholesky(self):
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        for n, B in [(256, 64), (300, 128), (64, 1024), (517, 100)]:
+            K = jnp.asarray(_spd(n, seed=n))
+            L_ref = np.linalg.cholesky(np.asarray(K))
+            L = np.asarray(jax.jit(lambda K, B=B: blocked_cholesky(K, block_size=B))(K))
+            np.testing.assert_allclose(L, L_ref, rtol=1e-9, atol=1e-9,
+                                       err_msg="n=%d B=%d" % (n, B))
+            # strictly lower-triangular output (upper half exactly zero)
+            assert np.all(np.triu(L, 1) == 0.0)
+
+    def test_nan_rows_for_non_psd(self):
+        """The jitter ladder detects failure via NaNs — the blocked factor
+        must NaN on non-PSD input exactly like jnp.linalg.cholesky."""
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        n = 200
+        K = jnp.asarray(_spd(n)) - 1e3 * jnp.eye(n)
+        L = blocked_cholesky(K, block_size=64)
+        assert bool(jnp.any(jnp.isnan(L)))
+
+    def test_gradient_matches_xla_path(self):
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        K = jnp.asarray(_spd(96, seed=7))
+        w = jnp.asarray(np.random.RandomState(8).randn(96, 96))
+
+        def f_blocked(K):
+            return jnp.sum(w * blocked_cholesky(K, block_size=32))
+
+        def f_xla(K):
+            return jnp.sum(w * jnp.linalg.cholesky(K))
+
+        # the two factorizations read the symmetric input differently (the
+        # blocked one touches only the lower block column, XLA's only the
+        # lower triangle), so their VJPs agree only after symmetrization —
+        # both are valid gradients for symmetric K (cf. the LML test above)
+        sym = lambda A: 0.5 * (A + A.T)
+        g_b = sym(np.asarray(jax.grad(f_blocked)(K)))
+        g_x = sym(np.asarray(jax.grad(f_xla)(K)))
+        np.testing.assert_allclose(g_b, g_x, rtol=1e-7, atol=1e-9)
+
+    def test_dispatcher_policy_and_lml_parity(self):
+        import mogptk_tpu.gpr as gpr
+        from mogptk_tpu.ops.linalg import lml_quadform_logdet
+        K = jnp.asarray(_spd(128, seed=3))
+        y = jnp.asarray(np.random.RandomState(4).randn(128, 1))
+        v_xla = float(lml_quadform_logdet(K, y))
+        g_xla = np.asarray(jax.grad(lml_quadform_logdet)(K, y))
+        old = gpr.config.blocked_cholesky
+        try:
+            gpr.use_blocked_cholesky(True, block_size=48)
+            assert gpr.blocked_cholesky_enabled(128, 2, K.dtype)
+            # 1-D/batched shapes and sub-f32 dtypes never route to the
+            # blocked path even when forced on
+            assert not gpr.blocked_cholesky_enabled(128, 3, K.dtype)
+            assert not gpr.blocked_cholesky_enabled(128, 2, jnp.bfloat16)
+            jax.clear_caches()
+            v_blk = float(lml_quadform_logdet(K, y))
+            g_blk = np.asarray(jax.grad(lml_quadform_logdet)(K, y))
+            np.testing.assert_allclose(v_blk, v_xla, rtol=1e-10)
+            np.testing.assert_allclose(g_blk, g_xla, rtol=1e-8, atol=1e-12)
+
+            gpr.use_blocked_cholesky(False)
+            assert not gpr.blocked_cholesky_enabled(1 << 20, 2, K.dtype)
+            gpr.use_blocked_cholesky(None)  # auto: off on CPU
+            assert not gpr.blocked_cholesky_enabled(1 << 20, 2, K.dtype)
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+            jax.clear_caches()
+
+    def test_jitter_ladder_with_blocked_factor(self):
+        import mogptk_tpu.gpr as gpr
+        n = 64
+        v = np.ones((n, 1))
+        K = jnp.asarray(v @ v.T - 1e-4 * np.eye(n))
+        old = gpr.config.blocked_cholesky
+        try:
+            gpr.use_blocked_cholesky(True, block_size=16)
+            jax.clear_caches()
+            L = jax.jit(lambda K: jittered_cholesky(K, jitter=1e-8, ladder=6))(K)
+            assert bool(jnp.all(jnp.isfinite(L)))
+            assert float(jnp.max(jnp.abs(L @ L.T - K))) < 2e-2
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+            jax.clear_caches()
