@@ -5,12 +5,25 @@ MultiOutputSpectralMixtureKernel(Q=2), exact inference. One full training
 step = Gram assembly + Cholesky + LML + backward pass + Adam update, all in
 one jitted XLA program on the TPU (float32).
 
+Timing method: this image's tunneled TPU does NOT block on
+block_until_ready(), and separately compiled executables see seconds of
+round-trip noise. Each measurement therefore runs T chained training steps
+inside ONE executable (dynamic fori_loop trip count), fetches the final
+loss to the host (which does block), and reports the slope
+(t(T_hi)−t(T_lo))/(T_hi−T_lo) — pure on-device step time.
+
+The headline number uses Hutchinson probe-trace gradients (unbiased,
+BBMM-style; tests/test_linalg.py asserts unbiasedness); the JSON also
+reports the deterministic closed-form-gradient number
+(exact_grad_steps_per_sec) so the comparison with the reference's exact
+gradients is apples-to-apples.
+
 vs_baseline is measured against the reference implementation
 (GAMES-UChile/mogptk, PyTorch CPU float64) running the same configuration;
 the baseline measurement is cached in BENCH_BASELINE_CACHE.json because a
 single reference step takes minutes at this size.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import os
 import sys
@@ -21,8 +34,6 @@ import numpy as np
 N_PER_CHANNEL = 4096
 CHANNELS = 4
 Q = 2
-WARMUP = 2
-MEASURE_STEPS = 10
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE_CACHE.json")
 
 
@@ -38,6 +49,57 @@ def make_data():
     return xs, ys
 
 
+def _build_model(xs, ys, trace_probes, inference="exact", M=1024):
+    import mogptk_tpu.gpr as gpr
+    N, X, Y = gpr.merge_data(xs, ys)
+    kernel = gpr.MultiOutputSpectralMixtureKernel(Q, output_dims=CHANNELS)
+    rng = np.random.RandomState(1)
+    kernel.mean.assign(0.05 + 0.3 * rng.rand(CHANNELS, Q, 1))
+    kernel.variance.assign(0.2 + 0.3 * rng.rand(CHANNELS, Q, 1))
+    if inference == "exact":
+        return gpr.Exact(kernel, X, Y, variance=0.1, trace_probes=trace_probes)
+    return gpr.Titsias(kernel, X, Y, Z=M // CHANNELS, Z_init="random", variance=0.1)
+
+
+def time_training_steps(model, target_sec=20.0, t_lo=3, reps=3, max_t=600):
+    """Honest steps/sec: dynamic-trip-count chained steps, host-fetch timed."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+    optimizer = optax.adam(1e-3)
+    opt_state0 = optimizer.init(train0)
+    from mogptk_tpu.gpr.config import config as _cfg
+    value0 = jnp.zeros((), _cfg.dtype)
+
+    @jax.jit
+    def run(params, opt_state, T):
+        def body(i, carry):
+            params, opt_state, _ = carry
+            value, grads = jax.value_and_grad(loss_fn)(params, fixed)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, value.astype(value0.dtype))
+        return jax.lax.fori_loop(0, T, body, (params, opt_state, value0))[2]
+
+    def fetch(T):
+        t0 = time.perf_counter()
+        v = float(np.asarray(run(train0, opt_state0, T)))
+        if not np.isfinite(v):
+            raise RuntimeError("benchmark loss is not finite: %r" % (v,))
+        return time.perf_counter() - t0
+
+    fetch(t_lo)  # compile + warm
+    est = max(fetch(t_lo * 2) / (t_lo * 2), 1e-4)
+    t_hi = int(min(max(target_sec / est, t_lo * 6), max_t))
+    lo = min(fetch(t_lo) for _ in range(reps))
+    hi = min(fetch(t_hi) for _ in range(reps))
+    per_step = (hi - lo) / (t_hi - t_lo)
+    return 1.0 / per_step
+
+
 def bench_ours(xs, ys):
     import jax
     # persist compiled programs: remote TPU compilation of the full training
@@ -46,50 +108,34 @@ def bench_ours(xs, ys):
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    import jax.numpy as jnp
-    import optax
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import mogptk_tpu.gpr as gpr
     if not os.environ.get("BENCH_NO_PALLAS"):
-        # the fused Pallas Gram kernel is slightly faster end-to-end and
-        # verified on hardware; set BENCH_NO_PALLAS=1 for the pure-XLA path
+        # the fused Pallas Gram kernel is faster end-to-end and verified on
+        # hardware; set BENCH_NO_PALLAS=1 for the pure-XLA path
         gpr.use_pallas(True)
+    # the MXU-blocked Cholesky auto-enables on TPU at this size
+    # (ops/blocked_cholesky.py); BENCH_XLA_CHOL=1 forces XLA's expander
+    if os.environ.get("BENCH_XLA_CHOL"):
+        gpr.use_blocked_cholesky(False)
 
-    N, X, Y = gpr.merge_data(xs, ys)
-    kernel = gpr.MultiOutputSpectralMixtureKernel(Q, output_dims=CHANNELS)
-    rng = np.random.RandomState(1)
-    kernel.mean.assign(0.05 + 0.3 * rng.rand(CHANNELS, Q, 1))
-    kernel.variance.assign(0.2 + 0.3 * rng.rand(CHANNELS, Q, 1))
-    # Hutchinson probe-trace gradients (unbiased, BBMM-style): the backward
-    # becomes two 16-column triangular solves instead of an N x N inverse
-    model = gpr.Exact(kernel, X, Y, variance=0.1,
-                      trace_probes=None if os.environ.get("BENCH_EXACT_GRAD") else 16)
+    # headline: Hutchinson probe-trace gradients (the backward becomes two
+    # 17-column triangular solves batched into the forward cho_solve)
+    probe_sps = time_training_steps(_build_model(xs, ys, trace_probes=16))
+    # deterministic closed-form-gradient number (apples-to-apples with the
+    # torch baseline's exact gradients)
+    exact_sps = None
+    if not os.environ.get("BENCH_SKIP_EXACT_GRAD"):
+        exact_sps = time_training_steps(_build_model(xs, ys, trace_probes=None),
+                                        target_sec=25.0)
+    return probe_sps, exact_sps
 
-    loss_fn = model.make_loss_fn()
-    train0, fixed = model._split_raws()
-    optimizer = optax.adam(1e-3)
-    opt_state0 = optimizer.init(train0)
 
-    @jax.jit
-    def step(params, opt_state):
-        value, grads = jax.value_and_grad(loss_fn)(params, fixed)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, value
-
-    params, opt_state = train0, opt_state0
-    for _ in range(WARMUP):
-        params, opt_state, value = step(params, opt_state)
-    value.block_until_ready()
-
-    start = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        params, opt_state, value = step(params, opt_state)
-    value.block_until_ready()
-    elapsed = time.perf_counter() - start
-    if not np.isfinite(float(value)):
-        raise RuntimeError("benchmark loss is not finite: %r" % (float(value),))
-    return MEASURE_STEPS / elapsed, float(value)
+def bench_svgp(xs, ys, M=1024):
+    """Secondary metric from BASELINE.md: SVGP ELBO steps/sec at M inducing
+    points (Titsias collapsed bound) on the same N=16k data."""
+    return time_training_steps(_build_model(xs, ys, None, inference="svgp", M=M),
+                               target_sec=10.0)
 
 
 def bench_reference(xs, ys, max_steps=2):
@@ -135,48 +181,10 @@ def bench_reference(xs, ys, max_steps=2):
     return steps_per_sec
 
 
-def bench_svgp(xs, ys, M=1024):
-    """Secondary metric from BASELINE.md: SVGP ELBO steps/sec at M inducing
-    points (Titsias collapsed bound) on the same N=16k data."""
-    import jax
-    import optax
-    import mogptk_tpu.gpr as gpr
-
-    N, X, Y = gpr.merge_data(xs, ys)
-    kernel = gpr.MultiOutputSpectralMixtureKernel(Q, output_dims=CHANNELS)
-    rng = np.random.RandomState(1)
-    kernel.mean.assign(0.05 + 0.3 * rng.rand(CHANNELS, Q, 1))
-    kernel.variance.assign(0.2 + 0.3 * rng.rand(CHANNELS, Q, 1))
-    model = gpr.Titsias(kernel, X, Y, Z=M // CHANNELS, Z_init="random", variance=0.1)
-
-    loss_fn = model.make_loss_fn()
-    train0, fixed = model._split_raws()
-    optimizer = optax.adam(1e-3)
-    opt_state0 = optimizer.init(train0)
-
-    @jax.jit
-    def step(params, opt_state):
-        value, grads = jax.value_and_grad(loss_fn)(params, fixed)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, value
-
-    params, opt_state = train0, opt_state0
-    for _ in range(WARMUP):
-        params, opt_state, value = step(params, opt_state)
-    value.block_until_ready()
-    start = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        params, opt_state, value = step(params, opt_state)
-    value.block_until_ready()
-    elapsed = time.perf_counter() - start
-    return MEASURE_STEPS / elapsed
-
-
 def main():
     xs, ys = make_data()
 
-    ours, final_loss = bench_ours(xs, ys)
+    probe_sps, exact_sps = bench_ours(xs, ys)
 
     try:
         svgp = bench_svgp(xs, ys)
@@ -199,9 +207,11 @@ def main():
     result = {
         "metric": "exact GP LML+grad steps/sec (MOSM Q=%d, %d channels x %d points, f32 TPU)"
                   % (Q, CHANNELS, N_PER_CHANNEL),
-        "value": round(ours, 4),
+        "value": round(probe_sps, 4),
         "unit": "steps/sec",
-        "vs_baseline": round(ours / ref, 2) if ref else None,
+        "vs_baseline": round(probe_sps / ref, 2) if ref else None,
+        "exact_grad_steps_per_sec": round(exact_sps, 4) if exact_sps else None,
+        "exact_grad_vs_baseline": round(exact_sps / ref, 2) if (exact_sps and ref) else None,
         "svgp_elbo_steps_per_sec_M1024": round(svgp, 4) if svgp else None,
     }
     print(json.dumps(result))
