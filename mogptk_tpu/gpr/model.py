@@ -24,7 +24,7 @@ from .parameter import Parameter
 from .kernel import Kernel, MultiOutputKernel
 from .mean import Mean
 from .likelihood import Likelihood, MultiOutputLikelihood, GaussianLikelihood
-from .config import config, sensitive_matmul_scope
+from .config import config, sensitive_matmul_scope, pallas_enabled
 from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
                           lml_quadform_logdet, lml_quadform_logdet_stochastic)
 
@@ -167,6 +167,15 @@ class Model(Module):
         # per-point 0/1 weights; padded rows carry 0 (set transiently by the
         # sharded training step, mogptk_tpu/parallel/sharding.py)
         object.__setattr__(self, "_row_mask", None)
+        # static per-channel counts when the (concrete) training X is
+        # channel-sorted, as merge_data produces: unlocks the channel-block
+        # Gram engine (ops/block_mosm.py) for kernels that implement
+        # K_sorted. None for unsorted or single-output data.
+        counts = None
+        if getattr(kernel, "output_dims", None) is not None and hasattr(kernel, "K_sorted"):
+            from ..ops.block_mosm import sorted_channel_counts
+            counts = sorted_channel_counts(np.asarray(X), kernel.output_dims)
+        object.__setattr__(self, "_channel_counts", counts)
 
     # pickle support: drop the jit cache, move arrays to host
     def __getstate__(self):
@@ -449,7 +458,14 @@ class Exact(Model):
         # remat the Gram assembly: the backward pass recomputes the fused
         # elementwise chain instead of keeping O(Q·D) N×N residents in HBM
         # (trades ~1 extra Gram evaluation for several GB at N=16k)
-        Kff = jax.checkpoint(lambda X: self.kernel.K(X))(self.X)
+        counts = getattr(self, "_channel_counts", None)
+        if counts is not None and pallas_enabled():
+            # channel-sorted data + a kernel with a channel-block engine:
+            # scalar pair stats per block, ~2x the generic Pallas Gram
+            kern_K = lambda X: self.kernel.K_sorted(X, counts)
+        else:
+            kern_K = lambda X: self.kernel.K(X)
+        Kff = jax.checkpoint(kern_K)(self.X)
         gram_sharding = getattr(self, "_gram_sharding", None)
         if gram_sharding is not None:
             # row-block the assembly (and, by propagation, its VJP) over the

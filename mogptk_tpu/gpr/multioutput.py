@@ -232,6 +232,16 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
                              w, mu, var, th, ph, self.twopi, True)
         return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X with static per-channel counts
+        (ops/block_mosm.py): scalar pair stats per block, ~2x the generic
+        Pallas Gram. _params() already lifts the Q=1 shapes."""
+        from ..ops.block_mosm import mosm_gram_sorted
+        c1, x1 = self._split(X)
+        w, mu, var, th, ph = self._params()
+        return mosm_gram_sorted(x1, counts, w, mu, var, th, ph,
+                                self.twopi, True)
+
     def K_mo_diag(self, c1, x1):
         variance = self.variance()  # OxD
         alpha = self.weight() ** 2 * self.twopi * jnp.sqrt(jnp.prod(variance, axis=-1))  # O
@@ -272,6 +282,16 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
             return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,
                              w, mu, var, th, ph, self.twopi, True)
         return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
+
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X with static per-channel counts
+        (ops/block_mosm.py): scalar pair stats per block, ~2x the generic
+        Pallas Gram."""
+        from ..ops.block_mosm import mosm_gram_sorted
+        c1, x1 = self._split(X)
+        w, mu, var, th, ph = self._params()
+        return mosm_gram_sorted(x1, counts, w, mu, var, th, ph,
+                                self.twopi, True)
 
     def K_mo_diag(self, c1, x1):
         variance = self.variance()  # OxQxD

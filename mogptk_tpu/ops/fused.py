@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_mosm as _pm
-from .pallas_mosm import _pad, _tile_forward
+from .pallas_mosm import _pad, _tile_forward, _interpret
 
 _pi = np.pi
 
@@ -213,6 +213,7 @@ def fused_gram_matvec(family, O, x1, c1, x2, c2, params, V):
             pl.BlockSpec((T, R), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((T, R), lambda i, j: (i, 0)),
+        interpret=_interpret(),
     )(x1p, c1p, x2p, c2p, *params, Vp)
     return out[:N, :]
 
@@ -271,6 +272,7 @@ def fused_gram_lowrank_vjp(family, O, x1, c1, x2, c2, params, A, B):
         ],
         out_specs=tuple(pl.BlockSpec(p.shape, zero_ix(p.ndim)) for p in params),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
     )(x1p, c1p, x2p, c2p, *params, Ap, Bp)
     return douts
 
@@ -305,5 +307,6 @@ def fused_gram(family, O, x1, c1, x2, c2, params):
             pl.BlockSpec((T, 1), lambda i, j: (j, 0)),
         ] + _param_specs(params),
         out_specs=pl.BlockSpec((T, T), lambda i, j: (i, j)),
+        interpret=_interpret(),
     )(x1p, c1p, x2p, c2p, *params)
     return out[:N, :M]

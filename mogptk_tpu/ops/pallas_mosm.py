@@ -29,6 +29,13 @@ TILE = 512
 BWD_TILE = 256  # backward holds ~40 VJP temps per tile in VMEM
 
 
+def _interpret():
+    """Pallas only compiles on TPU; on CPU (use_pallas(True) forced, or unit
+    tests) run the kernels in interpreter mode."""
+    import jax as _jax
+    return _jax.default_backend() == "cpu"
+
+
 def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi,
                   phase_inside, cross_weight=None):
     """MOSM math for one (TN, TM) tile. x1t (TN,1), c1oh (TN,O) one-hot.
@@ -180,6 +187,7 @@ def _mosm_gram_impl(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside)
             pl.BlockSpec((TILE, 1), lambda i, j: (j, 0)),
         ] + _specs(O, Q, D, dtype),
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+        interpret=_interpret(),
     )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi)
     return out[:N, :M]
 
@@ -227,6 +235,7 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
         ] + _specs(O, Q, D, dtype) + [
             pl.BlockSpec((T, T), lambda i, j: (i, j)),
         ],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         out_specs=(
             pl.BlockSpec((O, Q), zero),
@@ -300,6 +309,7 @@ def mosm_gram_matvec(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside
             pl.BlockSpec((TILE, R), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((TILE, R), lambda i, j: (i, 0)),
+        interpret=_interpret(),
     )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, Vp)
     return out[:N, :]
 
@@ -390,6 +400,7 @@ def mosm_gram_lowrank_vjp(x1, c1, x2, c2, w, mu, var, theta, phi, twopi,
             pl.BlockSpec((O, Q, D), zero3),
             pl.BlockSpec((O, Q), zero),
         ),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, Ap, Bp)
     return douts
