@@ -17,8 +17,7 @@ examples:
 	@for f in examples/*.py; do echo "== $$f"; python $$f || exit 1; done
 
 docs:
-	@python -c "import pdoc" 2>/dev/null && pdoc -o docs/ mogptk_tpu || \
-		python -m pydoc -w mogptk_tpu && echo "wrote pydoc HTML (pdoc not installed)"
+	python docs/generate.py docs/api
 
 clean:
-	rm -rf __pycache__ */__pycache__ */*/__pycache__ .pytest_cache docs/
+	rm -rf __pycache__ */__pycache__ */*/__pycache__ .pytest_cache docs/api/
