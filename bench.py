@@ -133,9 +133,23 @@ def bench_ours(xs, ys):
 
 def bench_svgp(xs, ys, M=1024):
     """Secondary metric from BASELINE.md: SVGP ELBO steps/sec at M inducing
-    points (Titsias collapsed bound) on the same N=16k data."""
-    return time_training_steps(_build_model(xs, ys, None, inference="svgp", M=M),
-                               target_sec=10.0)
+    points (Titsias collapsed bound) on the same N=16k data.
+
+    The slope timing trains for up to a few hundred steps; f32 Titsias with
+    free inducing points can degrade Kuu conditioning along the way (the
+    failure mode documented in CLAUDE.md), so the bench enables the jitter
+    ladder — the production setting for this configuration. Each rung adds
+    two diagonal reductions on the happy path; the cost is in the number."""
+    import mogptk_tpu.gpr as gpr
+    old = gpr.config.jitter_ladder
+    try:
+        gpr.use_jitter_ladder(3)
+        return time_training_steps(
+            _build_model(xs, ys, None, inference="svgp", M=M),
+            target_sec=10.0, max_t=200)
+    finally:
+        gpr.config.jitter_ladder = old
+        gpr.config.bump()
 
 
 def bench_reference(xs, ys, max_steps=2):

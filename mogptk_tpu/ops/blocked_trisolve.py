@@ -1,0 +1,91 @@
+"""MXU-blocked triangular solves with many right-hand sides.
+
+XLA:TPU's solve_triangular expander is the bottleneck of the exact
+closed-form LML gradient (ops/linalg._lml_bwd computes K⁻¹ through two
+N-RHS triangular solves; measured ~0.55 s of the 0.70 s exact-grad step at
+N=16k). This implementation is the TRSM analog of ops/blocked_cholesky.py:
+invert each B×B diagonal panel once (cheap, "highest" precision), then the
+substitution sweep is one large MXU GEMM per block row at configurable
+precision — the same left-looking structure, the same accuracy reasoning
+(panels carry the cancellation-sensitive work; the accumulation GEMMs run
+at "high" = bf16x3, ~f32-quality).
+
+Semantics match jax.scipy.linalg.solve_triangular(L, B, lower=...) for a
+full (possibly non-unit) triangular matrix and 2-D B.
+"""
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+def _dot(a, b, precision):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=precision)
+
+
+def panel_inverses(L, lower=True, block_size=1024, panel_precision="highest"):
+    """Explicit inverses of the B×B diagonal panels of a triangular matrix,
+    in solve order. Hoist out of loops that solve against the same factor
+    repeatedly (e.g. the column-blocked K⁻¹ scan in ops/linalg._lml_bwd)."""
+    n = L.shape[-1]
+    Bs = int(min(block_size, n))
+    nb = -(-n // Bs)
+    order = range(nb) if lower else range(nb - 1, -1, -1)
+    with jax.default_matmul_precision(panel_precision):
+        return [jsl.solve_triangular(
+                    L[i * Bs:min((i + 1) * Bs, n), i * Bs:min((i + 1) * Bs, n)],
+                    jnp.eye(min(Bs, n - i * Bs), dtype=L.dtype), lower=lower)
+                for i in order]
+
+
+def blocked_trisolve(L, B, lower=True, block_size=1024,
+                     update_precision="high", panel_precision="highest",
+                     invs=None):
+    """Solve T x = B for triangular T (T = L if lower else treat L as upper).
+
+    Left-looking block forward/back-substitution: at block row i,
+    B_i ← B_i − T[i, others] @ X[others] (one MXU GEMM over the already-
+    solved prefix), then X_i = T_ii⁻¹ B_i via the explicit panel inverse
+    (pass `invs` from panel_inverses() to reuse them across solves).
+    """
+    n = L.shape[-1]
+    if L.ndim != 2 or B.ndim != 2:
+        raise ValueError("blocked_trisolve expects 2-D L and B")
+    Bs = int(min(block_size, n))
+    nb = -(-n // Bs)
+    npad = nb * Bs
+    if invs is None:
+        invs = panel_inverses(L, lower=lower, block_size=block_size,
+                              panel_precision=panel_precision)
+    if npad != n:
+        pad = npad - n
+        L = jnp.pad(L, ((0, pad), (0, pad)))
+        L = L.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+        B = jnp.pad(B, ((0, pad), (0, 0)))
+        k = -1 if lower else 0
+        invs = list(invs)
+        invs[k] = jnp.pad(invs[k], ((0, pad), (0, pad)))
+        invs[k] = invs[k].at[jnp.arange(Bs - pad, Bs),
+                             jnp.arange(Bs - pad, Bs)].set(1.0)
+
+    order = range(nb) if lower else range(nb - 1, -1, -1)
+    xs = [None] * nb
+    for step, i in enumerate(order):
+        r0 = i * Bs
+        Bi = B[r0:r0 + Bs]
+        if step > 0:
+            if lower:
+                done = jnp.concatenate(xs[:i], axis=0)        # (i·Bs, r)
+                Ti = L[r0:r0 + Bs, :r0]                       # (Bs, i·Bs)
+            else:
+                done = jnp.concatenate(xs[i + 1:], axis=0)
+                Ti = L[r0:r0 + Bs, r0 + Bs:]
+            Bi = Bi - _dot(Ti, done, update_precision)
+        xs[i] = _dot(invs[step], Bi, update_precision)
+    return jnp.concatenate(xs, axis=0)[:n]
+
+
+def blocked_cho_solve(L, B, **kw):
+    """K⁻¹B given the lower Cholesky factor L: forward then back solve."""
+    Z = blocked_trisolve(L, B, lower=True, **kw)
+    return blocked_trisolve(L.T, Z, lower=False, **kw)

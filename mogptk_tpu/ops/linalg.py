@@ -170,10 +170,39 @@ def _lml_bwd(res, g):
     L, alpha, k_sent, y_sent = res
     K_dtype, y_dtype = k_sent.dtype, y_sent.dtype
     n = L.shape[0]
+
+    from ..gpr.config import blocked_cholesky_enabled
+    use_blocked_trsm = blocked_cholesky_enabled(n, L.ndim, L.dtype)
+
     B = min(n, 2048)
     nb = -(-n // B)
 
     rows = jnp.arange(n)
+
+    if use_blocked_trsm:
+        # MXU path: K⁻¹ through the blocked TRSM (panel inverses hoisted
+        # out of the scan + one GEMM sweep per block row) instead of XLA's
+        # triangular-solve expander, keeping the same column-blocked scan
+        # so peak HBM stays L + Lᵀ + one (n,B) block + the stacked output
+        # (a whole-matrix blocked_cho_solve(L, I) exceeded the v5e's HBM
+        # by ~0.9 GB at n=16k)
+        from .blocked_trisolve import blocked_trisolve, panel_inverses
+        LT = L.T
+        invs_lo = panel_inverses(L, lower=True)
+        invs_up = panel_inverses(LT, lower=False)
+
+        def body_trsm(_, b):
+            cols = b * B + jnp.arange(B)
+            E = (rows[:, None] == cols[None, :]).astype(L.dtype)
+            Z = blocked_trisolve(L, E, lower=True, invs=invs_lo)
+            Kinv_b = blocked_trisolve(LT, Z, lower=False, invs=invs_up)
+            aaT_b = alpha * alpha[cols, 0][None, :]
+            return None, (0.5 * g) * (aaT_b - Kinv_b)
+
+        _, blocks = jax.lax.scan(body_trsm, None, jnp.arange(nb))
+        dK = jnp.transpose(blocks, (1, 0, 2)).reshape(n, nb * B)[:, :n]
+        dy = -g * alpha
+        return dK.astype(K_dtype), dy.astype(y_dtype)
 
     def body(_, b):
         cols = b * B + jnp.arange(B)

@@ -391,3 +391,42 @@ class TestBlockedCholesky:
             gpr.config.blocked_cholesky = old
             gpr.config.bump()
             jax.clear_caches()
+
+
+class TestBlockedTrisolve:
+    def test_matches_solve_triangular(self):
+        from mogptk_tpu.ops.blocked_trisolve import blocked_trisolve, blocked_cho_solve
+        import jax.scipy.linalg as jsl_
+        for n, Bs, r in [(128, 32, 16), (100, 48, 7), (96, 96, 96)]:
+            K = jnp.asarray(_spd(n, seed=n + 1))
+            L = jnp.linalg.cholesky(K)
+            B = jnp.asarray(np.random.RandomState(n).randn(n, r))
+            X = np.asarray(blocked_trisolve(L, B, lower=True, block_size=Bs))
+            X_ref = np.asarray(jsl_.solve_triangular(L, B, lower=True))
+            np.testing.assert_allclose(X, X_ref, rtol=1e-9, atol=1e-10,
+                                       err_msg="lower n=%d Bs=%d" % (n, Bs))
+            Xu = np.asarray(blocked_trisolve(L.T, B, lower=False, block_size=Bs))
+            Xu_ref = np.asarray(jsl_.solve_triangular(L.T, B, lower=False))
+            np.testing.assert_allclose(Xu, Xu_ref, rtol=1e-9, atol=1e-10,
+                                       err_msg="upper n=%d Bs=%d" % (n, Bs))
+            C = np.asarray(blocked_cho_solve(L, B, block_size=Bs))
+            C_ref = np.asarray(jsl_.cho_solve((L, True), B))
+            np.testing.assert_allclose(C, C_ref, rtol=1e-8, atol=1e-9)
+
+    def test_exact_lml_gradient_via_blocked_kinv(self):
+        """_lml_bwd's MXU path (blocked K⁻¹) must match the scan path."""
+        import mogptk_tpu.gpr as gpr
+        from mogptk_tpu.ops.linalg import lml_quadform_logdet
+        K = jnp.asarray(_spd(96, seed=11))
+        y = jnp.asarray(np.random.RandomState(12).randn(96, 1))
+        g_scan = np.asarray(jax.grad(lml_quadform_logdet)(K, y))
+        old = gpr.config.blocked_cholesky
+        try:
+            gpr.use_blocked_cholesky(True, block_size=32)
+            jax.clear_caches()
+            g_blk = np.asarray(jax.grad(lml_quadform_logdet)(K, y))
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+            jax.clear_caches()
+        np.testing.assert_allclose(g_blk, g_scan, rtol=1e-8, atol=1e-11)
