@@ -62,18 +62,27 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, value
 
+    # honest timing on the tunneled TPU: block_until_ready does not block —
+    # fetch the loss to the host and difference two chained-step counts
+    # (see benchmarks/_timing.py for the method)
     params = train0
     t0 = time.perf_counter()
     params, opt_state, value = step(params, opt_state)
-    value.block_until_ready()
+    v0 = float(np.asarray(value))
     compile_s = time.perf_counter() - t0
 
-    steps = 3
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, value = step(params, opt_state)
-    value.block_until_ready()
-    per_step = (time.perf_counter() - t0) / steps
+    def run_k(k):
+        p, o = train0, optimizer.init(train0)
+        t0 = time.perf_counter()
+        v = None
+        for _ in range(k):
+            p, o, v = step(p, o)
+        float(np.asarray(v))
+        return time.perf_counter() - t0
+
+    t1 = run_k(1)
+    t4 = run_k(4)
+    per_step = (t4 - t1) / 3.0
 
     print(json.dumps({
         "metric": "iterative exact GP LML+grad step (MOSM Q=%d, N=%d, no Gram materialization)" % (q, n_total),

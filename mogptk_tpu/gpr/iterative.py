@@ -72,7 +72,8 @@ def _lml_iter(static, x, c, noise_diag, y, mask, params):
 
 
 def _make_matvec(static, x, c, noise_diag, params, mask=None):
-    family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank, ring = static
+    (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
+     precond_rank, ring, counts) = static
 
     if ring is not None:
         from ..parallel.ring import ring_gram_matvec
@@ -81,6 +82,17 @@ def _make_matvec(static, x, c, noise_diag, params, mask=None):
         def base(V):
             return ring_gram_matvec(mesh, axis, family, O, x, c, noise_diag,
                                     params, use_pallas, V)
+    elif use_pallas and counts is not None and family[0] == "mosm":
+        # channel-sorted layout: scalar-stat tiles, one evaluation per
+        # symmetric block pair (ops/block_mosm.py) — ~2x the generic
+        # one-hot matvec kernel per CG iteration
+        from ..ops.block_mosm import mosm_matvec_sorted
+        twopi, phase_inside = family[1]
+
+        def base(V):
+            return (mosm_matvec_sorted(x, counts, *params, twopi, V,
+                                       phase_inside=phase_inside)
+                    + noise_diag[:, None] * V)
     elif use_pallas:
         def base(V):
             return (fused_gram_matvec(family, O, x, c, x, c, params, V)
@@ -131,7 +143,8 @@ def _make_preconditioner(static, x, c, noise_diag, params):
 
 
 def _lml_iter_fwd(static, x, c, noise_diag, y, mask, params):
-    family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank, ring = static
+    (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
+     precond_rank, ring, counts) = static
     n = x.shape[0]
     matvec = _make_matvec(static, x, c, noise_diag, params, mask)
     M_inv = _make_preconditioner(static, x, c, noise_diag, params)
@@ -157,7 +170,8 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, mask, params):
 
 
 def _lml_iter_bwd(static, res, g):
-    family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas, precond_rank, ring = static
+    (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
+     precond_rank, ring, counts) = static
     x, c, noise_diag, y, mask, params, alpha, U, Z = res
 
     # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with (solves already done in fwd)
@@ -174,8 +188,11 @@ def _lml_iter_bwd(static, res, g):
         mesh, axis_name = ring
         dparams = ring_gram_lowrank_vjp(mesh, axis_name, family, O, x, c,
                                         params, use_pallas, A, B)
-    elif use_pallas:
-        dparams = fused_gram_lowrank_vjp(family, O, x, c, x, c, params, A, B)
+    elif use_pallas and counts is not None and family[0] == "mosm":
+        from ..ops.block_mosm import mosm_lowrank_vjp_sorted
+        twopi, phase_inside = family[1]
+        dparams = mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
+                                          phase_inside=phase_inside)
     else:
         _, dense, _ = resolve_family(family)
         dK = A @ B.T
@@ -256,10 +273,14 @@ class ExactIterative(Model):
 
     def _static(self):
         from .config import pallas_enabled
+        # channel-sorted layouts ride the scalar-stat block engine; the
+        # ring path keeps the generic kernel (row shards straddle channels)
+        counts = None if getattr(self, "_ring", None) is not None \
+            else getattr(self, "_channel_counts", None)
         return (_family_of(self.kernel), self.kernel.output_dims,
                 self.max_cg_iters, self.cg_tol,
                 self.num_probes, self.lanczos_iters, self.seed, pallas_enabled(),
-                self.precond_rank, getattr(self, "_ring", None))
+                self.precond_rank, getattr(self, "_ring", None), counts)
 
     def _kernel_params(self):
         return _fused_kernel_params(self.kernel)

@@ -83,8 +83,9 @@ def _tau_chain(x1_ref, x2_ref, st3_ref, q, D, keep_tds=False):
     return e_acc, a_acc, tds
 
 
-def _fwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, out_ref, *, Q, D,
-                phase_inside):
+def _tile_from_stats(x1_ref, x2_ref, st3_ref, st2_ref, Q, D, phase_inside):
+    """The (T,T) Gram tile from SMEM scalar stats — the whole per-tile cost
+    is the τ chain plus one exp and one cos per component."""
     K = None
     for q in range(Q):
         e_acc, a_acc, _ = _tau_chain(x1_ref, x2_ref, st3_ref, q, D)
@@ -94,28 +95,23 @@ def _fwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, out_ref, *, Q, D,
                else 2.0 * _pi * a_acc + dp)
         Kq = alpha * jnp.exp(-0.5 * e_acc) * jnp.cos(ang)
         K = Kq if K is None else K + Kq
-    out_ref[:, :] = K
+    return K
 
 
-def _bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, g_ref, *dout_refs, Q, D,
+def _fwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, out_ref, *, Q, D,
                 phase_inside):
-    """Hand-derived cotangents of the scalar pair statistics.
+    out_ref[:, :] = _tile_from_stats(x1_ref, x2_ref, st3_ref, st2_ref,
+                                     Q, D, phase_inside)
+
+
+def _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g, dout_refs, Q, D,
+                    phase_inside):
+    """Hand-derived cotangents of the scalar pair statistics for one tile.
 
     dout_refs: 3·Q·D refs [dV, dM, dθ-offset per (q,d)] then 2·Q refs
-    [dα, dφ-offset per q], each a (1,1) accumulator. Per tile: recompute
-    the forward chain, reduce (T,T)→scalar, accumulate across the
-    (sequential) grid. Padded rows of g are zero, so padding contributes
-    nothing.
+    [dα, dφ-offset per q], each a (1,1) accumulator. Recomputes the forward
+    chain, reduces (T,T)→scalar, accumulates across the (sequential) grid.
     """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        for dref in dout_refs:
-            dref[...] = jnp.zeros_like(dref)
-
-    g = g_ref[:, :]
     for q in range(Q):
         e_acc, a_acc, tds = _tau_chain(x1_ref, x2_ref, st3_ref, q, D,
                                        keep_tds=True)
@@ -143,6 +139,82 @@ def _bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, g_ref, *dout_refs, Q, D,
             dout_refs[base + 0][...] += jnp.sum(de * td * td)
             dout_refs[base + 1][...] += jnp.sum(da * td)
             dout_refs[base + 2][...] += jnp.sum(de * (2.0 * V) * td + da * M)
+
+
+def _bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, g_ref, *dout_refs, Q, D,
+                phase_inside):
+    """Cotangents from a materialized cotangent tile g (padded rows of g are
+    zero, so padding contributes nothing)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for dref in dout_refs:
+            dref[...] = jnp.zeros_like(dref)
+
+    _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g_ref[:, :], dout_refs,
+                    Q, D, phase_inside)
+
+
+def _lowrank_bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, a1_ref, b1_ref,
+                        a2_ref, b2_ref, *dout_refs, Q, D, phase_inside, sym):
+    """Cotangents for a LOW-RANK dK formed in VMEM (never materialized):
+    g = A_i B_jᵀ for the (i,j) block, plus B_i A_jᵀ when the block also
+    appears transposed at (j,i) (sym=True, off-diagonal pairs)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for dref in dout_refs:
+            dref[...] = jnp.zeros_like(dref)
+
+    g = jax.lax.dot_general(a1_ref[:, :], b2_ref[:, :],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=a1_ref.dtype)
+    if sym:
+        g = g + jax.lax.dot_general(b1_ref[:, :], a2_ref[:, :],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=a1_ref.dtype)
+    _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g, dout_refs,
+                    Q, D, phase_inside)
+
+
+def _matvec_diag_kernel(x1_ref, x2_ref, st3_ref, st2_ref, v_ref, out_ref, *,
+                        Q, D, phase_inside):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    K_tile = _tile_from_stats(x1_ref, x2_ref, st3_ref, st2_ref,
+                              Q, D, phase_inside)
+    out_ref[:, :] += jnp.dot(K_tile, v_ref[:, :],
+                             preferred_element_type=out_ref.dtype)
+
+
+def _matvec_offdiag_kernel(x1_ref, x2_ref, st3_ref, st2_ref, vi_ref, vj_ref,
+                           outi_ref, outjp_ref, *, Q, D, phase_inside):
+    """One tile evaluation serves BOTH directions of a symmetric off-
+    diagonal pair: out_i accumulates K@V_j across the (consecutive) j-grid;
+    the Kᵀ@V_i contribution is written to a per-(i,j)-tile partial slot
+    (summed outside) because its output tile would otherwise be revisited
+    non-consecutively."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        outi_ref[:, :] = jnp.zeros_like(outi_ref)
+
+    K_tile = _tile_from_stats(x1_ref, x2_ref, st3_ref, st2_ref,
+                              Q, D, phase_inside)
+    outi_ref[:, :] += jnp.dot(K_tile, vj_ref[:, :],
+                              preferred_element_type=outi_ref.dtype)
+    outjp_ref[0, :, :] = jax.lax.dot_general(
+        K_tile, vi_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=outi_ref.dtype)
 
 
 def _pad_rows(a, mult):
@@ -261,6 +333,154 @@ def mosm_gram_sorted(x, counts, w, mu, var, theta, phi, twopi,
                for j in range(O)]
         rows.append(jnp.concatenate(row, axis=1) if O > 1 else row[0])
     return jnp.concatenate(rows, axis=0) if O > 1 else rows[0]
+
+
+def _split_counts(x, counts):
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+    return [x[offs[i]:offs[i + 1]] for i in range(len(counts))], offs
+
+
+def mosm_matvec_sorted(x, counts, w, mu, var, theta, phi, twopi, V,
+                       phase_inside=True):
+    """K @ V for channel-sorted x without materializing K: VMEM tiles from
+    scalar pair stats, one tile evaluation per symmetric block pair (the
+    off-diagonal kernel produces both K@V_j and Kᵀ@V_i contributions)."""
+    counts = tuple(int(n) for n in counts)
+    O, Q = w.shape
+    D = mu.shape[-1]
+    st3, st2 = mosm_pair_stats(w, mu, var, theta, phi, twopi)
+    st3f = st3.reshape(O, O, Q * D, 3)
+    dtype = st3.dtype
+    R = V.shape[1]
+    xs, offs = _split_counts(x, counts)
+    vs, _ = _split_counts(V, counts)
+
+    outs = [jnp.zeros((counts[i], R), dtype) for i in range(O)]
+    for i in range(O):
+        if counts[i] == 0:
+            continue
+        xi = _pad_rows(xs[i].astype(dtype), TILE)
+        vi = _pad_rows(vs[i].astype(dtype), TILE)
+        ni = xi.shape[0]
+        # diagonal block
+        out = pl.pallas_call(
+            functools.partial(_matvec_diag_kernel, Q=Q, D=D,
+                              phase_inside=phase_inside),
+            out_shape=jax.ShapeDtypeStruct((ni, R), dtype),
+            grid=(ni // TILE, ni // TILE),
+            in_specs=[
+                pl.BlockSpec((TILE, D), lambda i_, j_: (i_, 0)),
+                pl.BlockSpec((TILE, D), lambda i_, j_: (j_, 0)),
+                _smem_spec(st3f.shape[2:]),
+                _smem_spec(st2.shape[2:]),
+                pl.BlockSpec((TILE, R), lambda i_, j_: (j_, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE, R), lambda i_, j_: (i_, 0)),
+            interpret=_interpret(),
+        )(xi, xi, st3f[i, i], st2[i, i], vi)
+        outs[i] = outs[i] + out[:counts[i]]
+        for j in range(i + 1, O):
+            if counts[j] == 0:
+                continue
+            xj = _pad_rows(xs[j].astype(dtype), TILE)
+            vj = _pad_rows(vs[j].astype(dtype), TILE)
+            nj = xj.shape[0]
+            gi, gj = ni // TILE, nj // TILE
+            oi, ojp = pl.pallas_call(
+                functools.partial(_matvec_offdiag_kernel, Q=Q, D=D,
+                                  phase_inside=phase_inside),
+                out_shape=(jax.ShapeDtypeStruct((ni, R), dtype),
+                           jax.ShapeDtypeStruct((gi, nj, R), dtype)),
+                grid=(gi, gj),
+                in_specs=[
+                    pl.BlockSpec((TILE, D), lambda i_, j_: (i_, 0)),
+                    pl.BlockSpec((TILE, D), lambda i_, j_: (j_, 0)),
+                    _smem_spec(st3f.shape[2:]),
+                    _smem_spec(st2.shape[2:]),
+                    pl.BlockSpec((TILE, R), lambda i_, j_: (i_, 0)),
+                    pl.BlockSpec((TILE, R), lambda i_, j_: (j_, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((TILE, R), lambda i_, j_: (i_, 0)),
+                    pl.BlockSpec((1, TILE, R), lambda i_, j_: (i_, j_, 0)),
+                ),
+                interpret=_interpret(),
+            )(xi, xj, st3f[i, j], st2[i, j], vi, vj)
+            outs[i] = outs[i] + oi[:counts[i]]
+            outs[j] = outs[j] + jnp.sum(ojp, axis=0)[:counts[j]]
+    return jnp.concatenate(outs, axis=0) if O > 1 else outs[0]
+
+
+def mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
+                            phase_inside=True):
+    """Parameter cotangents for dK = A Bᵀ without materializing dK, for
+    channel-sorted x: per-block scalar-stat cotangents (hand-derived
+    kernel), chained through mosm_pair_stats by XLA autodiff. Off-diagonal
+    pairs run ONE kernel handling both (i,j) and its transpose."""
+    counts = tuple(int(n) for n in counts)
+    w = params[0]
+    O, Q = w.shape
+    D = params[1].shape[-1]
+    dtype = w.dtype
+    R = A.shape[1]
+
+    def stats_fn(params):
+        st3, st2 = mosm_pair_stats(*params, twopi)
+        return st3.reshape(O, O, Q * D, 3), st2
+
+    (st3f, st2), vjp_stats = jax.vjp(stats_fn, tuple(params))
+    xs, _ = _split_counts(x, counts)
+    As, _ = _split_counts(A, counts)
+    Bs_, _ = _split_counts(B, counts)
+
+    T = BWD_TILE
+    n_outs = 3 * Q * D + 2 * Q
+    scalar_spec = pl.BlockSpec((1, 1), lambda i_, j_: (0, 0))
+    dst3f = jnp.zeros_like(st3f)
+    dst2 = jnp.zeros_like(st2)
+    for i in range(O):
+        if counts[i] == 0:
+            continue
+        xi = _pad_rows(xs[i].astype(dtype), T)
+        ai = _pad_rows(As[i].astype(dtype), T)
+        bi = _pad_rows(Bs_[i].astype(dtype), T)
+        for j in range(i, O):
+            if counts[j] == 0:
+                continue
+            if j == i:
+                xj, aj, bj, sym = xi, ai, bi, False
+            else:
+                xj = _pad_rows(xs[j].astype(dtype), T)
+                aj = _pad_rows(As[j].astype(dtype), T)
+                bj = _pad_rows(Bs_[j].astype(dtype), T)
+                sym = True
+            douts = pl.pallas_call(
+                functools.partial(_lowrank_bwd_kernel, Q=Q, D=D,
+                                  phase_inside=phase_inside, sym=sym),
+                out_shape=tuple(jax.ShapeDtypeStruct((1, 1), dtype)
+                                for _ in range(n_outs)),
+                grid=(xi.shape[0] // T, xj.shape[0] // T),
+                in_specs=[
+                    pl.BlockSpec((T, D), lambda i_, j_: (i_, 0)),
+                    pl.BlockSpec((T, D), lambda i_, j_: (j_, 0)),
+                    _smem_spec(st3f.shape[2:]),
+                    _smem_spec(st2.shape[2:]),
+                    pl.BlockSpec((T, R), lambda i_, j_: (i_, 0)),
+                    pl.BlockSpec((T, R), lambda i_, j_: (i_, 0)),
+                    pl.BlockSpec((T, R), lambda i_, j_: (j_, 0)),
+                    pl.BlockSpec((T, R), lambda i_, j_: (j_, 0)),
+                ],
+                out_specs=tuple(scalar_spec for _ in range(n_outs)),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=_interpret(),
+            )(xi, xj, st3f[i, j], st2[i, j], ai, bi, aj, bj)
+            d3 = jnp.stack([d[0, 0] for d in douts[:3 * Q * D]]).reshape(Q * D, 3)
+            d2 = jnp.stack([d[0, 0] for d in douts[3 * Q * D:]]).reshape(Q, 2)
+            dst3f = dst3f.at[i, j].add(d3)
+            dst2 = dst2.at[i, j].add(d2)
+    (dparams,) = vjp_stats((dst3f, dst2))
+    return dparams
 
 
 def sorted_channel_counts(X, output_dims):

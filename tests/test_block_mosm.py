@@ -136,3 +136,82 @@ def test_unsorted_data_skips_block_engine():
     model = gpr.Exact(kernel, X, Y, variance=0.1)
     assert model._channel_counts is None
     assert np.isfinite(float(model.loss()))
+
+
+def test_matvec_sorted_matches_dense():
+    counts = (40, 33, 27)
+    x, c, params, twopi = _setup(counts, Q=2, D=1, seed=5)
+    N = sum(counts)
+    V = jnp.asarray(np.random.RandomState(6).randn(N, 5))
+    out = bm.mosm_matvec_sorted(x, counts, *params, twopi, V)
+    K = _mosm_K(c, x, c, x, params, twopi, phase_inside_2pi=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(K @ V),
+                               rtol=1e-10, atol=1e-10)
+    # empty channel + multi-dim
+    counts2 = (30, 0, 40)
+    x2, c2, params2, twopi2 = _setup(counts2, Q=1, D=2, seed=7)
+    V2 = jnp.asarray(np.random.RandomState(8).randn(sum(counts2), 3))
+    out2 = bm.mosm_matvec_sorted(x2, counts2, *params2, twopi2, V2)
+    K2 = _mosm_K(c2, x2, c2, x2, params2, twopi2, phase_inside_2pi=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(K2 @ V2),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_lowrank_vjp_sorted_matches_dense():
+    counts = (40, 33)
+    x, c, params, twopi = _setup(counts, Q=2, D=2, seed=9)
+    N = sum(counts)
+    rng = np.random.RandomState(10)
+    A = jnp.asarray(rng.randn(N, 4))
+    B = jnp.asarray(rng.randn(N, 4))
+
+    dparams = bm.mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B)
+
+    def f(params):
+        K = _mosm_K(c, x, c, x, params, twopi, phase_inside_2pi=True)
+        return jnp.sum(K * (A @ B.T))
+
+    dref = jax.grad(f)(params)
+    for a, b, name in zip(dparams, dref, ["w", "mu", "var", "theta", "phi"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11, err_msg=name)
+
+
+def test_iterative_routes_to_block_engine():
+    """ExactIterative with channel-sorted data + pallas on must use the
+    scalar-stat matvec/low-rank VJP and agree with the generic path."""
+    import mogptk_tpu.gpr as gpr
+
+    rng = np.random.RandomState(2)
+    xs = [np.sort(rng.uniform(0, 10, n)).reshape(-1, 1) for n in (40, 56)]
+    ys = [np.sin(x) + 0.05 * rng.randn(*x.shape) for x in xs]
+    N, X, Y = gpr.merge_data(xs, ys)
+    kernel = gpr.MultiOutputSpectralMixtureKernel(2, output_dims=2)
+    kernel.mean.assign(0.1 + 0.2 * rng.rand(2, 2, 1))
+    model = gpr.ExactIterative(kernel, X, Y, variance=0.1, max_cg_iters=200,
+                               cg_tol=1e-10, num_probes=64, lanczos_iters=30)
+    assert model._channel_counts == (40, 56)
+
+    loss_fn = model.make_loss_fn()
+    train, fixed = model._split_raws()
+    v_gen, g_gen = jax.value_and_grad(loss_fn)(train, fixed)
+
+    old = gpr.config.pallas
+    try:
+        gpr.use_pallas(True)
+        jax.clear_caches()
+        model._jit_cache.clear()
+        assert model._static()[7] is True and model._static()[-1] == (40, 56)
+        loss_fn2 = model.make_loss_fn()
+        v_blk, g_blk = jax.value_and_grad(loss_fn2)(train, fixed)
+    finally:
+        gpr.config.pallas = old
+        gpr.config.bump()
+        jax.clear_caches()
+
+    # same probes/seed -> the stochastic estimates agree up to solver noise
+    np.testing.assert_allclose(float(v_blk), float(v_gen), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_blk),
+                    jax.tree_util.tree_leaves(g_gen)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
