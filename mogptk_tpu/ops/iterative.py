@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 
-def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None):
+def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
+             track_coeffs=False):
     """Batched (preconditioned) conjugate gradients: solve A X = B.
 
     Args:
@@ -23,9 +24,15 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None):
         max_iters: Fixed iteration budget (static for XLA).
         tol: Relative residual tolerance; converged columns freeze.
         M_inv: Optional preconditioner application V -> M⁻¹ V.
+        track_coeffs: Also return the per-iteration CG coefficients
+            (alphas, betas, actives, rz0), each (m, R) / (R,) — CG is
+            Lanczos, so these define the tridiagonalization of
+            M^{-1/2} A M^{-1/2} w.r.t. each starting vector for free
+            (consumed by cg_logdet_quadrature).
 
     Returns:
-        (X, res_norm): solution (N, R) and final relative residual (R,).
+        (X, res_norm[, coeffs]): solution (N, R), final relative residual
+        (R,), and the coefficient tuple when track_coeffs.
     """
     if M_inv is None:
         M_inv = lambda v: v
@@ -51,12 +58,55 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None):
         Z = M_inv(R)
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
+        beta = jnp.where(active, beta, 0.0)
         P = Z + beta[None, :] * P
-        return (X, R, P, rz_new), None
+        return (X, R, P, rz_new), (alpha, beta, active)
 
-    (X, R, _, _), _ = jax.lax.scan(body, (X0, R0, P0, rz0), None, length=max_iters)
+    (X, R, _, _), (alphas, betas, actives) = jax.lax.scan(
+        body, (X0, R0, P0, rz0), None, length=max_iters)
     res = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm
+    if track_coeffs:
+        return X, res, (alphas, betas, actives, rz0)
     return X, res
+
+
+def cg_logdet_quadrature(coeffs):
+    """logdet contribution from CG coefficients (Gardner et al. 2018).
+
+    For PCG on A with preconditioner P and starting vector z, the CG step
+    sizes α_k and direction updates β_k define the Lanczos tridiagonal T of
+    Ã = P^{-1/2} A P^{-1/2} w.r.t. z̃ = P^{-1/2} z:
+
+        T[k,k]   = 1/α_k + β_{k−1}/α_{k−1}
+        T[k,k+1] = √β_k / α_k
+
+    and  z̃ᵀ log(Ã) z̃ ≈ (zᵀP⁻¹z) · e₁ᵀ log(T) e₁.  With probes
+    z ~ N(0, P) this estimates tr log(Ã) = logdet(A) − logdet(P); the
+    caller adds logdet(P) back. Frozen (converged) iterations contribute
+    identity rows (log 1 = 0).
+
+    Returns per-probe estimates, shape (R,).
+    """
+    alphas, betas, actives, rz0 = coeffs
+    m, R = alphas.shape
+
+    safe_a = jnp.where(alphas > 0.0, alphas, 1.0)
+    inv_a = 1.0 / safe_a                                    # (m, R)
+    prev_ba = jnp.concatenate(
+        [jnp.zeros((1, R), alphas.dtype), betas[:-1] * inv_a[:-1]], axis=0)
+    diag = jnp.where(actives, inv_a + prev_ba, 1.0)          # (m, R)
+    off = jnp.sqrt(jnp.maximum(betas, 0.0)) * inv_a          # (m, R)
+    # off-diagonal k couples iterations k and k+1: zero once either froze
+    both = actives[:-1] & actives[1:]
+    off = jnp.where(both, off[:-1], 0.0)                     # (m-1, R)
+
+    def one(d, o, w):
+        T = jnp.diag(d) + jnp.diag(o, 1) + jnp.diag(o, -1)
+        lam, U = jnp.linalg.eigh(T)
+        lam = jnp.maximum(lam, 1e-12)
+        return jnp.sum((U[0, :] ** 2) * jnp.log(lam)) * w
+
+    return jax.vmap(one, in_axes=(1, 1, 0))(diag, off, rz0)
 
 
 def lanczos(matvec, Z, m):

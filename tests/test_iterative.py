@@ -250,3 +250,35 @@ def test_iterative_family_trains():
     loss0 = it.loss()
     losses, _ = gpr.train(it, method="Adam", lr=0.02, iters=30)
     assert losses[-1] < loss0
+
+
+def test_cg_logdet_quadrature_matches_dense():
+    """CG-is-Lanczos: the logdet read off the CG coefficients (with probes
+    drawn from the preconditioner and the exact logdet(P) correction) must
+    match the dense logdet to statistical tolerance."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mogptk_tpu.ops.iterative import cg_solve, cg_logdet_quadrature
+
+    rng = np.random.RandomState(0)
+    n, R = 60, 256
+    A_ = rng.randn(n, n)
+    A = jnp.asarray(A_ @ A_.T / n + 2.0 * np.eye(n))
+    exact = float(np.linalg.slogdet(np.asarray(A))[1])
+
+    # no preconditioner: z ~ N(0, I), logdet(P) = 0
+    Z = jax.random.normal(jax.random.PRNGKey(1), (n, R), dtype=A.dtype)
+    _, _, coeffs = cg_solve(lambda V: A @ V, Z, max_iters=n, tol=1e-12,
+                            track_coeffs=True)
+    est = float(jnp.mean(cg_logdet_quadrature(coeffs)))
+    assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
+
+    # with a diagonal "preconditioner" P = sI: z ~ N(0, sI), add logdet(P)
+    s = 3.7
+    M_inv = lambda V: V / s
+    Zs = jnp.sqrt(s) * jax.random.normal(jax.random.PRNGKey(2), (n, R), A.dtype)
+    _, _, coeffs = cg_solve(lambda V: A @ V, Zs, max_iters=n, tol=1e-12,
+                            M_inv=M_inv, track_coeffs=True)
+    est = n * np.log(s) + float(jnp.mean(cg_logdet_quadrature(coeffs)))
+    assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
