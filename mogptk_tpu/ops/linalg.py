@@ -100,19 +100,41 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     return cholesky(K + (jit_val * md) * eye)
 
 
+def _blocked_trisolve_worthwhile(L, B):
+    """Route large many-RHS triangular solves to the MXU-blocked TRSM
+    (ops/blocked_trisolve.py). The panel inverses cost ~16 small solves, so
+    it only pays when the GEMM sweep amortizes them — big n AND a wide RHS
+    (e.g. Exact.predict_f's N×M cross-solve)."""
+    from ..gpr.config import blocked_cholesky_enabled
+    return (B.ndim == 2 and B.shape[1] >= 64
+            and blocked_cholesky_enabled(L.shape[-1], L.ndim, L.dtype))
+
+
 @_sensitive
 def solve_triangular(L, B, lower=True, trans=False):
+    if _blocked_trisolve_worthwhile(L, B):
+        from .blocked_trisolve import blocked_trisolve
+        if trans:
+            # op(L)=Lᵀ: solve against the transposed triangle
+            return blocked_trisolve(L.T, B, lower=not lower)
+        return blocked_trisolve(L, B, lower=lower)
     return jsl.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
 
 
 @_sensitive
 def trisolve_lower(L, B):
+    if _blocked_trisolve_worthwhile(L, B):
+        from .blocked_trisolve import blocked_trisolve
+        return blocked_trisolve(L, B, lower=True)
     return jsl.solve_triangular(L, B, lower=True)
 
 
 @_sensitive
 def cholesky_solve(L, B):
     """Solve K x = B given the lower Cholesky factor L of K."""
+    if _blocked_trisolve_worthwhile(L, B):
+        from .blocked_trisolve import blocked_cho_solve
+        return blocked_cho_solve(L, B)
     return jsl.cho_solve((L, True), B)
 
 

@@ -430,3 +430,36 @@ class TestBlockedTrisolve:
             gpr.config.bump()
             jax.clear_caches()
         np.testing.assert_allclose(g_blk, g_scan, rtol=1e-8, atol=1e-11)
+
+    def test_dispatcher_routes_wide_solves(self):
+        """ops.linalg solve_triangular/cholesky_solve route wide RHS to the
+        blocked TRSM when the blocked policy is on, matching XLA exactly."""
+        import mogptk_tpu.gpr as gpr
+        from mogptk_tpu.ops import linalg as lg
+        K = jnp.asarray(_spd(96, seed=21))
+        L = jnp.linalg.cholesky(K)
+        B = jnp.asarray(np.random.RandomState(22).randn(96, 80))
+        refs = {
+            "lo": np.asarray(lg.solve_triangular(L, B)),
+            "lo_t": np.asarray(lg.solve_triangular(L, B, trans=True)),
+            "up": np.asarray(lg.solve_triangular(L.T, B, lower=False)),
+            "cho": np.asarray(lg.cholesky_solve(L, B)),
+        }
+        old = gpr.config.blocked_cholesky
+        try:
+            gpr.use_blocked_cholesky(True, block_size=32)
+            jax.clear_caches()
+            np.testing.assert_allclose(np.asarray(lg.solve_triangular(L, B)),
+                                       refs["lo"], rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(
+                np.asarray(lg.solve_triangular(L, B, trans=True)),
+                refs["lo_t"], rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(
+                np.asarray(lg.solve_triangular(L.T, B, lower=False)),
+                refs["up"], rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(lg.cholesky_solve(L, B)),
+                                       refs["cho"], rtol=1e-8, atol=1e-9)
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+            jax.clear_caches()
