@@ -455,17 +455,24 @@ class Exact(Model):
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
 
     def _Kff(self, add_jitter=False):
-        # remat the Gram assembly: the backward pass recomputes the fused
-        # elementwise chain instead of keeping O(Q·D) N×N residents in HBM
-        # (trades ~1 extra Gram evaluation for several GB at N=16k)
         counts = getattr(self, "_channel_counts", None)
         if counts is not None and pallas_enabled():
             # channel-sorted data + a kernel with a channel-block engine:
-            # scalar pair stats per block, ~2x the generic Pallas Gram
+            # scalar pair stats per block, ~2x the generic Pallas Gram.
+            # No remat: the engine's custom VJP keeps O(params) residuals.
             kern_K = lambda X: self.kernel.K_sorted(X, counts)
+            checkpoint = False
         else:
             kern_K = lambda X: self.kernel.K(X)
-        Kff = jax.checkpoint(kern_K)(self.X)
+            # remat the jnp Gram assembly: the backward pass recomputes the
+            # fused elementwise chain instead of keeping O(Q·D) N×N
+            # residents in HBM (trades ~1 extra Gram evaluation for several
+            # GB at N=16k). When the kernel itself routes to a custom-VJP
+            # Pallas gram, rematerializing would only schedule a dead
+            # forward recompute.
+            checkpoint = not (pallas_enabled()
+                              and getattr(self.kernel, "gram_has_custom_vjp", False))
+        Kff = jax.checkpoint(kern_K)(self.X) if checkpoint else kern_K(self.X)
         gram_sharding = getattr(self, "_gram_sharding", None)
         if gram_sharding is not None:
             # row-block the assembly (and, by propagation, its VJP) over the

@@ -224,6 +224,10 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
                 self.variance()[:, None, :], self.delay()[:, None, :],
                 self.phase()[:, None])
 
+    # under pallas, K_mo routes to a custom-VJP gram whose residuals are
+    # O(params) — Exact._Kff skips the (then-pointless) remat
+    gram_has_custom_vjp = True
+
     def K_mo(self, c1, x1, c2, x2=None):
         if pallas_enabled():
             from ..ops.pallas_mosm import mosm_gram
@@ -274,6 +278,10 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
     def _params(self):
         return (self.weight(), self.mean(), self.variance(),
                 self.delay(), self.phase())
+
+    # under pallas, K_mo routes to a custom-VJP gram whose residuals are
+    # O(params) — Exact._Kff skips the (then-pointless) remat
+    gram_has_custom_vjp = True
 
     def K_mo(self, c1, x1, c2, x2=None):
         if pallas_enabled():
