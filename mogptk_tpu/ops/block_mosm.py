@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 _pi = np.pi
 
 TILE = 512
-BWD_TILE = 256
+BWD_TILE = 512
 
 
 def _interpret():
