@@ -31,6 +31,7 @@ from .multioutput import (MultiOutputSpectralKernel,
 from .config import config
 from ..ops.iterative import (cg_solve, slq_logdet, pivoted_cholesky,
                              cg_logdet_quadrature)
+from ..ops.block_families import has_block_family as _has_block_family
 from ..ops.fused import resolve_family, fused_gram_matvec, fused_gram_lowrank_vjp
 
 
@@ -93,6 +94,13 @@ def _make_matvec(static, x, c, noise_diag, params, mask=None):
         def base(V):
             return (mosm_matvec_sorted(x, counts, *params, twopi, V,
                                        phase_inside=phase_inside)
+                    + noise_diag[:, None] * V)
+    elif use_pallas and counts is not None and _has_block_family(family[0]):
+        from ..ops.block_families import family_matvec_sorted
+
+        def base(V):
+            return (family_matvec_sorted(family[0], family[1], x, counts,
+                                         params, V)
                     + noise_diag[:, None] * V)
     elif use_pallas:
         def base(V):
@@ -237,6 +245,12 @@ def _lml_iter_bwd(static, res, g):
         twopi, phase_inside = family[1]
         dparams = mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
                                           phase_inside=phase_inside)
+    elif use_pallas and counts is not None and _has_block_family(family[0]):
+        from ..ops.block_families import family_lowrank_vjp_sorted
+        dparams = family_lowrank_vjp_sorted(family[0], family[1], x, counts,
+                                            params, A, B)
+    elif use_pallas:
+        dparams = fused_gram_lowrank_vjp(family, O, x, c, x, c, params, A, B)
     else:
         _, dense, _ = resolve_family(family)
         dK = A @ B.T

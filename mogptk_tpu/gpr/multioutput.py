@@ -140,11 +140,15 @@ def _mosm_K(c1, x1, c2, x2, params, twopi, phase_inside_2pi=True, cross_weight=N
 def _umosm_cross_weight(W, c1, c2):
     """uMOSM cross-channel magnitude Wtril·Wtrilᵀ gathered per point pair as
     an (N,O)·(O,O)·(O,M) matmul chain on the MXU — no (N,M)-shaped gather."""
+    import jax as _jax
     O = W.shape[0]
     mag = jnp.tril(W) @ jnp.tril(W).T  # OxO
     onehot1 = (c1[:, None] == jnp.arange(O)[None, :]).astype(mag.dtype)
     onehot2 = (c2[:, None] == jnp.arange(O)[None, :]).astype(mag.dtype)
-    return onehot1 @ mag @ onehot2.T  # NxM
+    # full-precision selection: XLA:TPU's default bf16 matmul passes would
+    # round the WWᵀ VALUES (~4e-3 rel) through the one-hot gather
+    inner = _jax.lax.dot(mag, onehot2.T, precision="highest")
+    return _jax.lax.dot(onehot1, inner, precision="highest")  # NxM
 
 
 def _umosm_K(c1, x1, c2, x2, params, twopi):
@@ -337,6 +341,14 @@ class UncoupledMultiOutputSpectralKernel(MultiOutputKernel):
     def _cross_weight(self, c1, c2):
         return _umosm_cross_weight(self.weight(), c1, c2)
 
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X via the generic channel-block
+        engine (ops/block_families.py)."""
+        from ..ops.block_families import family_gram_sorted
+        c1, x1 = self._split(X)
+        params = (self.weight(),) + self._params()[1:]
+        return family_gram_sorted("umosm", (self.twopi,), x1, counts, params)
+
     def K_mo(self, c1, x1, c2, x2=None):
         # reference places the phase outside the 2π factor for uMOSM
         # (gpr/multioutput.py:285)
@@ -432,6 +444,14 @@ class CrossSpectralKernel(MultiOutputKernel):
         return (self.amplitude(), self.mean().reshape(1, -1),
                 self.variance().reshape(1, -1), self.shift())
 
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X via the generic channel-block
+        engine (ops/block_families.py)."""
+        from ..ops.block_families import family_gram_sorted
+        c1, x1 = self._split(X)
+        return family_gram_sorted("csm", (self.Rq, self.input_dims), x1,
+                                  counts, self._fused_params())
+
     def K_mo(self, c1, x1, c2, x2=None):
         # all large temps kept (N,M); Rq and D unrolled (TPU lane padding)
         return _csm_K(c1, x1, c2, x2, self._fused_params())
@@ -517,6 +537,14 @@ class GaussianConvolutionProcessKernel(MultiOutputKernel):
         """Pure-function parameter tuple for _conv_K / the fused engine."""
         return (self.weight().reshape(-1, 1), self.variance(),
                 self.base_variance().reshape(1, -1))
+
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X via the generic channel-block
+        engine (ops/block_families.py)."""
+        from ..ops.block_families import family_gram_sorted
+        c1, x1 = self._split(X)
+        return family_gram_sorted("conv", (self.input_dims,), x1, counts,
+                                  self._fused_params())
 
     def K_mo(self, c1, x1, c2, x2=None):
         # all large temps kept (N,M); D unrolled (TPU lane padding)
