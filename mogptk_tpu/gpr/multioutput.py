@@ -393,6 +393,18 @@ class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
                 self.variance()[:, None, :], self.delay()[:, None, :],
                 self.phase()[:, None])
 
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X via the generic channel-block
+        engine (ops/block_families.py): the nonstationary cross
+        lengthscale l_ij is a pair scalar; the mean-position envelope runs
+        in-tile."""
+        from ..ops.block_families import family_gram_sorted
+        c1, x1 = self._split(X)
+        params = (self.weight(), self.mean(), self.variance(), self.delay(),
+                  self.phase(), self.lengthscale(), self.center())
+        return family_gram_sorted("mohsm", (self.twopi, self.input_dims),
+                                  x1, counts, params)
+
     def K_mo(self, c1, x1, c2, x2=None):
         x2e = x1 if x2 is None else x2
         # nonstationary cross lengthscale per point-pair from 1-D gathers:

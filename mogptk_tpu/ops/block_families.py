@@ -146,10 +146,67 @@ def _conv_spec(statics):
     return pack, tile
 
 
+def _mohsm_spec(statics):
+    """MOHSM (nonstationary harmonizable): MOSM Q=1 with phase outside 2π,
+    times the envelope (√l_ij)^D · exp(−½‖(x+x')/2 − center‖²·l_ij), where
+    l_ij = 2l_i²l_j²/(l_i²+l_j²) is a pair scalar and the envelope's mean-
+    position chain runs in-tile. params = (w (O,), mu (O,D), var (O,D),
+    theta (O,D), phi (O,), lengthscale (O,), center (D,))."""
+    twopi, D = statics
+
+    def pack(params):
+        w, mu, var, theta, phi, ls, center = params
+        O = w.shape[0]
+        mu = mu.reshape(O, -1)
+        var = var.reshape(O, -1)
+        theta = theta.reshape(O, -1)
+        phi = phi.reshape(O)
+        v1, v2 = var[:, None], var[None, :]
+        m1, m2 = mu[:, None], mu[None, :]
+        inv = 1.0 / (v1 + v2)
+        mean_nm = inv * (v1 * m2 + v2 * m1)
+        var_nm = 2.0 * v1 * inv * v2
+        mag = jnp.sum((m1 - m2) ** 2 * inv, axis=-1)
+        l2 = ls ** 2
+        l_nm = 2.0 * l2[:, None] * l2[None, :] / (l2[:, None] + l2[None, :])
+        alpha = (w[:, None] * w[None, :] * jnp.exp(-_pi ** 2 * mag)
+                 * twopi * jnp.sqrt(jnp.prod(var_nm, axis=-1))
+                 * jnp.power(jnp.sqrt(l_nm), float(D)))
+        dth = theta[:, None] - theta[None, :]
+        dph = phi[:, None, None] - phi[None, :, None]
+        cent = jnp.broadcast_to(center, (O, O, D))
+        # order: [V_d, M_d, dt_d]*D + [alpha, dp, l_nm] + [center_d]*D
+        return jnp.concatenate(
+            [jnp.stack([var_nm, mean_nm, dth], axis=-1).reshape(O, O, 3 * D),
+             alpha[..., None], dph, l_nm[..., None], cent], axis=-1)
+
+    def tile(x1t, x2t, svals, D=D):
+        e_acc = None
+        a_acc = None
+        dist2 = None
+        for d in range(D):
+            V, M, dt = svals[3 * d], svals[3 * d + 1], svals[3 * d + 2]
+            td = (x1t[:, d][:, None] - x2t[:, d][None, :]) + dt
+            e = td * td * V
+            a_ = td * M
+            e_acc = e if e_acc is None else e_acc + e
+            a_acc = a_ if a_acc is None else a_acc + a_
+            avgd = (0.5 * (x1t[:, d][:, None] + x2t[:, d][None, :])
+                    - svals[3 * D + 3 + d])
+            s2 = avgd * avgd
+            dist2 = s2 if dist2 is None else dist2 + s2
+        alpha, dp, l_nm = svals[3 * D], svals[3 * D + 1], svals[3 * D + 2]
+        return (alpha * jnp.exp(-0.5 * (e_acc + dist2 * l_nm))
+                * jnp.cos(2.0 * _pi * a_acc + dp))
+
+    return pack, tile
+
+
 _BLOCK_FAMILIES = {
     "umosm": _umosm_spec,
     "csm": _csm_spec,
     "conv": _conv_spec,
+    "mohsm": _mohsm_spec,
 }
 
 

@@ -208,3 +208,78 @@ def test_iterative_routes_to_family_engine():
                     jax.tree_util.tree_leaves(g_gen)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_mohsm_forward_and_grad_match_dense():
+    import mogptk_tpu.gpr as gpr
+    counts = (40, 33)
+    O, D = 2, 1
+    x, c, rng = _xc(counts, D, 7)
+    w = jnp.asarray(0.5 + rng.rand(O))
+    mu = jnp.asarray(0.1 + rng.rand(O, D))
+    var = jnp.asarray(0.2 + rng.rand(O, D))
+    th = jnp.asarray(0.1 * rng.randn(O, D))
+    ph = jnp.asarray(0.1 * rng.randn(O))
+    ls = jnp.asarray(0.5 + rng.rand(O))
+    center = jnp.asarray(rng.randn(D))
+    twopi = float((2 * np.pi) ** D)
+    params = (w, mu, var, th, ph, ls, center)
+
+    kernel = gpr.MultiOutputHarmonizableSpectralKernel(output_dims=O, input_dims=D)
+    kernel.weight.assign(w); kernel.mean.assign(mu); kernel.variance.assign(var)
+    kernel.delay.assign(th); kernel.phase.assign(ph)
+    kernel.lengthscale.assign(ls); kernel.center.assign(center)
+    K_ref = kernel.K_mo(c, x, c, None)
+
+    K_blk = bf.family_gram_sorted("mohsm", (twopi, D), x, counts, params)
+    np.testing.assert_allclose(np.asarray(K_blk), np.asarray(K_ref),
+                               rtol=1e-11, atol=1e-12)
+
+    # gradient parity against autodiff through the dense path
+    R = jnp.asarray(np.random.RandomState(8).randn(sum(counts), sum(counts)))
+
+    def f_blk(ps):
+        return jnp.sum(bf.family_gram_sorted("mohsm", (twopi, D), x, counts, ps) * R)
+
+    g_blk = jax.grad(f_blk)(params)
+    # finite-difference spot check on a few leaves instead of rebuilding the
+    # bind machinery: K is linear in nothing, so check via jvp consistency
+    eps = 1e-6
+    for k, name in [(0, "w"), (5, "ls"), (6, "center")]:
+        p2 = list(params)
+        flat = params[k].reshape(-1)
+        p2[k] = flat.at[0].add(eps).reshape(params[k].shape)
+        num = (float(f_blk(tuple(p2))) - float(f_blk(params))) / eps
+        ana = float(np.asarray(g_blk[k]).reshape(-1)[0])
+        np.testing.assert_allclose(ana, num, rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+def test_mohsm_model_routes_to_family_engine(monkeypatch):
+    import mogptk_tpu.gpr as gpr
+    rng = np.random.RandomState(0)
+    xs = [np.sort(rng.uniform(0, 4, n)).reshape(-1, 1) for n in (30, 40)]
+    ys = [np.sin(2 * x) + 0.05 * rng.randn(*x.shape) for x in xs]
+    N, X, Y = gpr.merge_data(xs, ys)
+    kernel = gpr.MultiOutputHarmonizableSpectralKernel(output_dims=2)
+    kernel.mean.assign(0.1 + 0.2 * rng.rand(2, 1))
+    model = gpr.Exact(kernel, X, Y, variance=0.1)
+    loss_generic = float(model.loss())
+    calls = {"n": 0}
+    orig = bf.family_gram_sorted
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(bf, "family_gram_sorted", spy)
+    old = gpr.config.pallas
+    try:
+        gpr.use_pallas(True)
+        jax.clear_caches()
+        loss_block = float(model.loss())
+        assert calls["n"] >= 1
+        np.testing.assert_allclose(loss_block, loss_generic, rtol=1e-9)
+    finally:
+        gpr.config.pallas = old
+        gpr.config.bump()
+        jax.clear_caches()
