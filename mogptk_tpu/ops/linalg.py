@@ -101,13 +101,25 @@ def jittered_cholesky(K, jitter=None, ladder=None):
 
 
 def _blocked_trisolve_worthwhile(L, B):
-    """Route large many-RHS triangular solves to the MXU-blocked TRSM
-    (ops/blocked_trisolve.py). The panel inverses cost ~16 small solves, so
-    it only pays when the GEMM sweep amortizes them — big n AND a wide RHS
-    (e.g. Exact.predict_f's N×M cross-solve)."""
-    from ..gpr.config import blocked_cholesky_enabled
-    return (B.ndim == 2 and B.shape[1] >= 64
-            and blocked_cholesky_enabled(L.shape[-1], L.ndim, L.dtype))
+    """Route many-RHS triangular solves to the MXU-blocked TRSM
+    (ops/blocked_trisolve.py) when the GEMM sweep amortizes the panel
+    inverses: either a big factor with a moderately wide RHS (e.g.
+    Exact.predict_f's N×M cross-solve), or a small factor with R ≫ n —
+    the sparse models' Luu⁻¹Kuf whitening solve has n=M≈1k but R=N≈16k,
+    where one n×n inverse + one MXU GEMM replaces an n×R expander solve."""
+    if B.ndim != 2:
+        return False
+    from ..gpr.config import blocked_cholesky_enabled, config
+    import jax as _jax
+    n, R = L.shape[-1], B.shape[1]
+    if R >= 64 and blocked_cholesky_enabled(n, L.ndim, L.dtype):
+        return True
+    if L.ndim != 2 or L.dtype not in (jnp.float32, jnp.float64):
+        return False
+    if config.blocked_cholesky is not None and not config.blocked_cholesky:
+        return False
+    on_tpu = config.blocked_cholesky or _jax.default_backend() == "tpu"
+    return bool(on_tpu) and n >= 256 and R >= 4 * n
 
 
 @_sensitive

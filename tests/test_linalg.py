@@ -463,3 +463,26 @@ class TestBlockedTrisolve:
             gpr.config.blocked_cholesky = old
             gpr.config.bump()
             jax.clear_caches()
+
+    def test_dispatcher_routes_small_n_wide_rhs(self):
+        """R >> n (the sparse models' whitening solve) routes to the blocked
+        TRSM even below the factorization min_n gate."""
+        import mogptk_tpu.gpr as gpr
+        from mogptk_tpu.ops import linalg as lg
+        K = jnp.asarray(_spd(300, seed=31))
+        L = jnp.linalg.cholesky(K)
+        wide = jnp.asarray(np.random.RandomState(32).randn(300, 1300))
+        ref = np.asarray(jsl.solve_triangular(L, wide, lower=True))
+        old = gpr.config.blocked_cholesky
+        try:
+            gpr.use_blocked_cholesky(True)   # force (tests run on CPU)
+            jax.clear_caches()
+            assert lg._blocked_trisolve_worthwhile(L, wide)
+            # very narrow RHS (the 1-column alpha solve) keeps the expander
+            assert not lg._blocked_trisolve_worthwhile(L, wide[:, :32])
+            got = np.asarray(lg.solve_triangular(L, wide))
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+            jax.clear_caches()
