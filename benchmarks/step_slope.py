@@ -6,7 +6,7 @@ steps chained inside ONE jitted lax.scan, fetches the final loss, and
 reports the slope (t(T_hi)-t(T_lo))/(T_hi-T_lo): pure on-device step time,
 with dispatch/round-trip/fetch overhead cancelled.
 
-Usage: python benchmarks/step_slope.py [--exact-grad] [--no-pallas]
+Usage: python benchmarks/step_slope.py [--exact-grad] [--no-pallas] [--n-per N]
 """
 import os
 import sys
@@ -36,6 +36,8 @@ def main():
         gpr.use_pallas(True)
     exact_grad = "--exact-grad" in sys.argv
 
+    if "--n-per" in sys.argv:
+        bench.N_PER_CHANNEL = int(sys.argv[sys.argv.index("--n-per") + 1])
     xs, ys = bench.make_data()
     N, X, Y = gpr.merge_data(xs, ys)
     kernel = gpr.MultiOutputSpectralMixtureKernel(bench.Q, output_dims=bench.CHANNELS)
