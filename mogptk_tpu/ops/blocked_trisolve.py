@@ -68,21 +68,25 @@ def blocked_trisolve(L, B, lower=True, block_size=1024,
         invs[k] = invs[k].at[jnp.arange(Bs - pad, Bs),
                              jnp.arange(Bs - pad, Bs)].set(1.0)
 
+    # X lives in ONE buffer updated in place: rebuilding the solved prefix
+    # by concatenation each block row kept O(nb) (n, r) temps live — at a
+    # wide RHS (the 16k-factor, 8k-RHS predict solve) that blew past HBM
     order = range(nb) if lower else range(nb - 1, -1, -1)
-    xs = [None] * nb
+    X = jnp.zeros_like(B)
     for step, i in enumerate(order):
         r0 = i * Bs
         Bi = B[r0:r0 + Bs]
         if step > 0:
             if lower:
-                done = jnp.concatenate(xs[:i], axis=0)        # (i·Bs, r)
+                done = X[:r0]                                 # (i·Bs, r)
                 Ti = L[r0:r0 + Bs, :r0]                       # (Bs, i·Bs)
             else:
-                done = jnp.concatenate(xs[i + 1:], axis=0)
+                done = X[r0 + Bs:]
                 Ti = L[r0:r0 + Bs, r0 + Bs:]
             Bi = Bi - _dot(Ti, done, update_precision)
-        xs[i] = _dot(invs[step], Bi, update_precision)
-    return jnp.concatenate(xs, axis=0)[:n]
+        Xi = _dot(invs[step], Bi, update_precision)
+        X = jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
+    return X[:n]
 
 
 def blocked_cho_solve(L, B, **kw):
