@@ -22,9 +22,78 @@ Capability reference: torch.linalg.cholesky as used by the reference at
 mogptk/gpr/model.py:246; this file exists because the TPU expander leaves a
 ~3× gap on large N (measured in benchmarks/microprobe.py).
 """
+import functools
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _s_panel_kernel(k_ref, lrow_ref, ljrow_ref, s_ref, acc_ref, *, n_k):
+    """S tile = K tile − Σ_k L[rows, k-chunk] @ L[j-rows, k-chunk]ᵀ.
+
+    Reads the growing L factor DIRECTLY from HBM through block specs — no
+    materialized left-slice copies (XLA's dot can't consume a slice view,
+    which cost ~10 ms of pure copies per factorization at N=16k). The
+    accumulation is manual bf16x3 (the "high" recipe: hi/lo split, three
+    bf16 MXU passes with f32 accumulation) — measured within 5% of XLA's
+    "high" GEMM rate at these shapes."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, :] = k_ref[:, :]
+
+    a = lrow_ref[:, :]
+    b = ljrow_ref[:, :]
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    # precision pinned to DEFAULT: the operands are already bf16, so one
+    # MXU pass is exact — and the ambient "highest" scope this runs under
+    # inside jittered_cholesky would otherwise make Mosaic reject the
+    # bf16 lhs ("Bad lhs type": no multi-pass on sub-f32 inputs)
+    dot_t = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    acc = acc_ref[:, :]
+    acc -= dot_t(ah, bh)
+    acc -= dot_t(ah, bl)
+    acc -= dot_t(al, bh)
+    acc_ref[:, :] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        s_ref[:, :] = acc_ref[:, :]
+
+
+def _s_panel_pallas(K, L, j, B, T=256, TK=512):
+    """The left-looking accumulation S = K[r0:, r0:r0+B] − Lleft·Lleft[:B]ᵀ
+    for block column j as one streamed Pallas GEMM over K-chunks."""
+    npad = K.shape[0]
+    r0 = j * B
+    m = npad - r0
+    n_k = r0 // TK
+    grid = (m // T, n_k)
+    return pl.pallas_call(
+        functools.partial(_s_panel_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            # K tile of the target panel (block units: rows T, cols B)
+            pl.BlockSpec((T, B), lambda i, k, j=j, rT=r0 // T: (rT + i, j)),
+            # L rows of the current tile over k-chunk (block units: T × TK)
+            pl.BlockSpec((T, TK), lambda i, k, rT=r0 // T: (rT + i, k)),
+            # L rows of the diagonal block over k-chunk (B × TK)
+            pl.BlockSpec((B, TK), lambda i, k, j=j: (j, k)),
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i, k: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(K, L, L)
 
 
 def _dot_t(a, b, precision):
@@ -90,16 +159,23 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     # accumulation GEMM reads static slices of it. Measured 6 ms faster at
     # N=16k than rebuilding the left factor by concatenation each block
     # column (fewer copies for XLA to schedule), identical results.
+    # When the shapes align and the update precision is "high", the
+    # accumulation runs as a streamed Pallas GEMM that reads L in place
+    # (no slice copies at all; manual bf16x3 passes).
+    pallas_update = (K.dtype == jnp.float32 and update_precision == "high"
+                     and B % 512 == 0 and npad % 512 == 0)
     L = jnp.zeros_like(K)
     for j in range(nb):
         r0 = j * B
-        Kj = K[r0:, r0:r0 + B]                      # (npad − jB, B)
-        if j > 0:
+        if j > 0 and pallas_update:
+            S = _s_panel_pallas(K, L, j, B)
+        elif j > 0:
+            Kj = K[r0:, r0:r0 + B]                  # (npad − jB, B)
             # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
             Lleft = L[r0:, :r0]
             S = Kj - _dot_t(Lleft, Lleft[:B], update_precision)
         else:
-            S = Kj
+            S = K[r0:, r0:r0 + B]
         with jax.default_matmul_precision(panel_precision):
             Ljj = _panel_factor(S[:B], update_precision, panel_precision)
             if j < nb - 1:

@@ -486,3 +486,21 @@ class TestBlockedTrisolve:
             gpr.config.blocked_cholesky = old
             gpr.config.bump()
             jax.clear_caches()
+
+    def test_pallas_s_panel_update_matches_jnp(self):
+        """The streamed Pallas accumulation (bf16x3, in-place L reads) must
+        match the jnp update path. Runs in interpret mode on CPU; shapes
+        chosen to satisfy the alignment gate (B multiple of 512)."""
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        n = 1536
+        rng = np.random.RandomState(40)
+        A = rng.randn(n, n) / np.sqrt(n)
+        K = jnp.asarray((A @ A.T + 3.0 * np.eye(n)).astype(np.float32))
+        assert K.dtype == jnp.float32
+        # aligned f32 "high" -> pallas path; "highest" -> jnp path
+        L_p = np.asarray(blocked_cholesky(K, 512, update_precision="high"))
+        L_j = np.asarray(blocked_cholesky(K, 512, update_precision="highest"))
+        # bf16x3 vs full-f32: f32-grade agreement
+        np.testing.assert_allclose(L_p, L_j, rtol=2e-4, atol=2e-5)
+        Kr = np.asarray(L_p @ L_p.T)
+        np.testing.assert_allclose(Kr, np.asarray(K), rtol=1e-4, atol=1e-4)
