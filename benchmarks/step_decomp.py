@@ -25,8 +25,7 @@ def main():
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
     from benchmarks._timing import device_ms
 
-    gpr.use_pallas(True)
-    gpr.use_blocked_cholesky(False)   # decompose against the round-1 step
+    gpr.use_pallas(True)   # current defaults: block engines + blocked linalg
 
     xs, ys = bench.make_data()
     N, X, Y = gpr.merge_data(xs, ys)
@@ -80,21 +79,17 @@ def main():
         with jax.default_matmul_precision("highest"):
             L = jnp.linalg.cholesky(Kv)
         return Kv + 1e-20 * jnp.abs(L)
-    probe(chol_xla, Kff, "chol_xla", target=15.0)
-    for prec in ["high", "default"]:
-        probe(lambda Kv, p=prec: Kv + 1e-20 * jnp.abs(
-            blocked_cholesky(Kv, 1024, update_precision=p)),
-            Kff, f"chol_blocked_{prec}", target=15.0)
+    probe(lambda Kv: Kv + 1e-20 * jnp.abs(blocked_cholesky(Kv, 1024)),
+          Kff, "chol_blocked_high", target=15.0)
 
-    # triangular solves at the step's actual shapes (highest scope)
-    L = jnp.linalg.cholesky(Kff)
-    for r in [1, 17]:
-        B0 = jax.random.normal(jax.random.PRNGKey(1), (Kff.shape[0], r), jnp.float32)
-        def tri(Bv):
-            with jax.default_matmul_precision("highest"):
-                Yv = jsl.solve_triangular(L, Bv, lower=True)
-            return Yv / jnp.maximum(jnp.max(jnp.abs(Yv)), 1e-30)
-        probe(tri, B0, f"trisolve_{r}rhs", target=10.0)
+    # the forward's batched 17-RHS cho_solve at the step's actual shapes
+    L = blocked_cholesky(Kff, 1024)
+    from mogptk_tpu.ops.linalg import cholesky_solve
+    B0 = jax.random.normal(jax.random.PRNGKey(1), (Kff.shape[0], 17), jnp.float32)
+    def chs(Bv):
+        Yv = cholesky_solve(L, Bv)
+        return Yv / jnp.maximum(jnp.max(jnp.abs(Yv)), 1e-30)
+    probe(chs, B0, "cho_solve_17rhs", target=8.0)
 
     print(json.dumps(out), flush=True)
 

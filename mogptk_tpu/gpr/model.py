@@ -400,7 +400,8 @@ class Model(Module):
             mu, var = self.predict_f(Z, full=True)
         eye = jnp.eye(var.shape[0], dtype=config.dtype)
         var = var + self.jitter * jnp.mean(jnp.diagonal(var)) * eye
-        L = jnp.linalg.cholesky(var)
+        from ..ops.linalg import cholesky as _chol
+        L = _chol(var)  # routed: MXU-blocked at sampling-grid sizes ≥ min_n
         if key is None:
             key = config.next_key()
         eps = jax.random.normal(key, (var.shape[0], S), dtype=config.dtype)

@@ -14,7 +14,7 @@ def plot_gram(K):
     finite = np.isfinite(K)
     vmin = K[finite].min() if finite.any() else 0.0
     vmax = K[finite].max() if finite.any() else 1.0
-    cmap = matplotlib.cm.get_cmap("viridis").copy() if hasattr(matplotlib.cm.get_cmap("viridis"), "copy") else matplotlib.cm.get_cmap("viridis")
+    cmap = matplotlib.colormaps["viridis"].copy()
     try:
         cmap.set_bad(color="red")
     except Exception:
