@@ -234,18 +234,39 @@ class Model:
         self.is_multioutput = kernel.output_dims is not None
 
         X, Y = self.dataset.get_train_data()
-        # rescale_x centers X per input dimension at the training mean before
-        # it enters the kernel (an extension beyond the reference). Stationary
-        # kernels are translation invariant, so results are unchanged in f64 —
-        # but for huge absolute axes (datetime64 converts to ~1e7 minutes since
-        # epoch, where f32 resolution is ~2 minutes) this is the difference
-        # between training and NaN under use_single_precision. Nonstationary
-        # centers (MOHSM) become relative to the training mean.
+        # rescale_x maps X into well-conditioned kernel coordinates before it
+        # enters the kernel (an extension beyond the reference):
+        #   True / "center":  subtract the per-dim training mean. Stationary
+        #       kernels are translation invariant, so results are unchanged in
+        #       f64 — but for huge absolute axes (datetime64 converts to ~1e7
+        #       minutes since epoch, where f32 resolution is ~2 minutes) this
+        #       is the difference between training and NaN under
+        #       use_single_precision. Nonstationary centers (MOHSM) become
+        #       relative to the training mean.
+        #   "normalize":      center AND divide by the per-dim training std,
+        #       so every input dim is O(1) regardless of units. Defined
+        #       behavior: identical to manually normalizing X and running the
+        #       reference flow on it (tests/test_api.py asserts init-LML
+        #       equality against that ground truth). Model families convert
+        #       their data-unit init estimates (Nyquist bounds, LS/BNSE/SM
+        #       frequencies ×s, spectral variances ×s²) into kernel units via
+        #       _x_to_kernel_units, and convert kernel parameters back to
+        #       data units for spectral plots/checks. Unit-scale random
+        #       parameter draws and magic-constant heuristics are NOT
+        #       converted: with normalized X, O(1) is the right magnitude.
         self._x_offset = None
+        self._x_scale = None
         if rescale_x:
             allx = np.concatenate(
                 [np.asarray(Xj, dtype=np.float64) for Xj in X], axis=0)
             self._x_offset = allx.mean(axis=0)
+            if rescale_x not in (True, "center"):
+                if rescale_x not in ("normalize", "norm"):
+                    raise ValueError(
+                        "rescale_x must be False, True/'center', or "
+                        "'normalize'; got %r" % (rescale_x,))
+                std = allx.std(axis=0)
+                self._x_scale = np.where(std > 0.0, std, 1.0)
         x, y = self._to_kernel_format(X, Y)
 
         y_err = None
@@ -501,6 +522,43 @@ class Model:
             self.plot_losses()
         return losses, errors
 
+    # -- x-unit conversion (rescale_x="normalize") ----------------------------
+    def _x_unit_factor(self, xpow, scalar=False):
+        """Multiplier taking a data-unit x^xpow quantity into kernel units.
+
+        With kernel coordinates x' = (x − offset)/scale, a quantity carrying
+        x^xpow units converts by scale^(−xpow): lengths and delays (xpow=+1)
+        shrink by the scale, frequencies (xpow=−1) grow by it, spectral
+        variances (xpow=−2) by its square. `scalar` quantities shared across
+        input dims (e.g. MOHSM's per-output lengthscale) use the geometric
+        mean of the per-dim scales (exact when the scales are isotropic).
+        """
+        s = getattr(self, "_x_scale", None)
+        if s is None:
+            return 1.0
+        s = np.exp(np.mean(np.log(s))) if scalar else np.asarray(s)
+        return s ** (-xpow)
+
+    def _x_to_kernel_units(self, value, xpow, absolute=False, scalar=False):
+        """Convert a data-unit init estimate (frequency, spectral variance,
+        length, position) into kernel-x units; identity unless the model was
+        built with rescale_x='normalize'. `absolute` positions are centered
+        by the rescale_x offset first. Arrays broadcast the per-dim scale
+        against their trailing input-dims axis."""
+        value = np.asarray(value, dtype=np.float64)
+        if absolute and getattr(self, "_x_offset", None) is not None:
+            value = value - self._x_offset
+        return value * self._x_unit_factor(xpow, scalar=scalar)
+
+    def _x_from_kernel_units(self, value, xpow, absolute=False, scalar=False):
+        """Inverse of _x_to_kernel_units: kernel-unit parameter values back
+        into data units (for spectral plots and data-unit diagnostics)."""
+        value = np.asarray(value, dtype=np.float64) / self._x_unit_factor(
+            xpow, scalar=scalar)
+        if absolute and getattr(self, "_x_offset", None) is not None:
+            value = value + self._x_offset
+        return value
+
     # -- prediction -----------------------------------------------------------
     def _to_kernel_format(self, X, Y=None):
         """Concatenate per-channel data and prepend channel IDs for
@@ -508,6 +566,8 @@ class Model:
         x = np.concatenate([np.asarray(Xj, dtype=np.float64) for Xj in X], axis=0)
         if getattr(self, "_x_offset", None) is not None:
             x = x - self._x_offset
+        if getattr(self, "_x_scale", None) is not None:
+            x = x / self._x_scale
         if self.is_multioutput:
             chan = [j * np.ones(len(X[j])) for j in range(len(X))]
             chan = np.concatenate(chan).reshape(-1, 1)

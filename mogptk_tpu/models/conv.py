@@ -55,7 +55,12 @@ class CONV(Model):
 
         for q in range(self.Q):
             self.gpr.kernel[q].weight.assign([5.0 * amplitude[q, :].mean() for amplitude in amplitudes])
-            self.gpr.kernel[q].variance.assign([10.0 * variance[q, :] for variance in variances])
+            # the estimate is a spectral variance (x⁻² units), so it converts
+            # by ITS unit: rescale_x="normalize" init is defined as the
+            # reference's heuristic run on pre-normalized data (the 10×
+            # unit conflation is the reference's, models/conv.py:61-103)
+            self.gpr.kernel[q].variance.assign(self._x_to_kernel_units(
+                np.array([10.0 * variance[q, :] for variance in variances]), xpow=-2))
 
         if isinstance(self.gpr.likelihood, GaussianLikelihood):
             _, Y = self.dataset.get_train_data(transformed=True)

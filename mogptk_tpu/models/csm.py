@@ -37,7 +37,8 @@ class CSM(Model):
         super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         self.Rq = Rq
-        nyquist = np.amin(self.dataset.get_nyquist_estimation(), axis=0)
+        nyquist = self._x_to_kernel_units(
+            np.amin(self.dataset.get_nyquist_estimation(), axis=0), xpow=-1)
         for q in range(Q):
             lower = np.asarray(self.gpr.kernel[q].mean.lower)
             self.gpr.kernel[q].mean.assign(upper=np.maximum(lower, nyquist))
@@ -66,8 +67,8 @@ class CSM(Model):
             for j in range(len(self.dataset)):
                 constant[j, q, :] = amplitudes[j][q, :].mean() ** 2 / self.Rq
             self.gpr.kernel[q].amplitude.assign(constant[:, q, :])
-            self.gpr.kernel[q].mean.assign(means[q, :])
-            self.gpr.kernel[q].variance.assign(variances[q, :])
+            self.gpr.kernel[q].mean.assign(self._x_to_kernel_units(means[q, :], xpow=-1))
+            self.gpr.kernel[q].variance.assign(self._x_to_kernel_units(variances[q, :], xpow=-2))
 
         if isinstance(self.gpr.likelihood, GaussianLikelihood):
             _, Y = self.dataset.get_train_data(transformed=True)

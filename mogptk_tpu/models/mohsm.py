@@ -77,8 +77,10 @@ class MOHSM(Model):
                         weight[j, q] = amplitudes[j][q, :].mean()
                         mean[j, :] = means[j][q, :]
                         variance[j, :] = variances[j][q, :] * (4 + 20 * (max(input_dims) - 1))
-                self.gpr.kernel[p * self.Q + q].mean.assign(mean)
-                self.gpr.kernel[p * self.Q + q].variance.assign(variance)
+                self.gpr.kernel[p * self.Q + q].mean.assign(
+                    self._x_to_kernel_units(mean, xpow=-1))
+                self.gpr.kernel[p * self.Q + q].variance.assign(
+                    self._x_to_kernel_units(variance, xpow=-2))
 
             # normalize proportionally to channel variances
             # (reference: models/mohsm.py:129-136)

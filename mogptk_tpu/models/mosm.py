@@ -36,6 +36,7 @@ class MOSM(Model):
         super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         nyquist = np.array(self.dataset.get_nyquist_estimation())[:, None, :].repeat(Q, axis=1)
+        nyquist = self._x_to_kernel_units(nyquist, xpow=-1)
         lower = np.asarray(self.gpr.kernel.mean.lower)
         self.gpr.kernel.mean.assign(upper=np.maximum(lower, nyquist))
 
@@ -68,8 +69,8 @@ class MOSM(Model):
                 variance[j, q, :] = variances[j][q, :]
 
         self.gpr.kernel.weight.assign(weight)
-        self.gpr.kernel.mean.assign(mean)
-        self.gpr.kernel.variance.assign(variance)
+        self.gpr.kernel.mean.assign(self._x_to_kernel_units(mean, xpow=-1))
+        self.gpr.kernel.variance.assign(self._x_to_kernel_units(variance, xpow=-2))
 
         if isinstance(self.gpr.likelihood, GaussianLikelihood):
             _, Y = self.dataset.get_train_data(transformed=True)
@@ -84,8 +85,8 @@ class MOSM(Model):
         (reference: mogptk/models/mosm.py:115-124)."""
         for j in range(self.dataset.get_output_dims()):
             for q in range(self.Q):
-                mean = self.gpr.kernel.mean.numpy()[j, q, :]
-                var = self.gpr.kernel.variance.numpy()[j, q, :]
+                mean = self._x_from_kernel_units(self.gpr.kernel.mean.numpy()[j, q, :], xpow=-1)
+                var = self._x_from_kernel_units(self.gpr.kernel.variance.numpy()[j, q, :], xpow=-2)
                 if np.linalg.norm(mean) < np.linalg.norm(var):
                     print("- MOSM approaches RBF kernel for q=%d in channel='%s'" % (q, self.dataset[j].name))
 
@@ -94,8 +95,10 @@ class MOSM(Model):
         names = self.dataset.get_names()
         if maxfreq is not None:
             maxfreq = [maxfreq] * len(self.dataset)
-        means = self.gpr.kernel.mean.numpy().transpose([1, 0, 2])
-        scales = np.sqrt(self.gpr.kernel.variance.numpy().transpose([1, 0, 2]))
+        means = self._x_from_kernel_units(
+            self.gpr.kernel.mean.numpy().transpose([1, 0, 2]), xpow=-1)
+        scales = self._x_from_kernel_units(
+            np.sqrt(self.gpr.kernel.variance.numpy().transpose([1, 0, 2])), xpow=-1)
         weights = self.gpr.kernel.weight.numpy().transpose([1, 0]) ** 2
 
         noises = None
@@ -131,10 +134,10 @@ class MOSM(Model):
         }
 
         weight = self.gpr.kernel.weight.numpy()
-        mean = self.gpr.kernel.mean.numpy()
-        variance = self.gpr.kernel.variance.numpy()
+        mean = self._x_from_kernel_units(self.gpr.kernel.mean.numpy(), xpow=-1)
+        variance = self._x_from_kernel_units(self.gpr.kernel.variance.numpy(), xpow=-2)
         phase = self.gpr.kernel.phase.numpy()
-        delay = self.gpr.kernel.delay.numpy()
+        delay = self._x_from_kernel_units(self.gpr.kernel.delay.numpy(), xpow=1)
         for q in range(Q):
             for i in range(output_dims):
                 for j in range(output_dims):

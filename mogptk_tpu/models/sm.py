@@ -37,6 +37,7 @@ class SM(Model):
         self.Q = Q
         # Nyquist upper bound on component means (reference: models/sm.py:58-60)
         nyquist = np.array(self.dataset.get_nyquist_estimation())[:, None, :].repeat(Q, axis=1)
+        nyquist = self._x_to_kernel_units(nyquist, xpow=-1)
         for j in range(output_dims):
             lower = np.asarray(self.gpr.kernel[j].mean.lower)
             self.gpr.kernel[j].mean.assign(upper=np.maximum(lower, nyquist[j, :, :]))
@@ -64,8 +65,8 @@ class SM(Model):
                 variances = 1.0 / (np.abs(rng.standard_normal((self.Q, input_dims[j]))) * x_range)
 
                 self.gpr.kernel[j].magnitude.assign(weights)
-                self.gpr.kernel[j].mean.assign(means)
-                self.gpr.kernel[j].variance.assign(variances)
+                self.gpr.kernel[j].mean.assign(self._x_to_kernel_units(means, xpow=-1))
+                self.gpr.kernel[j].variance.assign(self._x_to_kernel_units(variances, xpow=-2))
             return
         elif method.lower() == "ls":
             amplitudes, means, variances = self.dataset.get_ls_estimation(self.Q)
@@ -80,8 +81,8 @@ class SM(Model):
 
         for j in range(output_dims):
             self.gpr.kernel[j].magnitude.assign(amplitudes[j].mean(axis=1) ** 2)
-            self.gpr.kernel[j].mean.assign(means[j])
-            self.gpr.kernel[j].variance.assign(variances[j])
+            self.gpr.kernel[j].mean.assign(self._x_to_kernel_units(means[j], xpow=-1))
+            self.gpr.kernel[j].variance.assign(self._x_to_kernel_units(variances[j], xpow=-2))
 
         # noise ← per-channel Y std (reference: models/sm.py:115-121)
         if isinstance(self.gpr.likelihood, GaussianLikelihood):
@@ -98,8 +99,10 @@ class SM(Model):
         names = self.dataset.get_names()
         if maxfreq is not None:
             maxfreq = [maxfreq] * len(self.dataset)
-        means = np.array([self.gpr.kernel[j].mean.numpy() for j in range(output_dims)]).transpose([1, 0, 2])
-        scales = np.array([np.sqrt(self.gpr.kernel[j].variance.numpy()) for j in range(output_dims)]).transpose([1, 0, 2])
+        means = np.array([self._x_from_kernel_units(self.gpr.kernel[j].mean.numpy(), xpow=-1)
+                          for j in range(output_dims)]).transpose([1, 0, 2])
+        scales = np.array([self._x_from_kernel_units(np.sqrt(self.gpr.kernel[j].variance.numpy()), xpow=-1)
+                           for j in range(output_dims)]).transpose([1, 0, 2])
         weights = np.array([self.gpr.kernel[j].magnitude.numpy() for j in range(output_dims)]).transpose([1, 0])
 
         noises = None

@@ -40,7 +40,8 @@ class SM_LMC(Model):
         super().__init__(dataset, kernel, inference, mean, name, **kwargs)
         self.Q = Q
         self.Rq = Rq
-        nyquist = np.amin(self.dataset.get_nyquist_estimation(), axis=0)
+        nyquist = self._x_to_kernel_units(
+            np.amin(self.dataset.get_nyquist_estimation(), axis=0), xpow=-1)
         for q in range(Q):
             # magnitude handled by the LMC weight (reference: models/sm_lmc.py:66)
             self.gpr.kernel[q].magnitude.assign(1.0, train=False)
@@ -70,8 +71,8 @@ class SM_LMC(Model):
         for q in range(self.Q):
             for j in range(len(self.dataset)):
                 constant[j, q, :] = amplitudes[j][q, :].mean() / self.Rq
-            self.gpr.kernel[q].mean.assign(means[q, :])
-            self.gpr.kernel[q].variance.assign(variances[q, :])
+            self.gpr.kernel[q].mean.assign(self._x_to_kernel_units(means[q, :], xpow=-1))
+            self.gpr.kernel[q].variance.assign(self._x_to_kernel_units(variances[q, :], xpow=-2))
         self.gpr.kernel.weight.assign(constant)
 
         if isinstance(self.gpr.likelihood, GaussianLikelihood):

@@ -405,6 +405,117 @@ def test_rescale_x_named_model_kwarg():
     assert model._x_offset is not None
 
 
+def _huge_axis_dataset(offset=2.0e6, span=40.0, n=70):
+    xs, ys = [], []
+    for j, f in enumerate([0.21, 0.34]):
+        x = offset + span * np.linspace(0.0, 1.0, n) + 3.0 * j
+        y = np.sin(2 * np.pi * f * (x - offset)) + 0.02 * np.random.RandomState(j).randn(n)
+        xs.append(x)
+        ys.append(y)
+    return xs, ys
+
+
+@pytest.mark.parametrize("family,kw", [
+    ("SM", {}), ("MOSM", {}), ("CSM", {"Rq": 2}), ("SM_LMC", {"Rq": 2}),
+    ("CONV", {}), ("MOHSM", {"P": 1}),
+])
+def test_rescale_x_normalize_matches_manual_normalization(family, kw):
+    # spec (model.py rescale_x docs): rescale_x="normalize" is IDENTICAL to
+    # manually normalizing X ((x - mean)/std over concatenated train X) and
+    # running the same flow — per-family LS init must give the same LML
+    xs, ys = _huge_axis_dataset()
+    allx = np.concatenate(xs)
+    off, s = allx.mean(), allx.std()
+
+    cls = getattr(mogptk, family)
+
+    mogptk.gpr.config.set_seed(11)
+    m_auto = cls(mogptk.DataSet(xs, ys, names=["A", "B"]), Q=2,
+                 rescale_x="normalize", **kw)
+    mogptk.gpr.config.set_seed(11)
+    m_manual = cls(mogptk.DataSet([(x - off) / s for x in xs], ys,
+                                  names=["A", "B"]), Q=2, **kw)
+    assert m_auto._x_scale is not None
+    assert np.allclose(m_auto.gpr.X, m_manual.gpr.X, atol=1e-12)
+
+    m_auto.init_parameters("LS")
+    m_manual.init_parameters("LS")
+
+    # every initialized parameter identical — the conversion IS the manual
+    # normalization
+    for pa, pm in zip(m_auto.gpr.parameters(), m_manual.gpr.parameters()):
+        assert np.allclose(pa.numpy(), pm.numpy(), rtol=1e-6, atol=1e-10), \
+            "%s: parameter %s differs" % (family, pa._name)
+
+    if family == "MOHSM":
+        # LS-initialized MOHSM is legitimately non-PSD on this long-range
+        # config (reference formula parity; see test_mohsm_model) — the
+        # parameter equality above is the meaningful check
+        return
+
+    lml_auto = float(m_auto.gpr.log_marginal_likelihood())
+    lml_manual = float(m_manual.gpr.log_marginal_likelihood())
+    assert np.isfinite(lml_auto)
+    assert np.isclose(lml_auto, lml_manual, rtol=1e-6), \
+        "%s: %r != %r" % (family, lml_auto, lml_manual)
+
+    # predictions agree too (same map, same query points)
+    xq = [x[5:20] for x in xs]
+    _, mu_a, _, _ = m_auto.predict(xq)
+    _, mu_m, _, _ = m_manual.predict([(x - off) / s for x in xq])
+    for a, b in zip(mu_a, mu_m):
+        assert np.allclose(a, b, atol=1e-8)
+
+
+def test_rescale_x_normalize_data_unit_readbacks():
+    # plot_spectrum/check read parameters back in DATA units: the displayed
+    # frequencies from a normalized model must match an unnormalized one
+    xs, ys = _huge_axis_dataset(offset=0.0)   # O(1) axis: both models sane
+    mogptk.gpr.config.set_seed(3)
+    m_norm = mogptk.SM(mogptk.DataSet(xs, ys, names=["A", "B"]), Q=2,
+                       rescale_x="normalize")
+    mogptk.gpr.config.set_seed(3)
+    m_raw = mogptk.SM(mogptk.DataSet(xs, ys, names=["A", "B"]), Q=2)
+    m_norm.init_parameters("LS")
+    m_raw.init_parameters("LS")
+    for j in range(2):
+        f_norm = m_norm._x_from_kernel_units(
+            m_norm.gpr.kernel[j].mean.numpy(), xpow=-1)
+        f_raw = m_raw.gpr.kernel[j].mean.numpy()
+        assert np.allclose(f_norm, f_raw, rtol=1e-6)
+    # round-trip identity
+    v = np.array([0.5, 2.0])
+    assert np.allclose(
+        m_norm._x_from_kernel_units(m_norm._x_to_kernel_units(v, -2), -2), v)
+
+
+def test_rescale_x_normalize_f32_wide_span_trains():
+    # the payoff case for scale normalization: a wide raw axis (~3e4 span,
+    # like seconds over a week) where f32 squared distances lose most of
+    # their digits — normalized, f32 LS-init training is clean
+    import jax.numpy as jnp
+    span, n = 3.0e4, 80
+    x = span * np.linspace(0.0, 1.0, n)
+    y = np.sin(2 * np.pi * (6.0 / span) * x) + 0.02 * np.random.RandomState(0).randn(n)
+    mogptk.gpr.config.dtype = jnp.float32
+    try:
+        model = mogptk.SM(mogptk.DataSet(mogptk.Data(x, y)), Q=1,
+                          rescale_x="normalize")
+        model.init_parameters("LS")
+        losses, _ = model.train(method="Adam", lr=0.02, iters=40)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+    finally:
+        mogptk.gpr.config.dtype = None
+
+
+def test_rescale_x_invalid_value_raises():
+    xs, ys = _huge_axis_dataset()
+    with pytest.raises(ValueError):
+        mogptk.SM(mogptk.DataSet(xs, ys, names=["A", "B"]), Q=1,
+                  rescale_x="bogus")
+
+
 def _sq_exp_kernel():
     k = mogptk.gpr.SquaredExponentialKernel()
     k.lengthscale.assign(1.5)
