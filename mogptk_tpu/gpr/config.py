@@ -96,10 +96,15 @@ config = Config()
 
 
 def use_half_precision():
-    """Use bfloat16 (TPU-native half precision) for parameters and kernel/Gram
-    computation — half the HBM, 2× MXU throughput on quadform GEMMs. All
-    factorizations and LML solves upcast to float32 automatically
-    (ops/linalg._solve_dtype); a bf16 Cholesky would be meaningless."""
+    """Use bfloat16 (TPU-native half precision) for parameters and Gram
+    STORAGE — half the HBM, so the largest single-chip exact-Cholesky N
+    grows ~15% (peak 6 bytes/entry instead of 8). The numerics are NOT
+    bf16: the fused Gram engines compute tiles in f32 and cast only the
+    HBM write (ops/block_mosm._compute_dtype — bf16 τ-chains would lose
+    the cosine phase), the blocked Cholesky consumes bf16 tiles with
+    in-VMEM upcast and returns an f32 factor, jitter rides the factor-
+    dtype diag_shift (a 1e-8 bump would round away in bf16), and every
+    solve/matvec runs f32 (ops/linalg._solve_dtype)."""
     jax.config.update("jax_enable_x64", False)
     config.dtype = jnp.bfloat16
     config.bump()
@@ -210,7 +215,11 @@ def blocked_cholesky_enabled(n, ndim=2, dtype=None):
     """Resolve the blocked-Cholesky policy for an (n, n) factorization."""
     if ndim != 2:
         return False
-    if dtype is not None and dtype not in (jnp.float32, jnp.float64):
+    if dtype is not None and dtype not in (jnp.float32, jnp.float64,
+                                           jnp.bfloat16, jnp.float16):
+        # sub-f32 Grams are accepted: blocked_cholesky upcasts per-tile in
+        # VMEM (the factor comes out f32), so the f32 copy of a bf16 Gram
+        # is never materialized in HBM
         return False
     if config.blocked_cholesky is not None:
         return bool(config.blocked_cholesky)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .block_mosm import _pad_rows, _interpret, _split_counts
+from .block_mosm import _pad_rows, _interpret, _split_counts, _compute_dtype
 
 _pi = np.pi
 
@@ -225,7 +225,8 @@ def _read_svals(s_ref, S):
 
 
 def _fwd_kernel(x1_ref, x2_ref, s_ref, out_ref, *, tile, S):
-    out_ref[:, :] = tile(x1_ref[:, :], x2_ref[:, :], _read_svals(s_ref, S))
+    out_ref[:, :] = tile(x1_ref[:, :], x2_ref[:, :],
+                         _read_svals(s_ref, S)).astype(out_ref.dtype)
 
 
 def _vjp_to_scalars(tile, x1_ref, x2_ref, s_ref, S, g, dout_refs):
@@ -304,10 +305,12 @@ def _smem_spec(shape):
 def _block_impl(name, statics, xi, xj, s):
     _, tile = _resolve(name, statics)
     S = s.shape[0]
-    dtype = s.dtype
+    dtype = s.dtype                    # output (HBM) dtype — bf16 stays bf16
+    cdtype = _compute_dtype(dtype)     # in-tile math dtype (f32 for sub-f32)
+    s = s.astype(cdtype)
     ni, nj = xi.shape[0], xj.shape[0]
-    x1p = _pad_rows(xi.astype(dtype), TILE)
-    x2p = _pad_rows(xj.astype(dtype), TILE)
+    x1p = _pad_rows(xi.astype(cdtype), TILE)
+    x2p = _pad_rows(xj.astype(cdtype), TILE)
     D = xi.shape[1]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, tile=tile, S=S),
@@ -339,7 +342,9 @@ def _gram_block_bwd(name, statics, res, g):
     xi, xj, s = res
     _, tile = _resolve(name, statics)
     S = s.shape[0]
-    dtype = s.dtype
+    pack_dtype = s.dtype
+    dtype = _compute_dtype(pack_dtype)
+    s = s.astype(dtype)
     T = BWD_TILE
     x1p = _pad_rows(xi.astype(dtype), T)
     x2p = _pad_rows(xj.astype(dtype), T)
@@ -361,7 +366,7 @@ def _gram_block_bwd(name, statics, res, g):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x1p, x2p, s.reshape(S, 1), gp)
-    ds = jnp.stack([d[0, 0] for d in douts])
+    ds = jnp.stack([d[0, 0] for d in douts]).astype(pack_dtype)
     return jnp.zeros_like(xi), jnp.zeros_like(xj), ds
 
 
@@ -401,7 +406,10 @@ def family_matvec_sorted(name, statics, x, counts, params, V):
     trick on the transposed direction)."""
     counts = tuple(int(n) for n in counts)
     pack_fn, tile = _resolve(name, statics)
+    # matvecs feed CG/Lanczos: run and return in the solve dtype (f32 for
+    # sub-f32 configs, mirroring ops/linalg._solve_dtype)
     packs = pack_fn(params)
+    packs = packs.astype(_compute_dtype(packs.dtype))
     O, _, S = packs.shape
     dtype = packs.dtype
     R = V.shape[1]
@@ -467,6 +475,8 @@ def family_lowrank_vjp_sorted(name, statics, x, counts, params, A, B):
     pack_fn, tile = _resolve(name, statics)
     packs, vjp_pack = jax.vjp(lambda ps: pack_fn(ps), tuple(params))
     O, _, S = packs.shape
+    pack_dtype = packs.dtype
+    packs = packs.astype(_compute_dtype(pack_dtype))
     dtype = packs.dtype
     R = A.shape[1]
     D = x.shape[1]
@@ -513,5 +523,5 @@ def family_lowrank_vjp_sorted(name, statics, x, counts, params, A, B):
                 interpret=_interpret(),
             )(xi, xj, packs[i, j].reshape(S, 1), ai, bi, aj, bj)
             dpacks = dpacks.at[i, j].add(jnp.stack([d[0, 0] for d in douts]))
-    (dparams,) = vjp_pack(dpacks)
+    (dparams,) = vjp_pack(dpacks.astype(pack_dtype))
     return dparams

@@ -42,6 +42,16 @@ def _interpret():
     return _jax.default_backend() == "cpu"
 
 
+def _compute_dtype(dtype):
+    """In-tile compute dtype: sub-f32 Grams (use_half_precision) store bf16
+    in HBM — half the traffic for the downstream factorization — but the
+    τ-chain/exp/cos math runs in f32. bf16's 8-bit mantissa loses the cosine
+    phase entirely at τ·μ ≳ 30 (0.4% relative τ error ≈ π of phase), and the
+    VPU is f32-native anyway, so bf16 tile math would cost accuracy and buy
+    no compute."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
 def mosm_pair_stats(w, mu, var, theta, phi, twopi):
     """Differentiable (O,O)-pair statistics of the MOSM spectral product.
 
@@ -101,7 +111,7 @@ def _tile_from_stats(x1_ref, x2_ref, st3_ref, st2_ref, Q, D, phase_inside):
 def _fwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, out_ref, *, Q, D,
                 phase_inside):
     out_ref[:, :] = _tile_from_stats(x1_ref, x2_ref, st3_ref, st2_ref,
-                                     Q, D, phase_inside)
+                                     Q, D, phase_inside).astype(out_ref.dtype)
 
 
 def _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g, dout_refs, Q, D,
@@ -233,10 +243,11 @@ def _gram_block_impl(xi, xj, st3f, st2, phase_inside):
     QD, _ = st3f.shape
     Q = st2.shape[0]
     D = QD // Q
-    dtype = st3f.dtype
+    dtype = st3f.dtype                 # output (HBM) dtype — bf16 stays bf16
+    cdtype = _compute_dtype(dtype)     # in-tile math dtype
     ni, nj = xi.shape[0], xj.shape[0]
-    x1p = _pad_rows(xi.astype(dtype), TILE)
-    x2p = _pad_rows(xj.astype(dtype), TILE)
+    x1p = _pad_rows(xi.astype(cdtype), TILE)
+    x2p = _pad_rows(xj.astype(cdtype), TILE)
     Np, Mp = x1p.shape[0], x2p.shape[0]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, Q=Q, D=D, phase_inside=phase_inside),
@@ -250,7 +261,7 @@ def _gram_block_impl(xi, xj, st3f, st2, phase_inside):
         ],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
         interpret=_interpret(),
-    )(x1p, x2p, st3f, st2)
+    )(x1p, x2p, st3f.astype(cdtype), st2.astype(cdtype))
     return out[:ni, :nj]
 
 
@@ -271,7 +282,7 @@ def _gram_block_bwd(phase_inside, res, g):
     QD = st3f.shape[0]
     Q = st2.shape[0]
     D = QD // Q
-    dtype = st3f.dtype
+    dtype = _compute_dtype(st3f.dtype)
     T = BWD_TILE
     x1p = _pad_rows(xi.astype(dtype), T)
     x2p = _pad_rows(xj.astype(dtype), T)
@@ -295,10 +306,11 @@ def _gram_block_bwd(phase_inside, res, g):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x1p, x2p, st3f, st2, gp)
+    )(x1p, x2p, st3f.astype(dtype), st2.astype(dtype), gp)
     dst3f = jnp.stack([d[0, 0] for d in douts[:3 * QD]]).reshape(QD, 3)
     dst2 = jnp.stack([d[0, 0] for d in douts[3 * QD:]]).reshape(Q, 2)
-    return jnp.zeros_like(xi), jnp.zeros_like(xj), dst3f, dst2
+    return (jnp.zeros_like(xi), jnp.zeros_like(xj),
+            dst3f.astype(st3f.dtype), dst2.astype(st2.dtype))
 
 
 _gram_block.defvjp(_gram_block_fwd, _gram_block_bwd)
@@ -349,8 +361,11 @@ def mosm_matvec_sorted(x, counts, w, mu, var, theta, phi, twopi, V,
     O, Q = w.shape
     D = mu.shape[-1]
     st3, st2 = mosm_pair_stats(w, mu, var, theta, phi, twopi)
-    st3f = st3.reshape(O, O, Q * D, 3)
-    dtype = st3.dtype
+    # matvecs feed CG/Lanczos: run and return in the solve dtype (f32 for
+    # sub-f32 configs, mirroring ops/linalg._solve_dtype)
+    dtype = _compute_dtype(st3.dtype)
+    st3f = st3.reshape(O, O, Q * D, 3).astype(dtype)
+    st2 = st2.astype(dtype)
     R = V.shape[1]
     xs, offs = _split_counts(x, counts)
     vs, _ = _split_counts(V, counts)
@@ -421,7 +436,7 @@ def mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
     w = params[0]
     O, Q = w.shape
     D = params[1].shape[-1]
-    dtype = w.dtype
+    dtype = _compute_dtype(w.dtype)
     R = A.shape[1]
 
     def stats_fn(params):
@@ -429,6 +444,9 @@ def mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
         return st3.reshape(O, O, Q * D, 3), st2
 
     (st3f, st2), vjp_stats = jax.vjp(stats_fn, tuple(params))
+    pack_dtype = st3f.dtype
+    st3f = st3f.astype(dtype)
+    st2 = st2.astype(dtype)
     xs, _ = _split_counts(x, counts)
     As, _ = _split_counts(A, counts)
     Bs_, _ = _split_counts(B, counts)
@@ -479,7 +497,7 @@ def mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
             d2 = jnp.stack([d[0, 0] for d in douts[3 * Q * D:]]).reshape(Q, 2)
             dst3f = dst3f.at[i, j].add(d3)
             dst2 = dst2.at[i, j].add(d2)
-    (dparams,) = vjp_stats((dst3f, dst2))
+    (dparams,) = vjp_stats((dst3f.astype(pack_dtype), dst2.astype(pack_dtype)))
     return dparams
 
 

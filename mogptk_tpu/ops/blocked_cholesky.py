@@ -43,10 +43,12 @@ def _s_panel_kernel(k_ref, lrow_ref, ljrow_ref, s_ref, acc_ref, *, n_k):
 
     @pl.when(k == 0)
     def _():
-        acc_ref[:, :] = k_ref[:, :]
+        # K tiles may arrive bf16 (use_half_precision Grams): the upcast
+        # happens here in VMEM, never as an f32 HBM copy
+        acc_ref[:, :] = k_ref[:, :].astype(jnp.float32)
 
-    a = lrow_ref[:, :]
-    b = ljrow_ref[:, :]
+    a = lrow_ref[:, :].astype(jnp.float32)
+    b = ljrow_ref[:, :].astype(jnp.float32)
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     bh = b.astype(jnp.bfloat16)
@@ -123,13 +125,15 @@ def _tri_inverse(Ljj):
 
 
 def blocked_cholesky(K, block_size=1024, update_precision="high",
-                     panel_precision="highest"):
+                     panel_precision="highest", diag_shift=None):
     """Lower-Cholesky factor of a symmetric PSD matrix, blocked for the MXU.
 
     Args:
-        K: (n, n) symmetric positive-definite matrix (f32/f64; bf16 inputs
-            should be upcast by the caller — a bf16 factorization is
-            numerically meaningless).
+        K: (n, n) symmetric positive-definite matrix. f32/f64 factorize in
+            their own dtype; bf16/f16 Grams (use_half_precision) are
+            CONSUMED directly — tiles upcast to f32 inside VMEM and the
+            factor comes out f32, so the f32 copy of a half-precision Gram
+            never exists in HBM.
         block_size: panel width B. The trailing GEMM at block column j has
             shape (n−jB, jB)×(jB, B); 1024 keeps the MXU saturated at n≥8k.
         update_precision: matmul precision for the big accumulation GEMM
@@ -138,14 +142,21 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
             (single bf16 pass) is fastest but drops ~5 decimal digits.
         panel_precision: precision scope for the B×B factorization and the
             panel triangular solve — the cancellation-sensitive steps.
+        diag_shift: optional traced scalar added to K's diagonal — applied
+            at each diagonal panel IN THE FACTOR dtype, exactly equivalent
+            to factoring K + diag_shift·I. This is how jitter reaches a
+            bf16 Gram: 1e-8·diag added in bf16 would round away entirely.
 
     Returns:
-        (n, n) lower-triangular L with K = L @ L.T (upper half zero).
+        (n, n) lower-triangular L with K = L @ L.T (upper half zero), in
+        f32 for sub-f32 input, else K's dtype.
     """
     n = K.shape[-1]
     if K.ndim != 2:
         raise ValueError("blocked_cholesky expects a 2-D matrix; got shape %r"
                          % (K.shape,))
+    ldtype = (jnp.float32 if K.dtype in (jnp.bfloat16, jnp.float16)
+              else K.dtype)
     B = int(min(block_size, n))
     nb = -(-n // B)
     npad = nb * B
@@ -162,22 +173,26 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     # When the shapes align and the update precision is "high", the
     # accumulation runs as a streamed Pallas GEMM that reads L in place
     # (no slice copies at all; manual bf16x3 passes).
-    pallas_update = (K.dtype == jnp.float32 and update_precision == "high"
+    pallas_update = (ldtype == jnp.float32 and update_precision == "high"
                      and B % 512 == 0 and npad % 512 == 0)
-    L = jnp.zeros_like(K)
+    shift = None if diag_shift is None else jnp.asarray(diag_shift, ldtype)
+    L = jnp.zeros(K.shape, ldtype)
     for j in range(nb):
         r0 = j * B
         if j > 0 and pallas_update:
             S = _s_panel_pallas(K, L, j, B)
         elif j > 0:
-            Kj = K[r0:, r0:r0 + B]                  # (npad − jB, B)
+            Kj = K[r0:, r0:r0 + B].astype(ldtype)   # (npad − jB, B)
             # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
             Lleft = L[r0:, :r0]
             S = Kj - _dot_t(Lleft, Lleft[:B], update_precision)
         else:
-            S = K[r0:, r0:r0 + B]
+            S = K[r0:, r0:r0 + B].astype(ldtype)
+        Sjj = S[:B]
+        if shift is not None:
+            Sjj = Sjj + shift * jnp.eye(B, dtype=ldtype)
         with jax.default_matmul_precision(panel_precision):
-            Ljj = _panel_factor(S[:B], update_precision, panel_precision)
+            Ljj = _panel_factor(Sjj, update_precision, panel_precision)
             if j < nb - 1:
                 # X · Ljjᵀ = S_below  ⇔  X = S_below · Ljj⁻ᵀ — one GEMM
                 # against the explicit B×B triangular inverse (MAGMA-style

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_mosm as _pm
-from .pallas_mosm import _pad, _tile_forward, _interpret
+from .pallas_mosm import _pad, _tile_forward, _interpret, _compute_dtype
 
 _pi = np.pi
 
@@ -165,12 +165,15 @@ def _onehot(c_ref, O, dtype):
 
 
 def _prep(x1, c1, x2, c2, params, T):
-    dtype = params[0].dtype
+    """Pad/cast inputs. Tile math runs in the compute dtype (f32 for sub-f32
+    configs — see pallas_mosm._compute_dtype); params are cast accordingly."""
+    dtype = _compute_dtype(params[0].dtype)
+    params = tuple(p.astype(dtype) for p in params)
     x1p = _pad(x1.astype(dtype), T, 0)
     x2p = _pad(x2.astype(dtype), T, 0)
     c1p = _pad(c1.astype(jnp.int32).reshape(-1, 1), T, 0)
     c2p = _pad(c2.astype(jnp.int32).reshape(-1, 1), T, 0)
-    return x1p, c1p, x2p, c2p, dtype
+    return x1p, c1p, x2p, c2p, params, dtype
 
 
 def fused_gram_matvec(family, O, x1, c1, x2, c2, params, V):
@@ -180,7 +183,7 @@ def fused_gram_matvec(family, O, x1, c1, x2, c2, params, V):
     N, D = x1.shape
     R = V.shape[1]
     T = _pm.TILE
-    x1p, c1p, x2p, c2p, dtype = _prep(x1, c1, x2, c2, params, T)
+    x1p, c1p, x2p, c2p, params, dtype = _prep(x1, c1, x2, c2, params, T)
     Vp = _pad(V.astype(dtype), T, 0)
     Np, Mp = x1p.shape[0], x2p.shape[0]
 
@@ -225,7 +228,8 @@ def fused_gram_lowrank_vjp(family, O, x1, c1, x2, c2, params, A, B):
     N, D = x1.shape
     R = A.shape[1]
     T = _pm.BWD_TILE
-    x1p, c1p, x2p, c2p, dtype = _prep(x1, c1, x2, c2, params, T)
+    pack_dtype = params[0].dtype
+    x1p, c1p, x2p, c2p, params, dtype = _prep(x1, c1, x2, c2, params, T)
     Ap = _pad(A.astype(dtype), T, 0)
     Bp = _pad(B.astype(dtype), T, 0)
     Np, Mp = x1p.shape[0], x2p.shape[0]
@@ -274,7 +278,7 @@ def fused_gram_lowrank_vjp(family, O, x1, c1, x2, c2, params, A, B):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x1p, c1p, x2p, c2p, *params, Ap, Bp)
-    return douts
+    return tuple(d.astype(pack_dtype) for d in douts)
 
 
 def fused_gram(family, O, x1, c1, x2, c2, params):
@@ -284,21 +288,22 @@ def fused_gram(family, O, x1, c1, x2, c2, params):
     N, D = x1.shape
     M = x2.shape[0]
     T = _pm.TILE
-    x1p, c1p, x2p, c2p, dtype = _prep(x1, c1, x2, c2, params, T)
+    out_dtype = params[0].dtype        # bf16 Grams stay bf16 in HBM
+    x1p, c1p, x2p, c2p, params, dtype = _prep(x1, c1, x2, c2, params, T)
     Np, Mp = x1p.shape[0], x2p.shape[0]
 
     def kernel(*refs):
         x1_ref, c1_ref, x2_ref, c2_ref = refs[:4]
         param_refs = refs[4:-1]
         out_ref = refs[-1]
-        c1oh = _onehot(c1_ref, O, out_ref.dtype)
-        c2oh = _onehot(c2_ref, O, out_ref.dtype)
+        c1oh = _onehot(c1_ref, O, x1_ref.dtype)
+        c2oh = _onehot(c2_ref, O, x1_ref.dtype)
         out_ref[:, :] = tile_fn(x1_ref[:, :], c1oh, x2_ref[:, :], c2oh,
-                                *[r[...] for r in param_refs])
+                                *[r[...] for r in param_refs]).astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Np, Mp), dtype),
+        out_shape=jax.ShapeDtypeStruct((Np, Mp), out_dtype),
         grid=(Np // T, Mp // T),
         in_specs=[
             pl.BlockSpec((T, D), lambda i, j: (i, 0)),

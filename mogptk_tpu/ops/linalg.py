@@ -16,16 +16,27 @@ import jax.scipy.linalg as jsl
 from .blocked_cholesky import blocked_cholesky
 
 
-def cholesky(K):
+def cholesky(K, diag_shift=None):
     """Lower-Cholesky factor, routed to the MXU-blocked implementation when
     the policy says so (gpr.config.blocked_cholesky_enabled: auto = TPU,
     2-D, n ≥ 4096 — where it measures ~3× XLA's expander), else
-    jnp.linalg.cholesky. Both return NaN rows for non-PSD input."""
+    jnp.linalg.cholesky. Both return NaN rows for non-PSD input.
+
+    diag_shift (optional traced scalar, or (...,1,1) for batched K) factors
+    K + diag_shift·I; the blocked path applies it per diagonal panel in the
+    factor dtype, so jitter survives even a bf16 Gram. Sub-f32 K returns an
+    f32 factor (ops/blocked_cholesky docstring; _solve_dtype)."""
     from ..gpr.config import config, blocked_cholesky_enabled
     if blocked_cholesky_enabled(K.shape[-1], K.ndim, K.dtype):
         return blocked_cholesky(
             K, block_size=config.blocked_cholesky_block,
-            update_precision=config.blocked_cholesky_update_precision)
+            update_precision=config.blocked_cholesky_update_precision,
+            diag_shift=(None if diag_shift is None
+                        else jnp.reshape(diag_shift, ())))
+    K = K.astype(_solve_dtype(K.dtype))
+    if diag_shift is not None:
+        K = K + jnp.asarray(diag_shift, K.dtype) * jnp.eye(K.shape[-1],
+                                                           dtype=K.dtype)
     return jnp.linalg.cholesky(K)
 
 
@@ -65,20 +76,23 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     if ladder is None:
         from ..gpr.config import config
         ladder = config.jitter_ladder
-    K = K.astype(_solve_dtype(K.dtype))
+    # K is NOT upcast here: sub-f32 Grams flow into cholesky() as-is (the
+    # blocked path upcasts per-tile in VMEM, diag_shift carries the jitter
+    # in the factor dtype — adding 1e-8·diag to a bf16 K would round away)
+    sd = _solve_dtype(K.dtype)
     n = K.shape[-1]
-    eye = jnp.eye(n, dtype=K.dtype)
-    mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)[..., None, None]
+    mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1).astype(sd),
+                         axis=-1)[..., None, None]
     base = jitter if jitter is not None else 0.0
     if int(ladder) <= 0:
-        return cholesky(K + (base * mean_diag) * eye if base != 0.0 else K)
+        return cholesky(K, diag_shift=(base * mean_diag) if base != 0.0 else None)
 
     # All trial factorizations run under stop_gradient and only select the
     # *jitter value*; the returned factor comes from ONE final differentiable
     # cholesky with the chosen jitter. Differentiating a NaN trial directly
     # (even behind lax.cond, where the untaken branch gets a zero cotangent)
     # poisons the gradient: the cholesky VJP evaluates 0 × NaN = NaN.
-    tol = 1000.0 * jnp.finfo(K.dtype).eps
+    tol = 1000.0 * jnp.finfo(sd).eps
 
     def unusable(L_):
         d = jnp.abs(jnp.diagonal(L_, axis1=-2, axis2=-1))
@@ -86,18 +100,18 @@ def jittered_cholesky(K, jitter=None, ladder=None):
 
     Ks = jax.lax.stop_gradient(K)
     md = jax.lax.stop_gradient(mean_diag)
-    jit_val = jnp.asarray(base, K.dtype)
-    L_trial = cholesky(Ks + (base * md) * eye if base != 0.0 else Ks)
+    jit_val = jnp.asarray(base, sd)
+    L_trial = cholesky(Ks, diag_shift=(base * md) if base != 0.0 else None)
     for i in range(int(ladder)):
         rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
         bad = unusable(L_trial)
-        jit_val = jnp.where(bad, jnp.asarray(rung, K.dtype), jit_val)
+        jit_val = jnp.where(bad, jnp.asarray(rung, sd), jit_val)
         L_trial = jax.lax.cond(
             bad,
-            lambda _, rung=rung: cholesky(Ks + (rung * md) * eye),
+            lambda _, rung=rung: cholesky(Ks, diag_shift=rung * md),
             lambda L_prev, rung=rung: L_prev,
             L_trial)
-    return cholesky(K + (jit_val * md) * eye)
+    return cholesky(K, diag_shift=jit_val * md)
 
 
 def _blocked_trisolve_worthwhile(L, B):
@@ -171,21 +185,20 @@ def lml_quadform_logdet(K, y):
     is one triangular solve plus one N×N GEMM on the MXU, roughly 3× cheaper
     and far less sequential than autodiff through the factorization panels.
 
-    A bf16/f16 K is upcast to f32 for the factorization (see _solve_dtype);
+    A bf16/f16 K feeds cholesky() directly — the blocked path upcasts
+    per-tile in VMEM (no f32 HBM copy) and returns an f32 factor;
     cotangents come back in the original dtype.
     """
-    Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(Kc)
+    L = cholesky(K)
     alpha = jsl.cho_solve((L, True), yc)
     return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
 
 @_sensitive
 def _lml_fwd(K, y):
-    Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(Kc)
+    L = cholesky(K)
     alpha = jsl.cho_solve((L, True), yc)
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     # zero-length sentinels carry the primal dtypes through the residuals
@@ -267,26 +280,25 @@ def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
     inverse — at N=16k this cuts the exact-GP backward from ~600ms to ~30ms.
     Gradients are unbiased with variance O(1/R) (BBMM, Gardner et al. 2018).
 
-    A bf16/f16 K is upcast to f32 for the factorization (see _solve_dtype).
+    A bf16/f16 K feeds cholesky() directly (per-tile VMEM upcast, f32
+    factor out — see _solve_dtype and ops/blocked_cholesky).
     """
-    Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(Kc)
+    L = cholesky(K)
     alpha = jsl.cho_solve((L, True), yc)
     return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
 
 
 @_sensitive
 def _lml_stoch_fwd(K, y, num_probes, seed):
-    Kc = K.astype(_solve_dtype(K.dtype))
     yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(Kc)
+    L = cholesky(K)
     # solve the probes WITH y in one batched cho_solve: the probes are
     # seed-fixed (independent of the cotangent), and a triangular solve's
     # cost is dominated by the sequential panel traversal, not the RHS
     # count — batching here makes the backward pure GEMMs and removes two
     # (1+R)-column solves per training step
-    n = Kc.shape[0]
+    n = K.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes), dtype=L.dtype)
     AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
     alpha, U = AU[:, :1], AU[:, 1:]

@@ -36,6 +36,13 @@ def _interpret():
     return _jax.default_backend() == "cpu"
 
 
+def _compute_dtype(dtype):
+    """In-tile compute dtype: sub-f32 configs (use_half_precision) store the
+    Gram in bf16 but run the τ-chain/exp/cos math in f32 (see
+    ops/block_mosm._compute_dtype for the numerics rationale)."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
 def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi,
                   phase_inside, cross_weight=None):
     """MOSM math for one (TN, TM) tile. x1t (TN,1), c1oh (TN,O) one-hot.
@@ -94,11 +101,12 @@ def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi,
 
 def _fwd_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
                 th_ref, ph_ref, out_ref, *, twopi, phase_inside, O):
-    c1oh = (c1_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(out_ref.dtype)
-    c2oh = (c2_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(out_ref.dtype)
+    c1oh = (c1_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(w_ref.dtype)
+    c2oh = (c2_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, O), 1)).astype(w_ref.dtype)
     out_ref[:, :] = _tile_forward(x1_ref[:, :], c1oh, x2_ref[:, :], c2oh,
                                   w_ref[:, :], mu_ref[:, :, :], var_ref[:, :, :],
-                                  th_ref[:, :, :], ph_ref[:, :], twopi, phase_inside)
+                                  th_ref[:, :, :], ph_ref[:, :], twopi,
+                                  phase_inside).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
@@ -167,10 +175,11 @@ def _mosm_gram_impl(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside)
     N, D = x1.shape
     M = x2.shape[0]
     O, Q = w.shape
-    dtype = w.dtype
+    dtype = w.dtype                    # output (HBM) dtype — bf16 stays bf16
+    cdtype = _compute_dtype(dtype)     # in-tile math dtype
 
-    x1p = _pad(x1.astype(dtype), TILE, 0)
-    x2p = _pad(x2.astype(dtype), TILE, 0)
+    x1p = _pad(x1.astype(cdtype), TILE, 0)
+    x2p = _pad(x2.astype(cdtype), TILE, 0)
     c1p = _pad(c1.astype(jnp.int32).reshape(-1, 1), TILE, 0)
     c2p = _pad(c2.astype(jnp.int32).reshape(-1, 1), TILE, 0)
     Np, Mp = x1p.shape[0], x2p.shape[0]
@@ -185,10 +194,10 @@ def _mosm_gram_impl(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside)
             pl.BlockSpec((TILE, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((TILE, D), lambda i, j: (j, 0)),
             pl.BlockSpec((TILE, 1), lambda i, j: (j, 0)),
-        ] + _specs(O, Q, D, dtype),
+        ] + _specs(O, Q, D, cdtype),
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
         interpret=_interpret(),
-    )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi)
+    )(x1p, c1p, x2p, c2p, *(p.astype(cdtype) for p in (w, mu, var, theta, phi)))
     return out[:N, :M]
 
 
@@ -202,7 +211,9 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
     N, D = x1.shape
     M = x2.shape[0]
     O, Q = w.shape
-    dtype = w.dtype
+    pack_dtype = w.dtype
+    dtype = _compute_dtype(pack_dtype)
+    w, mu, var, theta, phi = (p.astype(dtype) for p in (w, mu, var, theta, phi))
 
     T = BWD_TILE
     x1p = _pad(x1.astype(dtype), T, 0)
@@ -249,7 +260,8 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
     zeros_c1 = jnp.zeros_like(c1)
     zeros_x2 = jnp.zeros_like(x2)
     zeros_c2 = jnp.zeros_like(c2)
-    return (zeros_x1, zeros_c1, zeros_x2, zeros_c2) + tuple(douts)
+    return (zeros_x1, zeros_c1, zeros_x2, zeros_c2) + tuple(
+        d.astype(pack_dtype) for d in douts)
 
 
 mosm_gram.defvjp(_mosm_gram_fwd, _mosm_gram_bwd)
@@ -286,7 +298,10 @@ def mosm_gram_matvec(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside
     N, D = x1.shape
     M, R = V.shape
     O, Q = w.shape
-    dtype = w.dtype
+    # matvecs feed CG/Lanczos: run and return in the solve dtype (f32 for
+    # sub-f32 configs, mirroring ops/linalg._solve_dtype)
+    dtype = _compute_dtype(w.dtype)
+    w, mu, var, theta, phi = (p.astype(dtype) for p in (w, mu, var, theta, phi))
 
     x1p = _pad(x1.astype(dtype), TILE, 0)
     x2p = _pad(x2.astype(dtype), TILE, 0)
@@ -359,7 +374,9 @@ def mosm_gram_lowrank_vjp(x1, c1, x2, c2, w, mu, var, theta, phi, twopi,
     N, D = x1.shape
     M = x2.shape[0]
     O, Q = w.shape
-    dtype = w.dtype
+    pack_dtype = w.dtype
+    dtype = _compute_dtype(pack_dtype)
+    w, mu, var, theta, phi = (p.astype(dtype) for p in (w, mu, var, theta, phi))
     R = A.shape[1]
 
     T = BWD_TILE
@@ -403,4 +420,4 @@ def mosm_gram_lowrank_vjp(x1, c1, x2, c2, w, mu, var, theta, phi, twopi,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, Ap, Bp)
-    return douts
+    return tuple(d.astype(pack_dtype) for d in douts)

@@ -72,6 +72,41 @@ def test_gradient_matches_dense():
                                    rtol=1e-9, atol=1e-11, err_msg=name)
 
 
+def test_bf16_gram_is_f32_math_rounded():
+    # sub-f32 Grams (use_half_precision) store bf16 but COMPUTE in f32
+    # in-tile (_compute_dtype): the bf16 output must equal the f32 Gram
+    # rounded to bf16 — raw-bf16 τ-chains would lose the cosine phase
+    counts = (40, 33)
+    x, c, params, twopi = _setup(counts, Q=2, D=1, seed=2)
+    x32 = x.astype(jnp.float32)
+    p32 = tuple(p.astype(jnp.float32) for p in params)
+    p16 = tuple(p.astype(jnp.bfloat16) for p in params)
+
+    K32 = bm.mosm_gram_sorted(x32, counts, *p32, twopi, True)
+    K16 = bm.mosm_gram_sorted(x32, counts, *p16, twopi, True)
+    assert K16.dtype == jnp.bfloat16
+    # bf16 params shift the stats slightly; output matches the f32 Gram to
+    # bf16 resolution plus that parameter rounding
+    np.testing.assert_allclose(np.asarray(K16, dtype=np.float32),
+                               np.asarray(K32), rtol=3e-2, atol=3e-2)
+
+    # matvec returns the SOLVE dtype (f32), computed in f32; only the bf16
+    # PARAMS differ between the two calls (same f32 V isolates the path)
+    V = jnp.asarray(np.random.RandomState(1).randn(sum(counts), 3),
+                    dtype=jnp.float32)
+    out = bm.mosm_matvec_sorted(x32, counts, *p16, twopi, V)
+    assert out.dtype == jnp.float32
+    out32 = bm.mosm_matvec_sorted(x32, counts, *p32, twopi, V)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out32),
+                               rtol=5e-2, atol=5e-1)
+
+    # low-rank VJP returns cotangents in the parameter dtype
+    A = jnp.asarray(np.random.RandomState(2).randn(sum(counts), 2),
+                    dtype=jnp.float32)
+    dparams = bm.mosm_lowrank_vjp_sorted(x32, counts, p16, twopi, A, A)
+    assert all(d.dtype == jnp.bfloat16 for d in dparams)
+
+
 def test_sorted_channel_counts():
     X = np.column_stack([np.repeat([0, 1, 2], [3, 0, 4] if False else [3, 2, 4]),
                          np.arange(9.0)])

@@ -345,6 +345,51 @@ class TestBlockedCholesky:
         g_x = sym(np.asarray(jax.grad(f_xla)(K)))
         np.testing.assert_allclose(g_b, g_x, rtol=1e-7, atol=1e-9)
 
+    def test_bf16_input_and_diag_shift(self):
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        K = jnp.asarray(_spd(160, seed=11), dtype=jnp.float32)
+
+        # diag_shift factors K + s·I exactly (applied per diagonal panel)
+        s = 0.37
+        L_shift = blocked_cholesky(K, block_size=64, diag_shift=s)
+        L_ref = jnp.linalg.cholesky(K + s * jnp.eye(160, dtype=jnp.float32))
+        np.testing.assert_allclose(np.asarray(L_shift), np.asarray(L_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        # bf16 Gram consumed directly: f32 factor out, accurate to the
+        # bf16 rounding of the INPUT (no bf16 arithmetic inside)
+        L16 = blocked_cholesky(K.astype(jnp.bfloat16), block_size=64,
+                               diag_shift=1e-2)
+        assert L16.dtype == jnp.float32
+        L32 = blocked_cholesky(K, block_size=64, diag_shift=1e-2)
+        np.testing.assert_allclose(np.asarray(L16), np.asarray(L32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_jittered_cholesky_bf16_keeps_jitter(self):
+        # the jitter must survive a bf16 Gram: 1+1e-4 rounds to 1 in bf16,
+        # so the shift has to be applied in the factor dtype, not on K
+        from mogptk_tpu.ops.linalg import jittered_cholesky
+        import mogptk_tpu.gpr as gpr
+        n = 96
+        K = jnp.asarray(_spd(n, seed=13), dtype=jnp.float32)
+        old = gpr.config.blocked_cholesky
+        try:
+            gpr.use_blocked_cholesky(True, block_size=32)
+            L16 = jittered_cholesky(K.astype(jnp.bfloat16), jitter=1e-4,
+                                    ladder=0)
+            assert L16.dtype == jnp.float32
+            L32 = jittered_cholesky(K, jitter=1e-4, ladder=0)
+            # the 1e-4 relative jitter shifts diag entries by ~1e-4·mean —
+            # far below bf16 input rounding, but it must not be DROPPED:
+            # K(bf16) alone vs K(bf16)+shift differ measurably at the
+            # smallest diagonal of L when K is near-singular; here just
+            # assert parity with the f32 path at bf16-input tolerance
+            np.testing.assert_allclose(np.asarray(L16), np.asarray(L32),
+                                       rtol=5e-2, atol=5e-2)
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+
     def test_dispatcher_policy_and_lml_parity(self):
         import mogptk_tpu.gpr as gpr
         from mogptk_tpu.ops.linalg import lml_quadform_logdet
@@ -356,10 +401,11 @@ class TestBlockedCholesky:
         try:
             gpr.use_blocked_cholesky(True, block_size=48)
             assert gpr.blocked_cholesky_enabled(128, 2, K.dtype)
-            # 1-D/batched shapes and sub-f32 dtypes never route to the
-            # blocked path even when forced on
+            # 1-D/batched shapes never route to the blocked path even when
+            # forced on; sub-f32 Grams DO route (per-tile VMEM upcast, f32
+            # factor out — ops/blocked_cholesky)
             assert not gpr.blocked_cholesky_enabled(128, 3, K.dtype)
-            assert not gpr.blocked_cholesky_enabled(128, 2, jnp.bfloat16)
+            assert gpr.blocked_cholesky_enabled(128, 2, jnp.bfloat16)
             jax.clear_caches()
             v_blk = float(lml_quadform_logdet(K, y))
             g_blk = np.asarray(jax.grad(lml_quadform_logdet)(K, y))
