@@ -25,5 +25,6 @@ from .init import BNSE
 from .model import (Model, Exact, Snelson, OpperArchambeau, Titsias, Hensman,
                     Iterative, LoadModel, kernels)
 from .models import SM, MOSM, CSM, SM_LMC, CONV, MOHSM
+from . import serving
 
 __version__ = "0.1.0"

@@ -114,6 +114,16 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     return cholesky(K, diag_shift=jit_val * md)
 
 
+def _static_ge(a, b):
+    """a >= b for shape dims that may be SYMBOLIC (jax.export shape
+    polymorphism): an inconclusive comparison means the dim is unbounded,
+    so routing policies conservatively answer False (expander path)."""
+    try:
+        return bool(a >= b)
+    except Exception:
+        return False
+
+
 def _blocked_trisolve_worthwhile(L, B):
     """Route many-RHS triangular solves to the MXU-blocked TRSM
     (ops/blocked_trisolve.py) when the GEMM sweep amortizes the panel
@@ -126,14 +136,14 @@ def _blocked_trisolve_worthwhile(L, B):
     from ..gpr.config import blocked_cholesky_enabled, config
     import jax as _jax
     n, R = L.shape[-1], B.shape[1]
-    if R >= 64 and blocked_cholesky_enabled(n, L.ndim, L.dtype):
+    if _static_ge(R, 64) and blocked_cholesky_enabled(n, L.ndim, L.dtype):
         return True
     if L.ndim != 2 or L.dtype not in (jnp.float32, jnp.float64):
         return False
     if config.blocked_cholesky is not None and not config.blocked_cholesky:
         return False
     on_tpu = config.blocked_cholesky or _jax.default_backend() == "tpu"
-    return bool(on_tpu) and n >= 256 and R >= 4 * n
+    return bool(on_tpu) and _static_ge(n, 256) and _static_ge(R, 4 * n)
 
 
 @_sensitive
