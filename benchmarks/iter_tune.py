@@ -2,27 +2,34 @@
 
 At a fixed wall-clock budget the iterative engine trades CG iterations
 against preconditioner rank (the pivoted-Cholesky preconditioner costs
-O(N·R²) once per step but cuts the CG iteration count). This sweep measures,
-for the N=65k headline iterative config, the (rank, iters) grid's
+O(N·R²) once per step but cuts the CG iteration count). This sweep
+measures, for the N=65k headline iterative config, each (rank, iters)
+cell's per-step time (chained-executable slope, benchmarks/_timing.py
+method) and LML error vs a tight reference solve (rank 64, 250 iters).
 
-  - per-step time (chained-executable slope, benchmarks/_timing.py method),
-  - LML error vs a tight reference solve (rank 128, 400 iters, tol 1e-10),
+The tunneled TPU worker does not survive many large recompiled programs in
+one process (observed: crashes after 2-3 N=65k graphs), so the driver runs
+EVERY cell in its own subprocess; the persistent compilation cache keeps
+repeat compiles cheap. Usage:
 
-and prints one JSON line per cell plus a `best` line: the cheapest cell
-within 0.5% LML error of the reference.
+  python benchmarks/iter_tune.py [N_total]              # full sweep driver
+  python benchmarks/iter_tune.py [N_total] CELL r it    # one cell (internal)
 
-Usage: python benchmarks/iter_tune.py [N_total] (TPU; ~10 min)
+Prints one JSON line per cell plus a `best` line: the cheapest cell within
+0.5% LML error of the reference.
 """
 import os
 import sys
 import json
+import subprocess
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REF_FILE = "/tmp/iter_tune_ref.json"
+
 
 def build(gpr, xs, ys, rank, iters, probes=16, lanczos=24):
-    import jax.numpy as jnp
     N, X, Y = gpr.merge_data(xs, ys)
     rng = np.random.RandomState(1)
     channels, q = len(xs), 2
@@ -35,15 +42,7 @@ def build(gpr, xs, ys, rank, iters, probes=16, lanczos=24):
                               precond_rank=rank)
 
 
-def main():
-    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    import mogptk_tpu.gpr as gpr
-    from benchmarks._timing import device_ms
-    gpr.use_pallas(True)
-
+def make_data(n_total):
     channels = 4
     n_per = n_total // channels
     rng = np.random.RandomState(0)
@@ -53,36 +52,79 @@ def main():
         y = (np.sin(0.5 * x[:, 0] + j) + 0.1 * rng.randn(n_per)).reshape(-1, 1)
         xs.append(x)
         ys.append(y)
+    return xs, ys
 
-    # reference LML: heavily converged solve (slow; one evaluation)
-    ref_model = build(gpr, xs, ys, rank=128, iters=400)
-    lml_ref = float(ref_model.log_marginal_likelihood())
-    print(json.dumps({"ref_lml": lml_ref}), flush=True)
+
+def run_cell(n_total, rank, iters, ref_only=False):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import mogptk_tpu.gpr as gpr
+    from benchmarks._timing import device_ms
+    gpr.use_pallas(True)
+    xs, ys = make_data(n_total)
+
+    if ref_only:
+        ref = build(gpr, xs, ys, rank=64, iters=250)
+        print(json.dumps({"ref_lml": float(ref.log_marginal_likelihood())}),
+              flush=True)
+        return
+
+    with open(REF_FILE) as f:
+        lml_ref = json.load(f)["ref_lml"]
+    model = build(gpr, xs, ys, rank=rank, iters=iters)
+    lml = float(model.log_marginal_likelihood())
+    err = abs(lml - lml_ref) / abs(lml_ref)
+
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+
+    def body(params):
+        value, grads = jax.value_and_grad(loss_fn)(params, fixed)
+        return jax.tree_util.tree_map(lambda p, g: p + 1e-12 * g,
+                                      params, grads)
+
+    ms = device_ms(body, train0, target_sec=8.0, t_lo=2, reps=2, max_t=30)
+    print(json.dumps({"rank": rank, "iters": iters, "lml": round(lml, 3),
+                      "rel_err": round(err, 6), "step_ms": round(ms, 1)}),
+          flush=True)
+
+
+def main():
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    if len(sys.argv) > 2 and sys.argv[2] == "CELL":
+        if sys.argv[3] == "REF":
+            run_cell(n_total, 0, 0, ref_only=True)
+        else:
+            run_cell(n_total, int(sys.argv[3]), int(sys.argv[4]))
+        return
+
+    me = os.path.abspath(__file__)
+
+    def spawn(args):
+        p = subprocess.run([sys.executable, me, str(n_total), "CELL"] + args,
+                           capture_output=True, text=True, timeout=3600)
+        rows = [json.loads(l) for l in p.stdout.splitlines()
+                if l.startswith("{")]
+        if not rows:
+            print(json.dumps({"cell": args,
+                              "error": p.stderr.strip()[-200:]}), flush=True)
+            return None
+        print(json.dumps(rows[-1]), flush=True)
+        return rows[-1]
+
+    ref = spawn(["REF"])
+    if ref is None:
+        return
+    with open(REF_FILE, "w") as f:
+        json.dump(ref, f)
 
     results = []
     for rank in [0, 16, 32, 64]:
         for iters in [15, 25, 40]:
-            model = build(gpr, xs, ys, rank=rank, iters=iters)
-            lml = float(model.log_marginal_likelihood())
-            err = abs(lml - lml_ref) / abs(lml_ref)
-
-            loss_fn = model.make_loss_fn()
-            train0, fixed = model._split_raws()
-
-            def body(params):
-                value, grads = jax.value_and_grad(loss_fn)(params, fixed)
-                # chain: nudge params by a tiny multiple of the gradient so
-                # iteration i+1 depends on i without drifting
-                import jax.numpy as jnp
-                return jax.tree_util.tree_map(
-                    lambda p, g: p + 1e-12 * g, params, grads)
-
-            ms = device_ms(body, train0, target_sec=8.0, t_lo=2, reps=2,
-                           max_t=100)
-            row = {"rank": rank, "iters": iters, "lml": round(lml, 3),
-                   "rel_err": round(err, 6), "step_ms": round(ms, 1)}
-            results.append(row)
-            print(json.dumps(row), flush=True)
+            row = spawn([str(rank), str(iters)])
+            if row is not None and "step_ms" in row:
+                results.append(row)
 
     ok = [r for r in results if r["rel_err"] < 5e-3]
     best = min(ok, key=lambda r: r["step_ms"]) if ok else None
