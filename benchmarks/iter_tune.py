@@ -119,12 +119,15 @@ def main():
     with open(REF_FILE, "w") as f:
         json.dump(ref, f)
 
+    # each cell is a fresh ~20-min remote compile of the full 65k graph, so
+    # the grid is the 4 most informative cells (rank-0/15-iter already
+    # measured: 2832 ms/step at 148% LML error — unpreconditioned CG is
+    # hopeless at this N within any sane budget)
     results = []
-    for rank in [0, 16, 32, 64]:
-        for iters in [15, 25, 40]:
-            row = spawn([str(rank), str(iters)])
-            if row is not None and "step_ms" in row:
-                results.append(row)
+    for rank, iters in [(0, 40), (16, 15), (16, 40), (64, 15)]:
+        row = spawn([str(rank), str(iters)])
+        if row is not None and "step_ms" in row:
+            results.append(row)
 
     ok = [r for r in results if r["rel_err"] < 5e-3]
     best = min(ok, key=lambda r: r["step_ms"]) if ok else None

@@ -195,6 +195,20 @@ def pallas_enabled():
     return jax.default_backend() == "tpu"
 
 
+def use_compilation_cache(directory="/tmp/jax_cache"):
+    """Persist compiled XLA executables across processes.
+
+    Remote TPU compilation of a large training step can take tens of
+    minutes (10-45 min observed for the full N=16k exact step through this
+    image's tunneled backend); with the cache, every later process that
+    builds the same model/shape starts in seconds. Call once before the
+    first training step; benchmarks and bench.py do this themselves.
+    """
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def use_blocked_cholesky(enable=True, block_size=None, update_precision=None,
                          min_n=None):
     """Force the MXU-blocked left-looking Cholesky on or off;
