@@ -2,7 +2,7 @@
 models (capability parity with mogptk/gpr/__init__.py:1-10)."""
 from .config import (config, use_half_precision, use_single_precision, use_pallas, pallas_enabled, use_debug, use_jitter_ladder, set_matmul_precision,
                      use_blocked_cholesky, blocked_cholesky_enabled,
-                     use_compilation_cache,
+                     use_compilation_cache, input_gradients, input_grads_active,
                      set_sensitive_matmul_precision, sensitive_matmul_scope,
                      use_double_precision, use_cpu, use_gpu, use_tpu,
                      print_gpu_information, print_tpu_information,

@@ -5,6 +5,8 @@ but is designed for JAX/XLA: dtype is resolved at trace time (static), device
 placement uses JAX's default-device mechanism, and randomness is explicit via a
 process-level PRNG key that callers can override.
 """
+import contextlib as _contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -193,6 +195,31 @@ def pallas_enabled():
     if config.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     return jax.default_backend() == "tpu"
+
+
+@_contextlib.contextmanager
+def input_gradients():
+    """Scope marking kernel INPUTS as differentiable.
+
+    The fused Pallas Grams' custom VJPs return ZERO input cotangents — a
+    correct shortcut for constant training data, but silently wrong when
+    the inputs are TRAINED (sparse models' inducing points Z: without this
+    scope, Z would freeze on TPU while every test on CPU — where Pallas is
+    off — passes). Inside the scope, K_mo falls back to the jnp
+    formulation, whose autodiff carries dK/dX. The sparse models wrap
+    their Kuu/Kuf/Kus constructions; those Grams are (M,N)-sized, far off
+    the N×N scale where the fused kernels matter.
+    """
+    config._input_grads = getattr(config, "_input_grads", 0) + 1
+    try:
+        yield
+    finally:
+        config._input_grads -= 1
+
+
+def input_grads_active():
+    """True inside an input_gradients() scope (trace-time, structural)."""
+    return getattr(config, "_input_grads", 0) > 0
 
 
 def use_compilation_cache(directory="/tmp/jax_cache"):

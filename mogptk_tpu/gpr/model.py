@@ -24,7 +24,8 @@ from .parameter import Parameter
 from .kernel import Kernel, MultiOutputKernel
 from .mean import Mean
 from .likelihood import Likelihood, MultiOutputLikelihood, GaussianLikelihood
-from .config import config, sensitive_matmul_scope, pallas_enabled
+from .config import (config, sensitive_matmul_scope, pallas_enabled,
+                     input_gradients)
 from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
                           lml_quadform_logdet, lml_quadform_logdet_stochastic)
 
@@ -572,8 +573,11 @@ class Snelson(Model):
     def _common(self):
         y = self._residual_y()
         Kff_diag = self.kernel.K_diag(self.X)
-        Kuf = self.kernel.K(self.Z(), self.X)
-        Kuu = self.kernel.K(self.Z())
+        # Z is trained: the fused Pallas grams drop input cotangents, so
+        # these Grams must trace through the differentiable jnp path
+        with input_gradients():
+            Kuf = self.kernel.K(self.Z(), self.X)
+            Kuu = self.kernel.K(self.Z())
         Luu = self._cholesky(Kuu, add_jitter=True)
         v = solve_triangular(Luu, Kuf)  # MxN; Kuu^(-1/2)·Kuf
         noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
@@ -700,8 +704,10 @@ class Titsias(Model):
         y = self._residual_y()
         sigma2 = self.likelihood.scale() ** 2
         Kff_diag = self.kernel.K_diag(self.X)
-        Kuf = self.kernel.K(self.Z(), self.X)
-        Kuu = self.kernel.K(self.Z())
+        # trained Z: differentiable-input Gram path (see config.input_gradients)
+        with input_gradients():
+            Kuf = self.kernel.K(self.Z(), self.X)
+            Kuu = self.kernel.K(self.Z())
         eye = jnp.eye(self.Z().shape[0], dtype=config.dtype)
 
         Luu = self._cholesky(Kuu, add_jitter=True)
@@ -830,8 +836,12 @@ class SparseHensman(Model):
     @_sensitive
     def _predict_f(self, X, full=False):
         """Whitened posterior (reference: gpr/model.py:843-859)."""
-        Kuu = self.kernel.K(self.Z())
-        Kus = self.kernel.K(self.Z(), X)
+        # elbo() evaluates this at X=self.X with TRAINED Z — differentiable-
+        # input Gram path required (see config.input_gradients); at serving
+        # these Grams are (M,S)-small, so the fallback costs nothing
+        with input_gradients():
+            Kuu = self.kernel.K(self.Z())
+            Kus = self.kernel.K(self.Z(), X)
         Luu = self._cholesky(Kuu, add_jitter=True)
         a = solve_triangular(Luu, Kus)  # MxS
         b = jnp.tril(self.q_sqrt()).T @ a

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .kernel import Kernel, MultiOutputKernel
 from .parameter import Parameter
-from .config import config, pallas_enabled
+from .config import config, pallas_enabled, input_grads_active
 
 _pi = np.pi
 
@@ -233,7 +233,7 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
     gram_has_custom_vjp = True
 
     def K_mo(self, c1, x1, c2, x2=None):
-        if pallas_enabled():
+        if pallas_enabled() and not input_grads_active():
             from ..ops.pallas_mosm import mosm_gram
             w, mu, var, th, ph = self._params()
             return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,
@@ -288,7 +288,7 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
     gram_has_custom_vjp = True
 
     def K_mo(self, c1, x1, c2, x2=None):
-        if pallas_enabled():
+        if pallas_enabled() and not input_grads_active():
             from ..ops.pallas_mosm import mosm_gram
             w, mu, var, th, ph = self._params()
             return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,

@@ -167,3 +167,45 @@ def test_fused_diag_matches_dense(name):
     K = dense(c1, x1, c1, None, (w, mu, var, th, ph))
     np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.diagonal(K)),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_trained_inducing_points_get_gradients_under_pallas():
+    """Sparse models' Z is TRAINED: the fused Pallas gram's custom VJP
+    returns zero input cotangents, so the Kuu/Kuf constructions must trace
+    through the differentiable jnp path (config.input_gradients). Without
+    that scope the Z gradient is silently zero on TPU while every CPU test
+    passes — this test forces Pallas on (interpret) and compares."""
+    import mogptk_tpu.gpr as gpr
+
+    rng = np.random.RandomState(0)
+    O, n_per = 2, 30
+    xs = [np.linspace(0, 5, n_per).reshape(-1, 1) for _ in range(O)]
+    ys = [np.sin(1.1 * x + j) + 0.05 * rng.randn(n_per, 1)
+          for j, x in enumerate(xs)]
+    N, X, Y = gpr.merge_data(xs, ys)
+
+    def z_grad():
+        kernel = gpr.MultiOutputSpectralMixtureKernel(1, output_dims=O)
+        kernel.mean.assign(0.2 * np.ones((O, 1, 1)))
+        kernel.variance.assign(0.5 * np.ones((O, 1, 1)))
+        model = gpr.Titsias(kernel, X, Y, Z=6, Z_init="grid", variance=0.1)
+        loss_fn = model.make_loss_fn()
+        train, fixed = model._split_raws()
+        grads = jax.grad(loss_fn)(train, fixed)
+        # locate the Z raw's cotangent by shape
+        z_shape = model.Z._raw.shape
+        return [np.asarray(g) for g, t in zip(grads, train)
+                if t.shape == z_shape][0]
+
+    old = gpr.config.pallas
+    try:
+        gpr.use_pallas(False)
+        g_ref = z_grad()
+        gpr.use_pallas(True)   # CPU → interpret-mode Pallas kernels
+        g_pal = z_grad()
+    finally:
+        gpr.config.pallas = old
+        gpr.config.bump()
+
+    assert np.abs(g_ref).max() > 1e-8, "reference Z gradient degenerate"
+    np.testing.assert_allclose(g_pal, g_ref, rtol=1e-6, atol=1e-10)
