@@ -19,11 +19,17 @@ import time
 import numpy as np
 
 
-def device_ms(body, x0, target_sec=15.0, t_lo=4, reps=3, max_t=20000):
+def device_ms(body, x0, target_sec=15.0, t_lo=4, reps=3, max_t=20000,
+              max_exec_sec=None):
     """Per-iteration device milliseconds of `body` (x -> x, chained).
 
     body must make iteration i+1 depend on iteration i's FULL output, and
     keep values bounded (renormalize or perturb-by-epsilon patterns).
+
+    max_exec_sec caps any SINGLE executable's estimated run time: the
+    tunneled TPU worker dies (not errors — dies) when one execution runs
+    past roughly 100 s, so slow per-step bodies must bound the chain
+    length even at the cost of slope resolution.
     """
     import jax
     import jax.numpy as jnp
@@ -42,9 +48,16 @@ def device_ms(body, x0, target_sec=15.0, t_lo=4, reps=3, max_t=20000):
         return time.perf_counter() - t0
 
     fetch(t_lo)  # compile + warm
-    # calibrate T_hi so device time ~ target_sec
-    est = max(fetch(t_lo * 4) / (t_lo * 4), 1e-5)
+    # calibrate T_hi so device time ~ target_sec; the rough first estimate
+    # guards the calibration run itself against the executable deadline
+    est0 = max(fetch(t_lo) / t_lo, 1e-5)
+    if max_exec_sec is not None and est0 * t_lo * 4 > max_exec_sec:
+        est = est0
+    else:
+        est = max(fetch(t_lo * 4) / (t_lo * 4), 1e-5)
     t_hi = int(min(max(target_sec / est, t_lo * 8), max_t))
+    if max_exec_sec is not None:
+        t_hi = max(min(t_hi, int(max_exec_sec / est)), t_lo + 1)
     lo = min(fetch(t_lo) for _ in range(reps))
     hi = min(fetch(t_hi) for _ in range(reps))
     return (hi - lo) / (t_hi - t_lo) * 1e3

@@ -84,7 +84,8 @@ def run_cell(n_total, rank, iters, ref_only=False):
         return jax.tree_util.tree_map(lambda p, g: p + 1e-12 * g,
                                       params, grads)
 
-    ms = device_ms(body, train0, target_sec=8.0, t_lo=2, reps=2, max_t=30)
+    ms = device_ms(body, train0, target_sec=8.0, t_lo=2, reps=2, max_t=30,
+                   max_exec_sec=60.0)
     print(json.dumps({"rank": rank, "iters": iters, "lml": round(lml, 3),
                       "rel_err": round(err, 6), "step_ms": round(ms, 1)}),
           flush=True)
