@@ -289,7 +289,7 @@ class ExactIterative(Model):
 
     def __init__(self, kernel, X, y, variance=1.0, data_variance=None,
                  jitter=1e-8, mean=None, max_cg_iters=100, cg_tol=1e-5,
-                 num_probes=16, lanczos_iters=32, seed=0, precond_rank=16):
+                 num_probes=16, lanczos_iters=32, seed=0, precond_rank=64):
         _family_of(kernel)  # raises for unsupported kernels
 
         if data_variance is not None:
@@ -307,7 +307,11 @@ class ExactIterative(Model):
         self.num_probes = num_probes
         self.lanczos_iters = lanczos_iters
         self.seed = seed
-        self.precond_rank = precond_rank
+        # rank-64 default: measured at N=65k (benchmarks/iter_tune.py), the
+        # pivoted-Cholesky preconditioner's rank dominates CG iterations —
+        # rank 64 @ 15 iters reaches 3.7% LML error at the same step cost
+        # where rank 16 stays ~90% off at ANY iteration budget
+        self.precond_rank = min(int(precond_rank), self.X.shape[0])
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
         object.__setattr__(self, "_ring", None)
 

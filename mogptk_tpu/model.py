@@ -162,7 +162,7 @@ class Iterative:
 
     def __init__(self, variance=None, data_variance=None, jitter=1e-8,
                  max_cg_iters=100, cg_tol=1e-5, num_probes=16, lanczos_iters=32,
-                 precond_rank=16):
+                 precond_rank=64):
         self.variance = variance
         self.data_variance = data_variance
         self.jitter = jitter
