@@ -704,7 +704,8 @@ class Titsias(Model):
         y = self._residual_y()
         sigma2 = self.likelihood.scale() ** 2
         Kff_diag = self.kernel.K_diag(self.X)
-        # trained Z: differentiable-input Gram path (see config.input_gradients)
+        # trained Z: input-differentiable Gram path (config.input_gradients;
+        # the fused MOSM kernel emits x cotangents in-kernel under this scope)
         with input_gradients():
             Kuf = self.kernel.K(self.Z(), self.X)
             Kuu = self.kernel.K(self.Z())
@@ -712,7 +713,10 @@ class Titsias(Model):
 
         Luu = self._cholesky(Kuu, add_jitter=True)
         v = solve_triangular(Luu, Kuf)  # MxN
-        Q = v @ v.T
+        # the one wide (M,N,M) GEMM: "high" (≈f32 accumulation) rather than
+        # the scoped "highest" — CPU-f32 reproduces the trace cancellation
+        # fine, and highest costs ~3 ms/step at M=1024, N=16k (bwd included)
+        Q = jnp.matmul(v, v.T, precision="high")
         L = self._cholesky(Q / sigma2 + eye)
         c = solve_triangular(L, v @ y) / sigma2
 
@@ -741,7 +745,7 @@ class Titsias(Model):
 
         Luu = self._cholesky(Kuu, add_jitter=True)
         v = solve_triangular(Luu, Kuf)
-        L = self._cholesky(v @ v.T / sigma2 + eye)
+        L = self._cholesky(jnp.matmul(v, v.T, precision="high") / sigma2 + eye)
 
         a = solve_triangular(Luu, Kus)
         b = solve_triangular(L, a)
@@ -836,15 +840,16 @@ class SparseHensman(Model):
     @_sensitive
     def _predict_f(self, X, full=False):
         """Whitened posterior (reference: gpr/model.py:843-859)."""
-        # elbo() evaluates this at X=self.X with TRAINED Z — differentiable-
-        # input Gram path required (see config.input_gradients); at serving
-        # these Grams are (M,S)-small, so the fallback costs nothing
+        # elbo() evaluates this at X=self.X with TRAINED Z — input-
+        # differentiable Gram path required (config.input_gradients; the
+        # fused MOSM kernel emits x cotangents in-kernel under this scope)
         with input_gradients():
             Kuu = self.kernel.K(self.Z())
             Kus = self.kernel.K(self.Z(), X)
         Luu = self._cholesky(Kuu, add_jitter=True)
         a = solve_triangular(Luu, Kus)  # MxS
-        b = jnp.tril(self.q_sqrt()).T @ a
+        # wide (M,M,S) GEMM at "high" (see Titsias.elbo precision note)
+        b = jnp.matmul(jnp.tril(self.q_sqrt()).T, a, precision="high")
         mu = Kus.T @ solve_triangular(Luu.T, self.q_mu(), lower=False)
         if full:
             Kss = self.kernel.K(X)

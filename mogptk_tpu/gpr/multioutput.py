@@ -233,11 +233,14 @@ class MultiOutputSpectralKernel(MultiOutputKernel):
     gram_has_custom_vjp = True
 
     def K_mo(self, c1, x1, c2, x2=None):
-        if pallas_enabled() and not input_grads_active():
+        if pallas_enabled():
             from ..ops.pallas_mosm import mosm_gram
             w, mu, var, th, ph = self._params()
+            # inside input_gradients() (trained inducing inputs) the fused
+            # backward also emits x cotangents in-kernel
             return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,
-                             w, mu, var, th, ph, self.twopi, True)
+                             w, mu, var, th, ph, self.twopi, True,
+                             input_grads_active())
         return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
     def K_sorted(self, X, counts):
@@ -288,11 +291,14 @@ class MultiOutputSpectralMixtureKernel(MultiOutputKernel):
     gram_has_custom_vjp = True
 
     def K_mo(self, c1, x1, c2, x2=None):
-        if pallas_enabled() and not input_grads_active():
+        if pallas_enabled():
             from ..ops.pallas_mosm import mosm_gram
             w, mu, var, th, ph = self._params()
+            # inside input_gradients() (trained inducing inputs) the fused
+            # backward also emits x cotangents in-kernel
             return mosm_gram(x1, c1, x1 if x2 is None else x2, c2,
-                             w, mu, var, th, ph, self.twopi, True)
+                             w, mu, var, th, ph, self.twopi, True,
+                             input_grads_active())
         return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi, phase_inside_2pi=True)
 
     def K_sorted(self, X, counts):

@@ -111,7 +111,7 @@ def _fwd_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
 
 def _bwd_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
                 th_ref, ph_ref, g_ref, dw_ref, dmu_ref, dvar_ref, dth_ref,
-                dph_ref, *, twopi, phase_inside, O):
+                dph_ref, *io_refs, twopi, phase_inside, O, with_inputs=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -128,13 +128,35 @@ def _bwd_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
     x1t = x1_ref[:, :]
     x2t = x2_ref[:, :]
 
-    def tile_fn(w, mu, var, theta, phi):
-        return _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi,
-                             twopi, phase_inside)
+    if with_inputs:
+        # Input cotangents for TRAINED inducing inputs (sparse models): dx1
+        # accumulates across the (consecutive) inner j-grid; dx2 is written
+        # as a per-(i,j) partial slab summed over i by the host wrapper,
+        # because its natural output block would be revisited
+        # non-consecutively across the grid.
+        dx1_ref, dx2p_ref = io_refs
 
-    _, vjp = jax.vjp(tile_fn, w_ref[:, :], mu_ref[:, :, :], var_ref[:, :, :],
-                     th_ref[:, :, :], ph_ref[:, :])
-    dw, dmu, dvar, dth, dph = vjp(g_ref[:, :])
+        @pl.when(j == 0)
+        def _():
+            dx1_ref[:, :] = jnp.zeros_like(dx1_ref)
+
+        def tile_fn(x1v, x2v, w, mu, var, theta, phi):
+            return _tile_forward(x1v, c1oh, x2v, c2oh, w, mu, var, theta,
+                                 phi, twopi, phase_inside)
+
+        _, vjp = jax.vjp(tile_fn, x1t, x2t, w_ref[:, :], mu_ref[:, :, :],
+                         var_ref[:, :, :], th_ref[:, :, :], ph_ref[:, :])
+        dx1, dx2, dw, dmu, dvar, dth, dph = vjp(g_ref[:, :])
+        dx1_ref[:, :] += dx1
+        dx2p_ref[0, :, :] = dx2
+    else:
+        def tile_fn(w, mu, var, theta, phi):
+            return _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta,
+                                 phi, twopi, phase_inside)
+
+        _, vjp = jax.vjp(tile_fn, w_ref[:, :], mu_ref[:, :, :],
+                         var_ref[:, :, :], th_ref[:, :, :], ph_ref[:, :])
+        dw, dmu, dvar, dth, dph = vjp(g_ref[:, :])
     dw_ref[:, :] += dw
     dmu_ref[:, :, :] += dmu
     dvar_ref[:, :, :] += dvar
@@ -152,11 +174,14 @@ def _pad(a, mult, axis, value=0.0):
     return jnp.pad(a, pad, constant_values=value)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def mosm_gram(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def mosm_gram(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside,
+              input_grads=False):
     """MOSM Gram via the fused Pallas kernel; differentiable w.r.t. the
-    kernel parameters (the input cotangents are zero — training data is
-    constant; array args cannot be nondiff_argnums under jit)."""
+    kernel parameters. With input_grads=True the backward kernel also emits
+    x1/x2 cotangents (needed when x is TRAINED — sparse models' inducing
+    points); the default skips that work because training data is constant
+    (array args cannot be nondiff_argnums under jit)."""
     return _mosm_gram_impl(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside)
 
 
@@ -201,12 +226,13 @@ def _mosm_gram_impl(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside)
     return out[:N, :M]
 
 
-def _mosm_gram_fwd(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside):
+def _mosm_gram_fwd(x1, c1, x2, c2, w, mu, var, theta, phi, twopi,
+                   phase_inside, input_grads=False):
     out = _mosm_gram_impl(x1, c1, x2, c2, w, mu, var, theta, phi, twopi, phase_inside)
     return out, (x1, c1, x2, c2, w, mu, var, theta, phi)
 
 
-def _mosm_gram_bwd(twopi, phase_inside, res, g):
+def _mosm_gram_bwd(twopi, phase_inside, input_grads, res, g):
     x1, c1, x2, c2, w, mu, var, theta, phi = res
     N, D = x1.shape
     M = x2.shape[0]
@@ -228,15 +254,33 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
     grid = (Np // T, Mp // T)
     zero = lambda i, j: tuple([0] * 2)
     zero3 = lambda i, j: tuple([0] * 3)
+    out_shape = [
+        jax.ShapeDtypeStruct((O, Q), dtype),
+        jax.ShapeDtypeStruct((O, Q, D), dtype),
+        jax.ShapeDtypeStruct((O, Q, D), dtype),
+        jax.ShapeDtypeStruct((O, Q, D), dtype),
+        jax.ShapeDtypeStruct((O, Q), dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((O, Q), zero),
+        pl.BlockSpec((O, Q, D), zero3),
+        pl.BlockSpec((O, Q, D), zero3),
+        pl.BlockSpec((O, Q, D), zero3),
+        pl.BlockSpec((O, Q), zero),
+    ]
+    if input_grads:
+        out_shape += [
+            jax.ShapeDtypeStruct((Np, D), dtype),            # dx1
+            jax.ShapeDtypeStruct((Np // T, Mp, D), dtype),   # dx2 partials
+        ]
+        out_specs += [
+            pl.BlockSpec((T, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, T, D), lambda i, j: (i, j, 0)),
+        ]
     douts = pl.pallas_call(
-        functools.partial(_bwd_kernel, twopi=twopi, phase_inside=phase_inside, O=O),
-        out_shape=(
-            jax.ShapeDtypeStruct((O, Q), dtype),
-            jax.ShapeDtypeStruct((O, Q, D), dtype),
-            jax.ShapeDtypeStruct((O, Q, D), dtype),
-            jax.ShapeDtypeStruct((O, Q, D), dtype),
-            jax.ShapeDtypeStruct((O, Q), dtype),
-        ),
+        functools.partial(_bwd_kernel, twopi=twopi, phase_inside=phase_inside,
+                          O=O, with_inputs=input_grads),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec((T, D), lambda i, j: (i, 0)),
@@ -248,19 +292,18 @@ def _mosm_gram_bwd(twopi, phase_inside, res, g):
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        out_specs=(
-            pl.BlockSpec((O, Q), zero),
-            pl.BlockSpec((O, Q, D), zero3),
-            pl.BlockSpec((O, Q, D), zero3),
-            pl.BlockSpec((O, Q, D), zero3),
-            pl.BlockSpec((O, Q), zero),
-        ),
+        out_specs=tuple(out_specs),
     )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, gp)
-    zeros_x1 = jnp.zeros_like(x1)
+    if input_grads:
+        dx1 = douts[5][:N].astype(x1.dtype)
+        dx2 = jnp.sum(douts[6], axis=0)[:M].astype(x2.dtype)
+        douts = douts[:5]
+    else:
+        dx1 = jnp.zeros_like(x1)
+        dx2 = jnp.zeros_like(x2)
     zeros_c1 = jnp.zeros_like(c1)
-    zeros_x2 = jnp.zeros_like(x2)
     zeros_c2 = jnp.zeros_like(c2)
-    return (zeros_x1, zeros_c1, zeros_x2, zeros_c2) + tuple(
+    return (dx1, zeros_c1, dx2, zeros_c2) + tuple(
         d.astype(pack_dtype) for d in douts)
 
 
