@@ -8,7 +8,7 @@ u_r = K⁻¹ z_r — i.e. a LOW-RANK cotangent.
 
 Every K-application runs through a fused Pallas Gram kernel (ops/fused.py:
 one tile machine parameterized per kernel family — MOSM, MOSM-Q, uMOSM, CSM,
-CONV) and the low-rank cotangent is consumed tile-by-tile: the N×N Gram is
+CONV, MOHSM) and the low-rank cotangent is consumed tile-by-tile: the N×N Gram is
 NEVER materialized. This removes the O(N²) HBM wall of Cholesky inference —
 exact GPs at N far beyond what the reference (or any materialized-K
 approach) can hold on one chip.
@@ -27,7 +27,8 @@ from .multioutput import (MultiOutputSpectralKernel,
                           MultiOutputSpectralMixtureKernel,
                           UncoupledMultiOutputSpectralKernel,
                           CrossSpectralKernel,
-                          GaussianConvolutionProcessKernel)
+                          GaussianConvolutionProcessKernel,
+                          MultiOutputHarmonizableSpectralKernel)
 from .config import config
 from ..ops.iterative import (cg_solve, slq_logdet, pivoted_cholesky,
                              cg_logdet_quadrature)
@@ -47,9 +48,11 @@ def _family_of(kernel):
         return ("csm", (kernel.Rq, kernel.input_dims))
     if isinstance(kernel, GaussianConvolutionProcessKernel):
         return ("conv", (kernel.input_dims,))
+    if isinstance(kernel, MultiOutputHarmonizableSpectralKernel):
+        return ("mohsm", (kernel.twopi, kernel.input_dims))
     raise ValueError(
         "ExactIterative supports the fused multi-output spectral families "
-        "(MOSM, MOSM-Q, uMOSM, CSM, CONV); use Exact for other kernels")
+        "(MOSM, MOSM-Q, uMOSM, CSM, CONV, MOHSM); use Exact for other kernels")
 
 
 def _fused_kernel_params(kernel):
@@ -57,7 +60,8 @@ def _fused_kernel_params(kernel):
     if isinstance(kernel, UncoupledMultiOutputSpectralKernel):
         w, mu, var, theta, phi = (kernel.weight(),) + kernel._params()[1:]
         return (w, mu, var, theta, phi)
-    if isinstance(kernel, (CrossSpectralKernel, GaussianConvolutionProcessKernel)):
+    if isinstance(kernel, (CrossSpectralKernel, GaussianConvolutionProcessKernel,
+                           MultiOutputHarmonizableSpectralKernel)):
         return kernel._fused_params()
     return kernel._params()
 

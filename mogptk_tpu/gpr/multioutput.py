@@ -207,6 +207,31 @@ def _conv_K(c1, x1, c2, x2, params):
     return magnitude * jnp.exp(-0.5 * expo_acc)
 
 
+def _mohsm_K(c1, x1, c2, x2, params, twopi):
+    """MOHSM Gram as a pure function of the MOSM-lifted params
+    (w (O,1), mu/var/theta (O,1,D), phi (O,1), ls (O,1), center (1,D)):
+    MOSM Q=1 with the phase outside 2π, times the nonstationary envelope
+    (√l_ij)^D · exp(−½‖(x+x')/2 − center‖²·l_ij) with the pair scalar
+    l_ij = 2l_i²l_j²/(l_i²+l_j²) (reference: mogptk/gpr/multioutput.py:
+    295-395, cross math :369-378)."""
+    w, mu, var, theta, phi, ls, center = params
+    x2e = x1 if x2 is None else x2
+    c2e = c1 if c2 is None else c2
+    D = x1.shape[1]
+    l2 = ls[:, 0] ** 2                      # O
+    l1 = l2[c1][:, None]                    # Nx1
+    l2m = l2[c2e][None, :]                  # 1xM
+    l_nm = 2.0 * l1 * l2m / (l1 + l2m)      # NxM; = li² at i==j
+    dist2 = None
+    for d in range(D):
+        avgd = 0.5 * (x1[:, d][:, None] + x2e[:, d][None, :]) - center[0, d]
+        e = avgd * avgd
+        dist2 = e if dist2 is None else dist2 + e
+    alpha_extra = jnp.power(jnp.sqrt(l_nm), float(D)) * jnp.exp(-0.5 * dist2 * l_nm)
+    return _mosm_K(c1, x1, c2, x2, (w, mu, var, theta, phi), twopi,
+                   phase_inside_2pi=False, alpha_extra=alpha_extra)
+
+
 class MultiOutputSpectralKernel(MultiOutputKernel):
     """Multi-output spectral kernel (MOSM, Q=1), Parra & Tobar 2017
     (reference: mogptk/gpr/multioutput.py:41-123)."""
@@ -399,6 +424,11 @@ class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
                 self.variance()[:, None, :], self.delay()[:, None, :],
                 self.phase()[:, None])
 
+    def _fused_params(self):
+        """Pure-function parameter tuple for _mohsm_K / the fused engines."""
+        return self._params() + (self.lengthscale().reshape(-1, 1),
+                                 self.center().reshape(1, -1))
+
     def K_sorted(self, X, counts):
         """Square Gram for channel-sorted X via the generic channel-block
         engine (ops/block_families.py): the nonstationary cross
@@ -406,29 +436,12 @@ class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
         in-tile."""
         from ..ops.block_families import family_gram_sorted
         c1, x1 = self._split(X)
-        params = (self.weight(), self.mean(), self.variance(), self.delay(),
-                  self.phase(), self.lengthscale(), self.center())
         return family_gram_sorted("mohsm", (self.twopi, self.input_dims),
-                                  x1, counts, params)
+                                  x1, counts, self._fused_params())
 
     def K_mo(self, c1, x1, c2, x2=None):
-        x2e = x1 if x2 is None else x2
-        # nonstationary cross lengthscale per point-pair from 1-D gathers:
-        # l_ij = 2·li²·lj²/(li²+lj²) (reference: gpr/multioutput.py:369-378)
-        l2 = self.lengthscale() ** 2  # O
-        l1 = l2[c1][:, None]          # Nx1
-        l2m = l2[c2][None, :]         # 1xM
-        l_nm = 2.0 * l1 * l2m / (l1 + l2m)  # NxM; = li² at i==j
-        center = self.center()
-        dist2 = None
-        for d in range(x1.shape[1]):
-            avgd = 0.5 * (x1[:, d][:, None] + x2e[:, d][None, :]) - center[d]  # NxM
-            e = avgd * avgd
-            dist2 = e if dist2 is None else dist2 + e
-        # alpha gains (√l_ij)^D; exp2 is the nonstationary envelope
-        alpha_extra = jnp.power(jnp.sqrt(l_nm), float(self.input_dims)) * jnp.exp(-0.5 * dist2 * l_nm)
-        return _mosm_K(c1, x1, c2, x2, self._params(), self.twopi,
-                       phase_inside_2pi=False, alpha_extra=alpha_extra)
+        # all large temps kept (N,M); per-point gathers (see _mohsm_K)
+        return _mohsm_K(c1, x1, c2, x2, self._fused_params(), self.twopi)
 
     def K_mo_diag(self, c1, x1):
         variance = self.variance()

@@ -150,17 +150,21 @@ def _mohsm_spec(statics):
     """MOHSM (nonstationary harmonizable): MOSM Q=1 with phase outside 2π,
     times the envelope (√l_ij)^D · exp(−½‖(x+x')/2 − center‖²·l_ij), where
     l_ij = 2l_i²l_j²/(l_i²+l_j²) is a pair scalar and the envelope's mean-
-    position chain runs in-tile. params = (w (O,), mu (O,D), var (O,D),
-    theta (O,D), phi (O,), lengthscale (O,), center (D,))."""
+    position chain runs in-tile. params is the MOHSM._fused_params() tuple;
+    every leaf is reshape-normalized so both the flat (O,)/(O,D) and the
+    MOSM-lifted (O,1)/(O,1,D) layouts work."""
     twopi, D = statics
 
     def pack(params):
         w, mu, var, theta, phi, ls, center = params
         O = w.shape[0]
+        w = w.reshape(O)
         mu = mu.reshape(O, -1)
         var = var.reshape(O, -1)
         theta = theta.reshape(O, -1)
         phi = phi.reshape(O)
+        ls = ls.reshape(O)
+        center = center.reshape(-1)
         v1, v2 = var[:, None], var[None, :]
         m1, m2 = mu[:, None], mu[None, :]
         inv = 1.0 / (v1 + v2)

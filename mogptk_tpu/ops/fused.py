@@ -11,7 +11,8 @@ tile function:
 
 Families registered: "mosm" (MOSM/MOSM-Q, reference mogptk/gpr/
 multioutput.py:41-210), "umosm" (:212-293), "csm" (:397-454),
-"conv" (:504-553). The iterative exact engine (gpr/iterative.py) consumes
+"conv" (:504-553), "mohsm" (:295-395, nonstationary envelope fused
+in-tile). The iterative exact engine (gpr/iterative.py) consumes
 these through `resolve_family`, giving materialization-free exact inference
 for the whole family zoo, not just MOSM.
 
@@ -139,11 +140,48 @@ def _conv_family(statics):
     return tile, dense, diag
 
 
+def _mohsm_family(statics):
+    twopi, D = statics
+
+    def tile(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, ls, center):
+        # nonstationary envelope (reference mogptk/gpr/multioutput.py:369-378):
+        # pair scalar l_ij = 2li²lj²/(li²+lj²) via one-hot gathers, then
+        # (√l_ij)^D · exp(−½‖(x+x')/2 − center‖²·l_ij), fused with the MOSM
+        # Q=1 tile (phase outside 2π).
+        l2 = ls[:, 0] ** 2                                 # O
+        l1 = c1oh @ l2[:, None]                            # TNx1
+        l2m = (c2oh @ l2[:, None]).T                       # 1xTM
+        l_nm = 2.0 * l1 * l2m / (l1 + l2m)                 # TNxTM
+        dist2 = None
+        for d in range(D):
+            avgd = 0.5 * (x1t[:, d][:, None] + x2t[:, d][None, :]) - center[0, d]
+            e = avgd * avgd
+            dist2 = e if dist2 is None else dist2 + e
+        env = jnp.power(jnp.sqrt(l_nm), float(D)) * jnp.exp(-0.5 * dist2 * l_nm)
+        return env * _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta,
+                                   phi, twopi, False)
+
+    def dense(c1, x1, c2, x2, params):
+        from ..gpr.multioutput import _mohsm_K
+        return _mohsm_K(c1, x1, c2, x2, params, twopi)
+
+    def diag(c, x, params):
+        w, mu, var, theta, phi, ls, center = params
+        l2 = ls[:, 0] ** 2                                 # O
+        alpha = (w[:, 0] ** 2 * twopi * jnp.sqrt(jnp.prod(var[:, 0, :], axis=-1))
+                 * jnp.power(jnp.sqrt(l2), float(D)))      # O
+        dist2 = jnp.sum((x - center[0]) ** 2, axis=-1)     # N
+        return alpha[c] * jnp.exp(-0.5 * dist2 * l2[c])
+
+    return tile, dense, diag
+
+
 _FAMILIES = {
     "mosm": _mosm_family,
     "umosm": _umosm_family,
     "csm": _csm_family,
     "conv": _conv_family,
+    "mohsm": _mohsm_family,
 }
 
 

@@ -193,7 +193,7 @@ def test_iterative_blocked_prediction_matches_unblocked():
     np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_c), rtol=1e-2, atol=1e-5)
 
 
-# -- fused families beyond MOSM (uMOSM / CSM / CONV) --------------------------
+# -- fused families beyond MOSM (uMOSM / CSM / CONV / MOHSM) ------------------
 
 def _family_kernel(name, rng):
     if name == "umosm":
@@ -212,6 +212,16 @@ def _family_kernel(name, rng):
         k = gpr.GaussianConvolutionProcessKernel(output_dims=2)
         k.variance.assign(0.3 + 0.1 * rng.rand(2, 1))
         return k
+    if name == "mohsm":
+        k = gpr.MultiOutputHarmonizableSpectralKernel(output_dims=2)
+        k.mean.assign(0.1 + 0.1 * rng.rand(2, 1))
+        # MOHSM keeps reference formula parity and is non-PSD for narrow
+        # spectral variances / wide envelopes (see test_api.test_mohsm_model);
+        # wide variance + tight envelope lengthscale is its PSD regime here
+        # (eigmin ≈ −1e-7 on this grid, well under the 0.1 noise diagonal)
+        k.variance.assign(0.9 + 0.2 * rng.rand(2, 1))
+        k.lengthscale.assign(0.25 + 0.1 * rng.rand(2))
+        return k
     raise ValueError(name)
 
 
@@ -229,7 +239,7 @@ def _family_models(name, n_per=24):
     return dense, it
 
 
-@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "mohsm"])
 def test_iterative_family_lml_matches_cholesky(name):
     dense, it = _family_models(name)
     # the SLQ logdet carries probe noise of ~±0.5 nats at this conditioning
@@ -239,7 +249,7 @@ def test_iterative_family_lml_matches_cholesky(name):
                                rtol=0.05, atol=0.7)
 
 
-@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "mohsm"])
 def test_iterative_family_prediction_matches_cholesky(name):
     dense, it = _family_models(name)
     Xs = np.concatenate([np.zeros((9, 1)), np.linspace(0, 6, 9).reshape(-1, 1)], axis=1)
