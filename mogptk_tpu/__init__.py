@@ -12,6 +12,18 @@ from . import gpr
 from .gpr import (config, use_half_precision, use_single_precision,
                   use_double_precision, use_cpu, use_gpu, use_tpu,
                   print_gpu_information, set_positive_minimum)
+# The reference's star-import chain leaks the commonly used kernel /
+# likelihood classes and CholeskyException into the top-level `mogptk`
+# namespace (mogptk/__init__.py:4-18 pulls each models/*.py module's
+# imports); user notebooks address them as e.g. mogptk.SpectralMixtureKernel,
+# so re-export the same names deliberately here.
+from .gpr import (CholeskyException, GaussianLikelihood, Kernels,
+                  MixtureKernel, SpectralKernel, SpectralMixtureKernel,
+                  IndependentMultiOutputKernel, MultiOutputSpectralKernel,
+                  MultiOutputSpectralMixtureKernel, CrossSpectralKernel,
+                  LinearModelOfCoregionalizationKernel,
+                  GaussianConvolutionProcessKernel,
+                  MultiOutputHarmonizableSpectralKernel)
 from .transformer import (Transformer, TransformBase, TransformDetrend,
                           TransformLinear, TransformNormalize, TransformLog,
                           TransformStandard)

@@ -520,3 +520,18 @@ def _sq_exp_kernel():
     k = mogptk.gpr.SquaredExponentialKernel()
     k.lengthscale.assign(1.5)
     return k
+
+
+def test_top_level_namespace_matches_reference_surface():
+    # the reference's star-import chain exposes the common kernel /
+    # likelihood classes and CholeskyException directly on the package
+    # (mogptk/__init__.py:4-18); user code addresses them that way
+    for name in ["CholeskyException", "GaussianLikelihood", "Kernels",
+                 "MixtureKernel", "SpectralKernel", "SpectralMixtureKernel",
+                 "IndependentMultiOutputKernel", "MultiOutputSpectralKernel",
+                 "MultiOutputSpectralMixtureKernel", "CrossSpectralKernel",
+                 "LinearModelOfCoregionalizationKernel",
+                 "GaussianConvolutionProcessKernel",
+                 "MultiOutputHarmonizableSpectralKernel"]:
+        assert hasattr(mogptk, name), name
+        assert getattr(mogptk, name) is getattr(mogptk.gpr, name)
