@@ -64,6 +64,18 @@ def main():
         return tuple(params)
     probe(loss_fwd, tuple(train0), "loss_fwd", target=15.0)
 
+    # deterministic (closed-form-gradient) forward: exercises the legacy
+    # _Kff diag-add + cholesky chain rather than the fused probe path
+    model_d = gpr.Exact(kernel, X, Y, variance=0.1, trace_probes=None)
+    loss_fn_d = model_d.make_loss_fn()
+    traind, fixedd = model_d._split_raws()
+    def loss_fwd_exact(carry):
+        params = list(carry)
+        v = loss_fn_d(params, fixedd)
+        params[0] = params[0] + 1e-30 * v
+        return tuple(params)
+    probe(loss_fwd_exact, tuple(traind), "loss_fwd_exact", target=15.0)
+
     # Gram assembly forward only
     nX = model.X
     def gram_fwd(c):
@@ -71,6 +83,15 @@ def main():
             Kff = model._Kff(add_jitter=True)
         return c + 1e-20 * Kff[0, 0]
     probe(gram_fwd, jnp.float32(0.0), "gram_fwd", target=10.0)
+
+    # raw sorted-layout Gram (no noise/jitter diagonal update) — the gap to
+    # gram_fwd is the diagonal-add scatter + K_diag pass
+    counts = model._channel_counts
+    def gram_raw(c):
+        with model.bind(model._merge_raws(train0, fixed)):
+            Kff = model.kernel.K_sorted(model.X, counts)
+        return c + 1e-20 * Kff[0, 0]
+    probe(gram_raw, jnp.float32(0.0), "gram_raw_sorted", target=10.0)
 
     # Cholesky variants on the actual Gram
     with model.bind(model._merge_raws(train0, fixed)):
@@ -82,14 +103,17 @@ def main():
     probe(lambda Kv: Kv + 1e-20 * jnp.abs(blocked_cholesky(Kv, 1024)),
           Kff, "chol_blocked_high", target=15.0)
 
-    # the forward's batched 17-RHS cho_solve at the step's actual shapes
+    # the forward's batched 17-RHS cho_solve at the step's actual shapes.
+    # L must ride the carry: a closed-over (N, N) constant is serialized
+    # into the remote-compile request, which 413s past ~1 GB on this image.
     L = blocked_cholesky(Kff, 1024)
     from mogptk_tpu.ops.linalg import cholesky_solve
     B0 = jax.random.normal(jax.random.PRNGKey(1), (Kff.shape[0], 17), jnp.float32)
-    def chs(Bv):
-        Yv = cholesky_solve(L, Bv)
-        return Yv / jnp.maximum(jnp.max(jnp.abs(Yv)), 1e-30)
-    probe(chs, B0, "cho_solve_17rhs", target=8.0)
+    def chs(carry):
+        Lv, Bv = carry
+        Yv = cholesky_solve(Lv, Bv)
+        return Lv, Yv / jnp.maximum(jnp.max(jnp.abs(Yv)), 1e-30)
+    probe(chs, (L, B0), "cho_solve_17rhs", target=8.0)
 
     print(json.dumps(out), flush=True)
 

@@ -27,7 +27,8 @@ from .likelihood import Likelihood, MultiOutputLikelihood, GaussianLikelihood
 from .config import (config, sensitive_matmul_scope, pallas_enabled,
                      input_gradients)
 from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
-                          lml_quadform_logdet, lml_quadform_logdet_stochastic)
+                          lml_quadform_logdet, lml_quadform_logdet_stochastic,
+                          lml_chol_fused)
 
 
 def _init_grid(N, X):
@@ -456,6 +457,41 @@ class Exact(Model):
         self.seed = seed
         self.log_marginal_likelihood_constant = 0.5 * self.X.shape[0] * np.log(2.0 * np.pi)
 
+    def _fused_static(self):
+        """Static id for the fully fused Cholesky-LML path
+        (ops/linalg.lml_chol_fused), or None when any precondition fails:
+        channel-sorted data with a block-engine family, Pallas on, probe
+        gradients, no row mask / Gram sharding constraint / jitter ladder
+        (the ladder retries factorizations of a materialized Gram)."""
+        counts = getattr(self, "_channel_counts", None)
+        if (not self.trace_probes or counts is None or not pallas_enabled()
+                or getattr(self, "_gram_sharding", None) is not None
+                or config.jitter_ladder > 0):
+            return None
+        from .iterative import _family_of
+        from ..ops.block_families import has_block_family
+        try:
+            family = _family_of(self.kernel)
+        except ValueError:
+            return None
+        if family[0] != "mosm" and not has_block_family(family[0]):
+            return None
+        return (family, counts, int(self.trace_probes), self.seed)
+
+    def _noise_diag(self, add_jitter=False):
+        """The (N,) diagonal added to the Gram: per-channel likelihood noise,
+        optional per-point data variance, optional relative jitter from the
+        kernel's cheap closed-form diagonal (no N×N identity materialized)."""
+        noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
+        diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1),
+                                (self.X.shape[0],))
+        if self.data_variance is not None:
+            diag = diag + self.data_variance
+        if add_jitter:
+            kdiag = self.kernel.K_diag(self.X)
+            diag = diag + self.jitter * jnp.mean(kdiag + diag)
+        return diag
+
     def _Kff(self, add_jitter=False):
         counts = getattr(self, "_channel_counts", None)
         if counts is not None and pallas_enabled():
@@ -480,18 +516,20 @@ class Exact(Model):
             # row-block the assembly (and, by propagation, its VJP) over the
             # mesh; set by parallel.sharding.exact_sharded_step
             Kff = jax.lax.with_sharding_constraint(Kff, gram_sharding)
-        noise = self._index_channel(self.likelihood.scale() ** 2, self.X)
-        diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1), (self.X.shape[0],))
-        if self.data_variance is not None:
-            diag = diag + self.data_variance
-        if add_jitter:
-            # relative jitter from the kernel's cheap closed-form diagonal —
-            # avoids materializing an N×N identity just to nudge the diagonal
-            kdiag = self.kernel.K_diag(self.X)
-            diag = diag + self.jitter * jnp.mean(kdiag + diag)
+        diag = self._noise_diag(add_jitter)
         n = self.X.shape[0]
-        idx = jnp.arange(n)
-        return Kff.at[idx, idx].add(diag)
+        # masked broadcast-add, NOT .at[idx, idx].add: XLA:TPU lowers the
+        # index scatter to a ~22 ms pass at N=16k, while iota==iota + where
+        # fuses into one elementwise sweep over K (~2.7 ms at 1 GB)
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        d = diag.astype(Kff.dtype)[:, None]
+        out = Kff + jnp.where(r == c, d, jnp.zeros((), Kff.dtype))
+        # materialize ONCE: the fused add is cheap to duplicate, and when the
+        # consumer is the blocked Cholesky's 16 Pallas S-panel calls XLA
+        # re-materializes the full N×N operand per call (measured +40 ms at
+        # N=16k); the barrier pins a single buffer
+        return jax.lax.optimization_barrier(out)
 
     supports_row_mask = True
 
@@ -499,9 +537,21 @@ class Exact(Model):
         """LML via Cholesky (reference: gpr/model.py:438-453), with the
         closed-form ∂LML/∂K custom VJP (ops/linalg.py) replacing autodiff
         through the factorization."""
+        mask = getattr(self, "_row_mask", None)
+        if mask is None and self.trace_probes and self._fused_static() is not None:
+            # hot single-chip path: gram + noise-diag + factorization + probe
+            # backward in ONE custom VJP (ops/linalg.lml_chol_fused) — the
+            # noisy Gram and the dense N×N cotangent never exist in HBM
+            static = self._fused_static()
+            _, x = self.kernel._split(self.X)
+            from .iterative import _fused_kernel_params
+            params = _fused_kernel_params(self.kernel)
+            diag = self._noise_diag(add_jitter=True)
+            y = self._residual_y()
+            val = lml_chol_fused(static, x, diag, y, params)
+            return val - self.log_marginal_likelihood_constant
         Kff = self._Kff(add_jitter=True)
         y = self._residual_y()
-        mask = getattr(self, "_row_mask", None)
         if mask is None:
             const = self.log_marginal_likelihood_constant
         else:
@@ -509,9 +559,15 @@ class Exact(Model):
             # block-diagonal extension that adds exactly 0 to both the
             # quadratic form and the log-determinant
             m = mask.reshape(-1)
-            Kff = Kff * (m[:, None] * m[None, :])
-            idx = jnp.arange(Kff.shape[0])
-            Kff = Kff.at[idx, idx].add(1.0 - m)
+            npad = Kff.shape[0]
+            r = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+            # one fused sweep: scale out masked rows/cols and put 1 on the
+            # padded diagonal (scatter form costs ~22 ms at N=16k on TPU)
+            Kff = jax.lax.optimization_barrier(
+                Kff * (m[:, None] * m[None, :])
+                + jnp.where(r == c, (1.0 - m).astype(Kff.dtype)[:, None],
+                            jnp.zeros((), Kff.dtype)))
             y = y * m[:, None]
             const = 0.5 * jnp.sum(m) * np.log(2.0 * np.pi)
         if self.trace_probes:

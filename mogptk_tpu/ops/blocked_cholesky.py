@@ -142,10 +142,12 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
             (single bf16 pass) is fastest but drops ~5 decimal digits.
         panel_precision: precision scope for the B×B factorization and the
             panel triangular solve — the cancellation-sensitive steps.
-        diag_shift: optional traced scalar added to K's diagonal — applied
-            at each diagonal panel IN THE FACTOR dtype, exactly equivalent
-            to factoring K + diag_shift·I. This is how jitter reaches a
-            bf16 Gram: 1e-8·diag added in bf16 would round away entirely.
+        diag_shift: optional traced scalar OR (n,) vector added to K's
+            diagonal — applied at each diagonal panel IN THE FACTOR dtype,
+            exactly equivalent to factoring K + diag(diag_shift). This is
+            how jitter reaches a bf16 Gram (1e-8·diag added in bf16 would
+            round away entirely), and how the GP noise diagonal rides the
+            factorization without an N² HBM pass over the Gram.
 
     Returns:
         (n, n) lower-triangular L with K = L @ L.T (upper half zero), in
@@ -176,6 +178,12 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     pallas_update = (ldtype == jnp.float32 and update_precision == "high"
                      and B % 512 == 0 and npad % 512 == 0)
     shift = None if diag_shift is None else jnp.asarray(diag_shift, ldtype)
+    if shift is not None and shift.ndim == 1:
+        if shift.shape[0] != n:
+            raise ValueError("vector diag_shift must have shape (n,); got %r"
+                             % (shift.shape,))
+        if npad != n:
+            shift = jnp.pad(shift, (0, npad - n))   # padded diagonal stays 1
     L = jnp.zeros(K.shape, ldtype)
     for j in range(nb):
         r0 = j * B
@@ -190,7 +198,8 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
             S = K[r0:, r0:r0 + B].astype(ldtype)
         Sjj = S[:B]
         if shift is not None:
-            Sjj = Sjj + shift * jnp.eye(B, dtype=ldtype)
+            sj = shift[r0:r0 + B, None] if shift.ndim == 1 else shift
+            Sjj = Sjj + sj * jnp.eye(B, dtype=ldtype)
         with jax.default_matmul_precision(panel_precision):
             Ljj = _panel_factor(Sjj, update_precision, panel_precision)
             if j < nb - 1:

@@ -22,19 +22,29 @@ def cholesky(K, diag_shift=None):
     2-D, n ≥ 4096 — where it measures ~3× XLA's expander), else
     jnp.linalg.cholesky. Both return NaN rows for non-PSD input.
 
-    diag_shift (optional traced scalar, or (...,1,1) for batched K) factors
-    K + diag_shift·I; the blocked path applies it per diagonal panel in the
-    factor dtype, so jitter survives even a bf16 Gram. Sub-f32 K returns an
-    f32 factor (ops/blocked_cholesky docstring; _solve_dtype)."""
+    diag_shift (optional traced scalar, (...,1,1) for batched K, or an (n,)
+    vector for 2-D K) factors K + diag(diag_shift); the blocked path applies
+    it per diagonal panel in the factor dtype, so jitter survives even a
+    bf16 Gram — and a vector shift carries the GP noise diagonal into the
+    factorization without an N² HBM pass over the Gram. Sub-f32 K returns
+    an f32 factor (ops/blocked_cholesky docstring; _solve_dtype)."""
     from ..gpr.config import config, blocked_cholesky_enabled
+    vector_shift = (diag_shift is not None
+                    and jnp.ndim(diag_shift) == 1 and K.ndim == 2)
     if blocked_cholesky_enabled(K.shape[-1], K.ndim, K.dtype):
         return blocked_cholesky(
             K, block_size=config.blocked_cholesky_block,
             update_precision=config.blocked_cholesky_update_precision,
-            diag_shift=(None if diag_shift is None
-                        else jnp.reshape(diag_shift, ())))
+            diag_shift=(None if diag_shift is None else diag_shift
+                        if vector_shift else jnp.reshape(diag_shift, ())))
     K = K.astype(_solve_dtype(K.dtype))
-    if diag_shift is not None:
+    if vector_shift:
+        n = K.shape[-1]
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        K = K + jnp.where(r == c, jnp.asarray(diag_shift, K.dtype)[:, None],
+                          jnp.zeros((), K.dtype))
+    elif diag_shift is not None:
         K = K + jnp.asarray(diag_shift, K.dtype) * jnp.eye(K.shape[-1],
                                                            dtype=K.dtype)
     return jnp.linalg.cholesky(K)
@@ -329,3 +339,86 @@ def _lml_stoch_bwd(num_probes, seed, res, g):
 
 
 lml_quadform_logdet_stochastic.defvjp(_lml_stoch_fwd, _lml_stoch_bwd)
+
+
+# -- fused channel-block Cholesky LML -----------------------------------------
+
+def _sorted_gram(family, x, counts, params):
+    name, statics = family
+    if name == "mosm":
+        from .block_mosm import mosm_gram_sorted
+        twopi, phase_inside = statics
+        return mosm_gram_sorted(x, counts, *params, twopi,
+                                phase_inside=phase_inside)
+    from .block_families import family_gram_sorted
+    return family_gram_sorted(name, statics, x, counts, params)
+
+
+def _sorted_lowrank_vjp(family, x, counts, params, A, B):
+    name, statics = family
+    if name == "mosm":
+        from .block_mosm import mosm_lowrank_vjp_sorted
+        twopi, phase_inside = statics
+        return mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
+                                       phase_inside=phase_inside)
+    from .block_families import family_lowrank_vjp_sorted
+    return family_lowrank_vjp_sorted(name, statics, x, counts, params, A, B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def lml_chol_fused(static, x, diag, y, params):
+    """−Σ log diag(chol(K+D)) − ½ yᵀ(K+D)⁻¹y with the Gram K built by a
+    channel-block engine and D = diag(`diag`) applied INSIDE the
+    factorization (vector diag_shift) — the noisy Gram never exists as a
+    separate N² array in HBM.
+
+    One custom VJP spans gram assembly + factorization + solves: the
+    backward feeds the probe-trace low-rank cotangent dK = A Bᵀ
+    (A = ½g[α, −U/R], B = [α, Z]; BBMM, Gardner et al. 2018) STRAIGHT to
+    the engine's low-rank VJP, so the dense N×N cotangent is never
+    materialized either. Versus chaining K_sorted's dense-cotangent VJP
+    into lml_quadform_logdet_stochastic, this removes one N×N GEMM, one
+    N² write and one N² read per step (~12 ms at N=16k f32).
+
+    static = (family, counts, num_probes, seed): the fused-family id
+    (name, statics), per-channel counts tuple, probe count, PRNG seed.
+    x is channel-sorted (N, D) coordinates. Input cotangents for x are
+    ZERO (training data is constant in Exact inference — matching the
+    sorted engines, ops/block_mosm._gram_block_bwd).
+    """
+    val, _ = _lml_chol_fused_fwd(static, x, diag, y, params)
+    return val
+
+
+@_sensitive
+def _lml_chol_fused_fwd(static, x, diag, y, params):
+    family, counts, num_probes, seed = static
+    K = _sorted_gram(family, x, counts, params)
+    sd = _solve_dtype(K.dtype)
+    L = cholesky(K, diag_shift=diag.astype(sd))
+    yc = y.astype(sd)
+    n = x.shape[0]
+    Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
+                              dtype=L.dtype)
+    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
+    alpha, U = AU[:, :1], AU[:, 1:]
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return val, (x, diag, y, params, alpha, U, Z)
+
+
+@_sensitive
+def _lml_chol_fused_bwd(static, res, g):
+    family, counts, num_probes, seed = static
+    x, diag, y, params, alpha, U, Z = res
+    # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ — same estimator and conventions as
+    # gpr/iterative._lml_iter_bwd
+    A = (0.5 * g) * jnp.concatenate([alpha, -U / num_probes], axis=1)
+    B = jnp.concatenate([alpha, Z], axis=1)
+    dparams = _sorted_lowrank_vjp(family, x, counts, params, A, B)
+    ddiag = jnp.sum(A * B, axis=1)       # diag(A Bᵀ)
+    dy = -g * alpha
+    return (jnp.zeros_like(x), ddiag.astype(diag.dtype), dy.astype(y.dtype),
+            tuple(dp.astype(p.dtype) for dp, p in zip(dparams, params)))
+
+
+lml_chol_fused.defvjp(_lml_chol_fused_fwd, _lml_chol_fused_bwd)

@@ -550,3 +550,112 @@ class TestBlockedTrisolve:
         np.testing.assert_allclose(L_p, L_j, rtol=2e-4, atol=2e-5)
         Kr = np.asarray(L_p @ L_p.T)
         np.testing.assert_allclose(Kr, np.asarray(K), rtol=1e-4, atol=1e-4)
+
+
+class TestVectorDiagShift:
+    def test_blocked_cholesky_vector_diag_shift(self):
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        rng = np.random.RandomState(41)
+        n = 160   # forces a padded tail (block 64 -> npad 192)
+        A = rng.randn(n, n) / np.sqrt(n)
+        K = jnp.asarray(A @ A.T + 2.0 * np.eye(n))
+        d = jnp.asarray(0.1 + rng.rand(n))
+        L = blocked_cholesky(K, block_size=64, diag_shift=d)
+        ref = np.linalg.cholesky(np.asarray(K) + np.diag(np.asarray(d)))
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=1e-9, atol=1e-10)
+
+    def test_cholesky_wrapper_vector_diag_shift_both_paths(self):
+        import mogptk_tpu.gpr as gpr
+        from mogptk_tpu.ops import linalg as lg
+        rng = np.random.RandomState(42)
+        n = 96
+        A = rng.randn(n, n) / np.sqrt(n)
+        K = jnp.asarray(A @ A.T + 2.0 * np.eye(n))
+        d = jnp.asarray(0.05 + rng.rand(n))
+        ref = np.linalg.cholesky(np.asarray(K) + np.diag(np.asarray(d)))
+        old = gpr.config.blocked_cholesky
+        try:
+            for forced in (False, True):
+                gpr.use_blocked_cholesky(forced)
+                jax.clear_caches()
+                got = np.asarray(lg.cholesky(K, diag_shift=d))
+                np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+        finally:
+            gpr.config.blocked_cholesky = old
+            gpr.config.bump()
+            jax.clear_caches()
+
+
+class TestLmlCholFused:
+    """The fully fused gram+factorization+probe-backward LML
+    (ops/linalg.lml_chol_fused) must match the legacy chain (dense sorted
+    gram -> diag add -> lml_quadform_logdet_stochastic) in value AND
+    gradients: same seed means the same Rademacher probes, so the two
+    computations are the same math with different memory movement."""
+
+    def _data(self, O=3, Q=2, n_per=40):
+        import mogptk_tpu.gpr as gpr
+        rng = np.random.RandomState(0)
+        xs = [np.sort(rng.rand(n_per, 1) * 10, axis=0) for _ in range(O)]
+        ys = [np.sin(1.3 * x + i) + 0.05 * rng.randn(n_per, 1)
+              for i, x in enumerate(xs)]
+        return gpr.merge_data(xs, ys)
+
+    def _check(self, make_kernel, tol=1e-7):
+        import mogptk_tpu.gpr as gpr
+        N, X, Y = self._data()
+        vals, grads = [], []
+        for pallas in (True, False):
+            gpr.use_pallas(pallas)
+            try:
+                rngk = np.random.RandomState(1)
+                model = gpr.Exact(make_kernel(rngk), X, Y, variance=0.1,
+                                  trace_probes=8, seed=3)
+                if pallas:
+                    assert model._fused_static() is not None
+                loss_fn = model.make_loss_fn()
+                tr, fx = model._split_raws()
+                v, g = jax.value_and_grad(loss_fn)(tr, fx)
+                vals.append(float(v))
+                grads.append(g)
+            finally:
+                gpr.use_pallas(None)
+        assert abs(vals[0] - vals[1]) <= 1e-8 * max(1.0, abs(vals[1]))
+        for a, b in zip(*grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=tol, atol=tol)
+
+    def test_fused_matches_legacy_mosm(self):
+        import mogptk_tpu.gpr as gpr
+
+        def make(rng):
+            k = gpr.MultiOutputSpectralMixtureKernel(2, output_dims=3)
+            k.mean.assign(0.05 + 0.3 * rng.rand(3, 2, 1))
+            k.variance.assign(0.2 + 0.3 * rng.rand(3, 2, 1))
+            return k
+        self._check(make)
+
+    def test_fused_matches_legacy_conv(self):
+        import mogptk_tpu.gpr as gpr
+
+        def make(rng):
+            k = gpr.GaussianConvolutionProcessKernel(output_dims=3)
+            k.variance.assign(0.3 + 0.3 * rng.rand(3, 1))
+            return k
+        self._check(make)
+
+    def test_fused_respects_jitter_ladder_gate(self):
+        import mogptk_tpu.gpr as gpr
+        N, X, Y = self._data()
+        gpr.use_pallas(True)
+        old = gpr.config.jitter_ladder
+        try:
+            k = gpr.MultiOutputSpectralKernel(output_dims=3)
+            model = gpr.Exact(k, X, Y, variance=0.1, trace_probes=8)
+            assert model._fused_static() is not None
+            gpr.use_jitter_ladder(2)
+            assert model._fused_static() is None
+        finally:
+            gpr.config.jitter_ladder = old
+            gpr.config.bump()
+            gpr.use_pallas(None)
