@@ -28,6 +28,8 @@ from .config import (config, sensitive_matmul_scope, pallas_enabled,
                      input_gradients)
 from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
                           lml_quadform_logdet, lml_quadform_logdet_stochastic,
+                          lml_quadform_logdet_shifted,
+                          lml_quadform_logdet_stochastic_shifted,
                           lml_chol_fused)
 
 
@@ -492,7 +494,7 @@ class Exact(Model):
             diag = diag + self.jitter * jnp.mean(kdiag + diag)
         return diag
 
-    def _Kff(self, add_jitter=False):
+    def _Kff(self, add_jitter=False, with_noise=True):
         counts = getattr(self, "_channel_counts", None)
         if counts is not None and pallas_enabled():
             # channel-sorted data + a kernel with a channel-block engine:
@@ -516,6 +518,15 @@ class Exact(Model):
             # row-block the assembly (and, by propagation, its VJP) over the
             # mesh; set by parallel.sharding.exact_sharded_step
             Kff = jax.lax.with_sharding_constraint(Kff, gram_sharding)
+        if not with_noise:
+            # raw Gram for diag-shifted consumers (the noise diagonal rides
+            # the factorization as a vector diag_shift): the Gram stays an
+            # opaque engine output, which the blocked Cholesky's Pallas
+            # S-panels can read without the ~40 ms/step per-pallas_call
+            # re-materialization a fusible diagonal-add producer incurs at
+            # N=16k (benchmarks/exact_fwd_decomp.py; an optimization_barrier
+            # does not prevent it)
+            return Kff
         diag = self._noise_diag(add_jitter)
         n = self.X.shape[0]
         # masked broadcast-add, NOT .at[idx, idx].add: XLA:TPU lowers the
@@ -524,12 +535,7 @@ class Exact(Model):
         r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         d = diag.astype(Kff.dtype)[:, None]
-        out = Kff + jnp.where(r == c, d, jnp.zeros((), Kff.dtype))
-        # materialize ONCE: the fused add is cheap to duplicate, and when the
-        # consumer is the blocked Cholesky's 16 Pallas S-panel calls XLA
-        # re-materializes the full N×N operand per call (measured +40 ms at
-        # N=16k); the barrier pins a single buffer
-        return jax.lax.optimization_barrier(out)
+        return Kff + jnp.where(r == c, d, jnp.zeros((), Kff.dtype))
 
     supports_row_mask = True
 
@@ -550,11 +556,21 @@ class Exact(Model):
             y = self._residual_y()
             val = lml_chol_fused(static, x, diag, y, params)
             return val - self.log_marginal_likelihood_constant
-        Kff = self._Kff(add_jitter=True)
         y = self._residual_y()
         if mask is None:
-            const = self.log_marginal_likelihood_constant
+            # the noise (+relative jitter) diagonal rides the factorization
+            # as a vector diag_shift — the noisy Gram is never materialized,
+            # and the raw Gram stays an opaque engine output (see _Kff)
+            Kff = self._Kff(with_noise=False)
+            diag = self._noise_diag(add_jitter=True)
+            if self.trace_probes:
+                val = lml_quadform_logdet_stochastic_shifted(
+                    Kff, diag, y, int(self.trace_probes), self.seed)
+            else:
+                val = lml_quadform_logdet_shifted(Kff, diag, y)
+            return val - self.log_marginal_likelihood_constant
         else:
+            Kff = self._Kff(add_jitter=True)
             # padded rows become independent unit-variance zeros — a
             # block-diagonal extension that adds exactly 0 to both the
             # quadratic form and the log-determinant
@@ -564,10 +580,9 @@ class Exact(Model):
             c = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
             # one fused sweep: scale out masked rows/cols and put 1 on the
             # padded diagonal (scatter form costs ~22 ms at N=16k on TPU)
-            Kff = jax.lax.optimization_barrier(
-                Kff * (m[:, None] * m[None, :])
-                + jnp.where(r == c, (1.0 - m).astype(Kff.dtype)[:, None],
-                            jnp.zeros((), Kff.dtype)))
+            Kff = (Kff * (m[:, None] * m[None, :])
+                   + jnp.where(r == c, (1.0 - m).astype(Kff.dtype)[:, None],
+                               jnp.zeros((), Kff.dtype)))
             y = y * m[:, None]
             const = 0.5 * jnp.sum(m) * np.log(2.0 * np.pi)
         if self.trace_probes:
@@ -590,9 +605,13 @@ class Exact(Model):
             raws = self._merge_raws(train, fixed)
             with self.bind(raws):
                 y = self._residual_y()
-                Kff = self._Kff()
+                # factor K + noise diag (+ relative jitter) with the vector
+                # riding the factorization — the noisy Gram never exists in
+                # HBM and the raw Gram stays an opaque engine output (_Kff)
+                Kff = self._Kff(with_noise=False)
                 Kfs = self.kernel.K(self.X, X)  # NxM
-                Lff = self._cholesky(Kff, add_jitter=True)
+                Lff = jittered_cholesky(
+                    Kff, extra_diag=self._noise_diag(add_jitter=True))
                 v = solve_triangular(Lff, Kfs)  # NxM
                 mu = Kfs.T @ cholesky_solve(Lff, y)  # Mx1
                 if self.mean is not None:

@@ -64,11 +64,18 @@ def _sensitive(fn):
 
 
 @_sensitive
-def jittered_cholesky(K, jitter=None, ladder=None):
+def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None):
     """Cholesky factor of K with optional relative jitter added to the diagonal.
 
     jitter is relative: `jitter * mean(diag(K))` is added, matching the
     reference (mogptk/gpr/model.py:242-244).
+
+    extra_diag (optional (n,) vector, 2-D K only) factors K + diag(extra_diag)
+    with the vector applied INSIDE the factorization (vector diag_shift) —
+    the noisy Gram never exists in HBM, and K stays an opaque engine output
+    (see the diag-shifted LML variants below for why that matters on TPU).
+    The relative-jitter base then uses mean(diag(K) + extra_diag), identical
+    to materializing the sum first.
 
     ladder > 0 (default: config.jitter_ladder) escalates beyond the reference:
     each rung retries with 10× more jitter if the previous factorization is
@@ -91,11 +98,27 @@ def jittered_cholesky(K, jitter=None, ladder=None):
     # in the factor dtype — adding 1e-8·diag to a bf16 K would round away)
     sd = _solve_dtype(K.dtype)
     n = K.shape[-1]
-    mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1).astype(sd),
-                         axis=-1)[..., None, None]
+    if extra_diag is not None:
+        if K.ndim != 2:
+            raise ValueError("extra_diag requires a 2-D K")
+        extra = jnp.asarray(extra_diag, sd).reshape(-1)
+        mean_diag = jnp.mean(jnp.diagonal(K).astype(sd) + extra)
+    else:
+        extra = None
+        mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1).astype(sd),
+                             axis=-1)[..., None, None]
+
+    def _shift(scalar, e, m):
+        """cholesky() diag_shift: optional scalar relative-jitter value
+        combined with the optional extra vector."""
+        if e is None:
+            return None if scalar is None else scalar * m
+        return e if scalar is None else e + scalar * m
+
     base = jitter if jitter is not None else 0.0
     if int(ladder) <= 0:
-        return cholesky(K, diag_shift=(base * mean_diag) if base != 0.0 else None)
+        return cholesky(K, diag_shift=_shift(base if base != 0.0 else None,
+                                             extra, mean_diag))
 
     # All trial factorizations run under stop_gradient and only select the
     # *jitter value*; the returned factor comes from ONE final differentiable
@@ -110,18 +133,22 @@ def jittered_cholesky(K, jitter=None, ladder=None):
 
     Ks = jax.lax.stop_gradient(K)
     md = jax.lax.stop_gradient(mean_diag)
+    extra_s = None if extra is None else jax.lax.stop_gradient(extra)
     jit_val = jnp.asarray(base, sd)
-    L_trial = cholesky(Ks, diag_shift=(base * md) if base != 0.0 else None)
+    L_trial = cholesky(Ks, diag_shift=_shift(base if base != 0.0 else None,
+                                             extra_s, md))
     for i in range(int(ladder)):
         rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
         bad = unusable(L_trial)
         jit_val = jnp.where(bad, jnp.asarray(rung, sd), jit_val)
         L_trial = jax.lax.cond(
             bad,
-            lambda _, rung=rung: cholesky(Ks, diag_shift=rung * md),
+            lambda _, rung=rung: cholesky(Ks, diag_shift=_shift(rung, extra_s, md)),
             lambda L_prev, rung=rung: L_prev,
             L_trial)
-    return cholesky(K, diag_shift=jit_val * md)
+    # the extra vector stays differentiable; the selected jitter term (like
+    # the scalar path's) contributes no gradient (stop-gradient mean diag)
+    return cholesky(K, diag_shift=_shift(jit_val, extra, md))
 
 
 def _static_ge(a, b):
@@ -227,15 +254,14 @@ def _lml_fwd(K, y):
 
 
 @_sensitive
-def _lml_bwd(res, g):
-    """dK = ½g(ααᵀ − K⁻¹), with K⁻¹ computed in column blocks under lax.scan.
+def _dense_lml_cotangents(L, alpha, g):
+    """dK = ½g(ααᵀ − K⁻¹) and dy = −gα, with K⁻¹ computed in column blocks
+    under lax.scan.
 
     A single triangular solve with an N×N identity RHS makes XLA keep
     multiple N² loop buffers live (observed 35+GB at N=16k); the blocked scan
     keeps L + one (N,B) block + the stacked output — ~3.5GB at N=16k f32.
     """
-    L, alpha, k_sent, y_sent = res
-    K_dtype, y_dtype = k_sent.dtype, y_sent.dtype
     n = L.shape[0]
 
     from ..gpr.config import blocked_cholesky_enabled
@@ -268,8 +294,7 @@ def _lml_bwd(res, g):
 
         _, blocks = jax.lax.scan(body_trsm, None, jnp.arange(nb))
         dK = jnp.transpose(blocks, (1, 0, 2)).reshape(n, nb * B)[:, :n]
-        dy = -g * alpha
-        return dK.astype(K_dtype), dy.astype(y_dtype)
+        return dK, -g * alpha
 
     def body(_, b):
         cols = b * B + jnp.arange(B)
@@ -282,8 +307,13 @@ def _lml_bwd(res, g):
 
     _, blocks = jax.lax.scan(body, None, jnp.arange(nb))            # nb x n x B
     dK = jnp.transpose(blocks, (1, 0, 2)).reshape(n, nb * B)[:, :n]
-    dy = -g * alpha
-    return dK.astype(K_dtype), dy.astype(y_dtype)
+    return dK, -g * alpha
+
+
+def _lml_bwd(res, g):
+    L, alpha, k_sent, y_sent = res
+    dK, dy = _dense_lml_cotangents(L, alpha, g)
+    return dK.astype(k_sent.dtype), dy.astype(y_sent.dtype)
 
 
 lml_quadform_logdet.defvjp(_lml_fwd, _lml_bwd)
@@ -339,6 +369,89 @@ def _lml_stoch_bwd(num_probes, seed, res, g):
 
 
 lml_quadform_logdet_stochastic.defvjp(_lml_stoch_fwd, _lml_stoch_bwd)
+
+
+# -- diag-shifted LML variants ------------------------------------------------
+# Same values and gradients as calling the unshifted functions on
+# K + diag(d), but d rides the factorization as a vector diag_shift, so the
+# shifted Gram never exists in HBM. Beyond saving the N² pass, this keeps K
+# an OPAQUE engine output: a fusible elementwise diagonal-add producer
+# feeding the blocked Cholesky's Pallas S-panel reads costs ~40 ms at N=16k
+# (XLA re-materializes the fused operand per pallas_call; an
+# optimization_barrier does NOT prevent it — benchmarks/exact_fwd_decomp.py).
+
+
+@jax.custom_vjp
+@_sensitive
+def lml_quadform_logdet_shifted(K, diag, y):
+    """lml_quadform_logdet of K + diag(`diag`), shift applied inside the
+    factorization; gradients flow to K (dense), diag (= diag(dK)) and y."""
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
+    alpha = jsl.cho_solve((L, True), yc)
+    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+
+
+@_sensitive
+def _lml_shift_fwd(K, diag, y):
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
+    alpha = jsl.cho_solve((L, True), yc)
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, diag.dtype),
+                 jnp.zeros(0, y.dtype))
+
+
+@_sensitive
+def _lml_shift_bwd(res, g):
+    L, alpha, k_sent, d_sent, y_sent = res
+    dK, dy = _dense_lml_cotangents(L, alpha, g)
+    return (dK.astype(k_sent.dtype),
+            jnp.diagonal(dK).astype(d_sent.dtype), dy.astype(y_sent.dtype))
+
+
+lml_quadform_logdet_shifted.defvjp(_lml_shift_fwd, _lml_shift_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@_sensitive
+def lml_quadform_logdet_stochastic_shifted(K, diag, y, num_probes, seed):
+    """lml_quadform_logdet_stochastic of K + diag(`diag`), shift applied
+    inside the factorization (see lml_quadform_logdet_shifted)."""
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
+    alpha = jsl.cho_solve((L, True), yc)
+    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+
+
+@_sensitive
+def _lml_stoch_shift_fwd(K, diag, y, num_probes, seed):
+    yc = y.astype(_solve_dtype(y.dtype))
+    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
+    n = K.shape[0]
+    Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
+                              dtype=L.dtype)
+    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
+    alpha, U = AU[:, :1], AU[:, 1:]
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return val, (alpha, U, Z, jnp.zeros(0, K.dtype), jnp.zeros(0, diag.dtype),
+                 jnp.zeros(0, y.dtype))
+
+
+@_sensitive
+def _lml_stoch_shift_bwd(num_probes, seed, res, g):
+    alpha, U, Z, k_sent, d_sent, y_sent = res
+    A = (0.5 * g) * jnp.concatenate([alpha, -U / num_probes], axis=1)
+    B = jnp.concatenate([alpha, Z], axis=1)
+    dK = A @ B.T
+    ddiag = jnp.sum(A * B, axis=1)
+    dy = -g * alpha
+    return (dK.astype(k_sent.dtype), ddiag.astype(d_sent.dtype),
+            dy.astype(y_sent.dtype))
+
+
+lml_quadform_logdet_stochastic_shifted.defvjp(_lml_stoch_shift_fwd,
+                                              _lml_stoch_shift_bwd)
 
 
 # -- fused channel-block Cholesky LML -----------------------------------------

@@ -586,6 +586,63 @@ class TestVectorDiagShift:
             jax.clear_caches()
 
 
+class TestShiftedLml:
+    """The diag-shifted LML variants must equal the unshifted functions on
+    the materialized K + diag(d) — values AND all three gradients — since
+    they are the same math with the shift moved inside the factorization."""
+
+    def _setup(self, n=96):
+        rng = np.random.RandomState(5)
+        A = rng.randn(n, n) / np.sqrt(n)
+        K = jnp.asarray(A @ A.T + 2.0 * np.eye(n))
+        d = jnp.asarray(0.1 + rng.rand(n))
+        y = jnp.asarray(rng.randn(n, 1))
+        return K, d, y
+
+    def test_deterministic_matches_materialized(self):
+        from mogptk_tpu.ops.linalg import (lml_quadform_logdet,
+                                           lml_quadform_logdet_shifted)
+        K, d, y = self._setup()
+        ref = lml_quadform_logdet(K + jnp.diag(d), y)
+        got = lml_quadform_logdet_shifted(K, d, y)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+        gr = jax.grad(lambda K, d, y: lml_quadform_logdet(K + jnp.diag(d), y),
+                      argnums=(0, 1, 2))(K, d, y)
+        gs = jax.grad(lml_quadform_logdet_shifted, argnums=(0, 1, 2))(K, d, y)
+        for a, b in zip(gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_stochastic_matches_materialized(self):
+        from mogptk_tpu.ops.linalg import (
+            lml_quadform_logdet_stochastic,
+            lml_quadform_logdet_stochastic_shifted)
+        K, d, y = self._setup()
+        ref = lml_quadform_logdet_stochastic(K + jnp.diag(d), y, 8, 3)
+        got = lml_quadform_logdet_stochastic_shifted(K, d, y, 8, 3)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+        gr = jax.grad(lambda K, d, y: lml_quadform_logdet_stochastic(
+            K + jnp.diag(d), y, 8, 3), argnums=(0, 1, 2))(K, d, y)
+        gs = jax.grad(lambda K, d, y: lml_quadform_logdet_stochastic_shifted(
+            K, d, y, 8, 3), argnums=(0, 1, 2))(K, d, y)
+        for a, b in zip(gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_jittered_cholesky_extra_diag(self):
+        from mogptk_tpu.ops.linalg import jittered_cholesky
+        K, d, _ = self._setup()
+        for ladder in (0, 2):
+            ref = jittered_cholesky(K + jnp.diag(d), 1e-8, ladder=ladder)
+            got = jittered_cholesky(K, 1e-8, ladder=ladder, extra_diag=d)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-12, atol=1e-14)
+        # the extra vector stays differentiable through the ladder
+        g = jax.grad(lambda d: jnp.sum(jnp.log(jnp.diagonal(
+            jittered_cholesky(K, 1e-8, ladder=2, extra_diag=d)))))(d)
+        assert np.all(np.isfinite(np.asarray(g))) and float(jnp.max(jnp.abs(g))) > 0
+
+
 class TestLmlCholFused:
     """The fully fused gram+factorization+probe-backward LML
     (ops/linalg.lml_chol_fused) must match the legacy chain (dense sorted
