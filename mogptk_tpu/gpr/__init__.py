@@ -1,6 +1,6 @@
 """GPR core: config, parameters, kernels, means, likelihoods, and inference
 models (capability parity with mogptk/gpr/__init__.py:1-10)."""
-from .config import (config, use_half_precision, use_single_precision, use_pallas, pallas_enabled, use_debug, use_jitter_ladder, set_matmul_precision,
+from .config import (Config, config, use_half_precision, use_single_precision, use_pallas, pallas_enabled, use_debug, use_jitter_ladder, set_matmul_precision,
                      use_blocked_cholesky, blocked_cholesky_enabled,
                      use_compilation_cache, input_gradients, input_grads_active,
                      set_sensitive_matmul_precision, sensitive_matmul_scope,
