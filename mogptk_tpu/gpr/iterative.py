@@ -28,7 +28,8 @@ from .multioutput import (MultiOutputSpectralKernel,
                           UncoupledMultiOutputSpectralKernel,
                           CrossSpectralKernel,
                           GaussianConvolutionProcessKernel,
-                          MultiOutputHarmonizableSpectralKernel)
+                          MultiOutputHarmonizableSpectralKernel,
+                          LinearModelOfCoregionalizationKernel)
 from .config import config
 from ..ops.iterative import (cg_solve, slq_logdet, pivoted_cholesky,
                              cg_logdet_quadrature)
@@ -50,9 +51,13 @@ def _family_of(kernel):
         return ("conv", (kernel.input_dims,))
     if isinstance(kernel, MultiOutputHarmonizableSpectralKernel):
         return ("mohsm", (kernel.twopi, kernel.input_dims))
+    if (isinstance(kernel, LinearModelOfCoregionalizationKernel)
+            and kernel._all_spectral()):
+        return ("lmc_sm", (kernel.Q, kernel.input_dims))
     raise ValueError(
         "ExactIterative supports the fused multi-output spectral families "
-        "(MOSM, MOSM-Q, uMOSM, CSM, CONV, MOHSM); use Exact for other kernels")
+        "(MOSM, MOSM-Q, uMOSM, CSM, CONV, MOHSM, SM-LMC); use Exact for "
+        "other kernels")
 
 
 def _fused_kernel_params(kernel):
@@ -61,7 +66,8 @@ def _fused_kernel_params(kernel):
         w, mu, var, theta, phi = (kernel.weight(),) + kernel._params()[1:]
         return (w, mu, var, theta, phi)
     if isinstance(kernel, (CrossSpectralKernel, GaussianConvolutionProcessKernel,
-                           MultiOutputHarmonizableSpectralKernel)):
+                           MultiOutputHarmonizableSpectralKernel,
+                           LinearModelOfCoregionalizationKernel)):
         return kernel._fused_params()
     return kernel._params()
 

@@ -187,6 +187,31 @@ def _csm_K(c1, x1, c2, x2, params):
     return K
 
 
+def _lmc_sm_K(c1, x1, c2, x2, params):
+    """LMC-over-SpectralKernels (SM-LMC) Gram as a pure function of
+    params = (W (O,Q,Rq), mag (Q,1), mu (Q,D), var (Q,D)): K_ij =
+    Σ_q (W_i,q·W_j,q) σ²_q Σ_d exp(−2π²τ_d²Σ_qd) cos(2πμ_qd τ_d)
+    (reference math: mogptk/gpr/multioutput.py:456-502 composed with
+    gpr/singleoutput.py:520-561's per-dim sum). All large temps are (N,M);
+    Q and D unrolled."""
+    W, mag, mu, var = params
+    x2e = x1 if x2 is None else x2
+    c2e = c1 if c2 is None else c2
+    Q = W.shape[1]
+    K = None
+    for q in range(Q):
+        Bq = W[c1, q, :] @ W[c2e, q, :].T                  # NxM
+        acc = None
+        for d in range(x1.shape[1]):
+            taud = x1[:, None, d] - x2e[None, :, d]        # NxM
+            t = (jnp.exp(-2.0 * _pi ** 2 * taud * taud * var[q, d])
+                 * jnp.cos(2.0 * _pi * taud * mu[q, d]))
+            acc = t if acc is None else acc + t
+        Kq = (mag[q, 0] * Bq) * acc
+        K = Kq if K is None else K + Kq
+    return K
+
+
 def _conv_K(c1, x1, c2, x2, params):
     """CONV Gram as a pure function of params = (w (O,1), var (O,D),
     base (1,D)) (reference math: mogptk/gpr/multioutput.py:504-553)."""
@@ -522,6 +547,34 @@ class LinearModelOfCoregionalizationKernel(MultiOutputKernel):
 
     def name(self):
         return "%s[%s]" % (self.__class__.__name__, ",".join(k.name() for k in self.kernels))
+
+    def _all_spectral(self):
+        """True when every base kernel is a plain SpectralKernel over all
+        input dims — the SM-LMC case, eligible for the fused "lmc_sm"
+        engines (ops/fused.py, ops/block_families.py)."""
+        from .singleoutput import SpectralKernel
+        return all(type(k) is SpectralKernel and k.active_dims is None
+                   for k in self.kernels)
+
+    def _fused_params(self):
+        """Pure-function parameter tuple for _lmc_sm_K / the fused engine:
+        (W (O,Q,Rq), mag (Q,1), mu (Q,D), var (Q,D)). Only valid when
+        _all_spectral()."""
+        mag = jnp.stack([k.magnitude() for k in self.kernels]).reshape(-1, 1)
+        mu = jnp.stack([k.mean() for k in self.kernels])
+        var = jnp.stack([k.variance() for k in self.kernels])
+        return (self.weight(), mag, mu, var)
+
+    def K_sorted(self, X, counts):
+        """Square Gram for channel-sorted X via the generic channel-block
+        engine when the bases are all spectral (SM-LMC); otherwise the
+        generic multi-output assembly."""
+        if not self._all_spectral():
+            return self.K(X)
+        from ..ops.block_families import family_gram_sorted
+        c1, x1 = self._split(X)
+        return family_gram_sorted("lmc_sm", (self.Q, self.input_dims),
+                                  x1, counts, self._fused_params())
 
     def K_mo(self, c1, x1, c2, x2=None):
         # per-component (N,M) MXU matmuls; avoids a materialized (N,M,Q)

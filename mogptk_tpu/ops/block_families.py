@@ -15,9 +15,10 @@ rejects). One machine therefore serves every family: materialize, matvec
 (symmetric-pair), and low-rank VJP.
 
 Families: "umosm" (reference mogptk/gpr/multioutput.py:212-293), "csm"
-(:397-454), "conv" (:504-553). MOSM/MOSM-Q keep their specialized module
-(ops/block_mosm.py). Parity with the jnp formulations is asserted in
-tests/test_block_families.py.
+(:397-454), "conv" (:504-553), "mohsm" (:295-395), "lmc_sm" (LMC over plain
+SpectralKernels, :456-502 composed with gpr/singleoutput.py:520-561).
+MOSM/MOSM-Q keep their specialized module (ops/block_mosm.py). Parity with
+the jnp formulations is asserted in tests/test_block_families.py.
 """
 import functools
 import numpy as np
@@ -206,11 +207,49 @@ def _mohsm_spec(statics):
     return pack, tile
 
 
+def _lmc_sm_spec(statics):
+    """SM-LMC (LMC over plain SpectralKernels): per block the coregionalized
+    amplitude a_ij,q = σ²_q Σ_r W_iqr W_jqr is a pair scalar and the spectral
+    envelope/frequency are shared. params = (W (O,Q,Rq), mag (Q,1),
+    mu (Q,D), var (Q,D))."""
+    Q, D = statics
+
+    def pack(params):
+        W, mag, mu, var = params
+        O = W.shape[0]
+        W = W.reshape(O, Q, -1)
+        amp = (jnp.einsum("iqr,jqr->ijq", W, W)
+               * mag.reshape(Q))                              # (O,O,Q)
+        shared = jnp.broadcast_to(
+            jnp.concatenate([var.reshape(-1), mu.reshape(-1)]),
+            (O, O, 2 * Q * D))
+        # order: [amp_q]*Q + [var_qd]*(Q·D) + [mu_qd]*(Q·D)
+        return jnp.concatenate([amp, shared], axis=-1)
+
+    def tile(x1t, x2t, svals, Q=Q, D=D):
+        K = None
+        for q in range(Q):
+            acc = None
+            for d in range(D):
+                v = svals[Q + q * D + d]
+                m = svals[Q + Q * D + q * D + d]
+                taud = x1t[:, d][:, None] - x2t[:, d][None, :]
+                t = (jnp.exp(-2.0 * _pi ** 2 * taud * taud * v)
+                     * jnp.cos(2.0 * _pi * taud * m))
+                acc = t if acc is None else acc + t
+            Kq = svals[q] * acc
+            K = Kq if K is None else K + Kq
+        return K
+
+    return pack, tile
+
+
 _BLOCK_FAMILIES = {
     "umosm": _umosm_spec,
     "csm": _csm_spec,
     "conv": _conv_spec,
     "mohsm": _mohsm_spec,
+    "lmc_sm": _lmc_sm_spec,
 }
 
 

@@ -12,7 +12,8 @@ tile function:
 Families registered: "mosm" (MOSM/MOSM-Q, reference mogptk/gpr/
 multioutput.py:41-210), "umosm" (:212-293), "csm" (:397-454),
 "conv" (:504-553), "mohsm" (:295-395, nonstationary envelope fused
-in-tile). The iterative exact engine (gpr/iterative.py) consumes
+in-tile), "lmc_sm" (LMC over plain SpectralKernels, :456-502). The
+iterative exact engine (gpr/iterative.py) consumes
 these through `resolve_family`, giving materialization-free exact inference
 for the whole family zoo, not just MOSM.
 
@@ -176,12 +177,46 @@ def _mohsm_family(statics):
     return tile, dense, diag
 
 
+def _lmc_sm_family(statics):
+    (Q, D) = statics
+
+    def tile(x1t, c1oh, x2t, c2oh, W, mag, mu, var):
+        K = None
+        for q in range(Q):
+            Aq = jnp.dot(W[:, q, :], W[:, q, :].T,
+                         preferred_element_type=c1oh.dtype)   # OxO
+            cw = jnp.dot(jnp.dot(c1oh, Aq, preferred_element_type=c1oh.dtype),
+                         c2oh.T, preferred_element_type=c1oh.dtype)  # TNxTM
+            acc = None
+            for d in range(D):
+                taud = x1t[:, d][:, None] - x2t[:, d][None, :]
+                t = (jnp.exp(-2.0 * _pi ** 2 * taud * taud * var[q, d])
+                     * jnp.cos(2.0 * _pi * taud * mu[q, d]))
+                acc = t if acc is None else acc + t
+            Kq = cw * (mag[q, 0] * acc)
+            K = Kq if K is None else K + Kq
+        return K
+
+    def dense(c1, x1, c2, x2, params):
+        from ..gpr.multioutput import _lmc_sm_K
+        return _lmc_sm_K(c1, x1, c2, x2, params)
+
+    def diag(c, x, params):
+        W, mag, mu, var = params
+        B = jnp.sum(W * W, axis=-1)                        # OxQ
+        per = jnp.sum(B * mag.reshape(1, -1), axis=-1) * float(D)  # O
+        return per[c]
+
+    return tile, dense, diag
+
+
 _FAMILIES = {
     "mosm": _mosm_family,
     "umosm": _umosm_family,
     "csm": _csm_family,
     "conv": _conv_family,
     "mohsm": _mohsm_family,
+    "lmc_sm": _lmc_sm_family,
 }
 
 

@@ -9,7 +9,7 @@ from jax.experimental import pallas as pl
 
 import mogptk_tpu.ops.block_families as bf
 import mogptk_tpu.ops.block_mosm as bm
-from mogptk_tpu.gpr.multioutput import _umosm_K, _csm_K, _conv_K
+from mogptk_tpu.gpr.multioutput import _umosm_K, _csm_K, _conv_K, _lmc_sm_K
 
 
 @pytest.fixture(autouse=True)
@@ -68,6 +68,16 @@ def _family_setup(name, counts, D=1, seed=0):
         statics = (D,)
         dense = lambda ps: _conv_K(c, x, c, x, ps)
         return x, c, params, statics, params, dense
+    if name == "lmc_sm":
+        Q, Rq = 2, 2
+        W = jnp.asarray(0.3 + rng.rand(O, Q, Rq))
+        mag = jnp.asarray(0.5 + rng.rand(Q, 1))
+        mu = jnp.asarray(0.1 + rng.rand(Q, D))
+        var = jnp.asarray(0.2 + rng.rand(Q, D))
+        params = (W, mag, mu, var)
+        statics = (Q, D)
+        dense = lambda ps: _lmc_sm_K(c, x, c, x, ps)
+        return x, c, params, statics, params, dense
     raise ValueError(name)
 
 
@@ -77,6 +87,8 @@ def _family_setup(name, counts, D=1, seed=0):
     ("csm", (40, 33), 2),
     ("conv", (40, 33, 27), 1),
     ("conv", (25, 40), 2),
+    ("lmc_sm", (40, 33, 27), 1),
+    ("lmc_sm", (25, 40), 2),
 ])
 def test_forward_matches_dense(name, counts, D):
     x, c, params, statics, lift, dense = _family_setup(name, counts, D=D)
@@ -91,6 +103,7 @@ def test_forward_matches_dense(name, counts, D):
     ("umosm", (40, 33), 1),
     ("csm", (40, 27), 1),
     ("conv", (33, 40), 2),
+    ("lmc_sm", (40, 27), 1),
 ])
 def test_gradient_matches_dense(name, counts, D):
     x, c, params, statics, lift, dense = _family_setup(name, counts, D=D, seed=3)
@@ -111,7 +124,7 @@ def test_gradient_matches_dense(name, counts, D):
                                    np.asarray(b), rtol=1e-9, atol=1e-11)
 
 
-@pytest.mark.parametrize("name", ["umosm", "csm", "conv"])
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "lmc_sm"])
 def test_matvec_and_lowrank_match_dense(name):
     counts = (40, 33)
     x, c, params, statics, lift, dense = _family_setup(name, counts, seed=5)
@@ -134,7 +147,7 @@ def test_matvec_and_lowrank_match_dense(name):
                                    np.asarray(b), rtol=1e-9, atol=1e-11)
 
 
-@pytest.mark.parametrize("kname", ["umosm", "csm", "conv"])
+@pytest.mark.parametrize("kname", ["umosm", "csm", "conv", "lmc_sm"])
 def test_exact_model_routes_to_family_engine(kname, monkeypatch):
     import mogptk_tpu.gpr as gpr
 
@@ -148,6 +161,14 @@ def test_exact_model_routes_to_family_engine(kname, monkeypatch):
     elif kname == "csm":
         kernel = gpr.CrossSpectralKernel(output_dims=2, Rq=2)
         kernel.mean.assign(0.1 + 0.2 * rng.rand(1))
+    elif kname == "lmc_sm":
+        spectral = [gpr.SpectralKernel(1) for _ in range(2)]
+        for k in spectral:
+            k.mean.assign(0.1 + 0.2 * rng.rand(1))
+            k.variance.assign(0.2 + 0.2 * rng.rand(1))
+        kernel = gpr.LinearModelOfCoregionalizationKernel(
+            spectral, output_dims=2, Q=2, Rq=2)
+        kernel.weight.assign(0.3 + rng.rand(2, 2, 2))
     else:
         kernel = gpr.GaussianConvolutionProcessKernel(output_dims=2)
     model = gpr.Exact(kernel, X, Y, variance=0.1)

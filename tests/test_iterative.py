@@ -212,6 +212,15 @@ def _family_kernel(name, rng):
         k = gpr.GaussianConvolutionProcessKernel(output_dims=2)
         k.variance.assign(0.3 + 0.1 * rng.rand(2, 1))
         return k
+    if name == "lmc_sm":
+        spectral = [gpr.SpectralKernel(1) for _ in range(2)]
+        for kq in spectral:
+            kq.mean.assign(0.1 + 0.1 * rng.rand(1))
+            kq.variance.assign(0.3 + 0.1 * rng.rand(1))
+        k = gpr.LinearModelOfCoregionalizationKernel(
+            spectral, output_dims=2, Q=2, Rq=2)
+        k.weight.assign(0.3 + 0.5 * rng.rand(2, 2, 2))
+        return k
     if name == "mohsm":
         k = gpr.MultiOutputHarmonizableSpectralKernel(output_dims=2)
         k.mean.assign(0.1 + 0.1 * rng.rand(2, 1))
@@ -239,7 +248,7 @@ def _family_models(name, n_per=24):
     return dense, it
 
 
-@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "mohsm"])
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "mohsm", "lmc_sm"])
 def test_iterative_family_lml_matches_cholesky(name):
     dense, it = _family_models(name)
     # the SLQ logdet carries probe noise of ~±0.5 nats at this conditioning
@@ -249,7 +258,7 @@ def test_iterative_family_lml_matches_cholesky(name):
                                rtol=0.05, atol=0.7)
 
 
-@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "mohsm"])
+@pytest.mark.parametrize("name", ["umosm", "csm", "conv", "mohsm", "lmc_sm"])
 def test_iterative_family_prediction_matches_cholesky(name):
     dense, it = _family_models(name)
     Xs = np.concatenate([np.zeros((9, 1)), np.linspace(0, 6, 9).reshape(-1, 1)], axis=1)
