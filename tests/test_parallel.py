@@ -240,6 +240,39 @@ def test_ring_lowrank_vjp_matches_dense():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
 
 
+def test_ring_matvec_family_generic():
+    """The ring primitives are family-generic: SM-LMC (the newest fused
+    family) through ring_gram_matvec matches the dense product."""
+    from mogptk_tpu.parallel.ring import ring_gram_matvec
+    from mogptk_tpu.gpr.multioutput import _lmc_sm_K
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    spectral = [gpr.SpectralKernel(1) for _ in range(2)]
+    for k in spectral:
+        k.mean.assign(0.1 + 0.2 * rng.rand(1))
+        k.variance.assign(0.2 + 0.2 * rng.rand(1))
+    kernel = gpr.LinearModelOfCoregionalizationKernel(
+        spectral, output_dims=2, Q=2, Rq=2)
+    kernel.weight.assign(0.3 + rng.rand(2, 2, 2))
+    params = kernel._fused_params()
+
+    n = 64
+    x = jnp.asarray(np.sort(rng.rand(n, 1) * 6, axis=0))
+    c = jnp.asarray(rng.randint(0, 2, n), dtype=jnp.int32)
+    noise = 0.1 * jnp.ones(n)
+    V = jnp.asarray(rng.randn(n, 4))
+    mesh = make_mesh(8)
+    V = jax.device_put(V, NamedSharding(mesh, P("data", None)))
+
+    out = jax.jit(lambda v: ring_gram_matvec(
+        mesh, "data", ("lmc_sm", (2, 1)), 2, x, c, noise, params, False, v))(V)
+    K = _lmc_sm_K(c, x, c, None, params)
+    expected = K @ V + noise[:, None] * V
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-10)
+
+
 def test_iterative_ring_step_matches_dense_lml():
     """Full training step with the ring: loss is a CG/SLQ estimate of the
     same LML the dense model computes."""
