@@ -611,7 +611,8 @@ class Exact(Model):
                 Kff = self._Kff(with_noise=False)
                 Kfs = self.kernel.K(self.X, X)  # NxM
                 Lff = jittered_cholesky(
-                    Kff, extra_diag=self._noise_diag(add_jitter=True))
+                    Kff, extra_diag=self._noise_diag(add_jitter=True),
+                    ladder_base=self.jitter)
                 v = solve_triangular(Lff, Kfs)  # NxM
                 mu = Kfs.T @ cholesky_solve(Lff, y)  # Mx1
                 if self.mean is not None:

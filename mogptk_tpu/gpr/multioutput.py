@@ -11,6 +11,7 @@ per-point channel IDs. The cross formulas reduce exactly to the diagonal
 formulas at i==j, so no branch is needed and shapes stay static.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .kernel import Kernel, MultiOutputKernel
@@ -549,11 +550,15 @@ class LinearModelOfCoregionalizationKernel(MultiOutputKernel):
         return "%s[%s]" % (self.__class__.__name__, ",".join(k.name() for k in self.kernels))
 
     def _all_spectral(self):
-        """True when every base kernel is a plain SpectralKernel over all
-        input dims — the SM-LMC case, eligible for the fused "lmc_sm"
-        engines (ops/fused.py, ops/block_families.py)."""
+        """True when every base kernel is a plain SpectralKernel over all of
+        THIS kernel's input dims — the SM-LMC case, eligible for the fused
+        "lmc_sm" engines (ops/fused.py, ops/block_families.py). The
+        input_dims match matters: the fused tiles loop d over
+        self.input_dims with (Q,D)-stacked base params, so a base kernel
+        declaring a different width would silently change the Gram."""
         from .singleoutput import SpectralKernel
         return all(type(k) is SpectralKernel and k.active_dims is None
+                   and k.input_dims == self.input_dims
                    for k in self.kernels)
 
     def _fused_params(self):
@@ -570,7 +575,10 @@ class LinearModelOfCoregionalizationKernel(MultiOutputKernel):
         engine when the bases are all spectral (SM-LMC); otherwise the
         generic multi-output assembly."""
         if not self._all_spectral():
-            return self.K(X)
+            # generic assembly; remat like _Kff's unsorted branch would (the
+            # sorted caller skips its own checkpoint assuming a custom-VJP
+            # engine, which this fallback is not)
+            return jax.checkpoint(self.K)(X)
         from ..ops.block_families import family_gram_sorted
         c1, x1 = self._split(X)
         return family_gram_sorted("lmc_sm", (self.Q, self.input_dims),

@@ -64,7 +64,8 @@ def _sensitive(fn):
 
 
 @_sensitive
-def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None):
+def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None,
+                      ladder_base=None):
     """Cholesky factor of K with optional relative jitter added to the diagonal.
 
     jitter is relative: `jitter * mean(diag(K))` is added, matching the
@@ -76,6 +77,11 @@ def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None):
     (see the diag-shifted LML variants below for why that matters on TPU).
     The relative-jitter base then uses mean(diag(K) + extra_diag), identical
     to materializing the sum first.
+
+    ladder_base (optional float): when the model's relative jitter is already
+    folded INTO extra_diag (so `jitter` is None here), the ladder's rung
+    escalation would fall back to the hardcoded 1e-8 — pass the model's
+    jitter as ladder_base so rungs keep scaling from it.
 
     ladder > 0 (default: config.jitter_ladder) escalates beyond the reference:
     each rung retries with 10× more jitter if the previous factorization is
@@ -137,8 +143,10 @@ def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None):
     jit_val = jnp.asarray(base, sd)
     L_trial = cholesky(Ks, diag_shift=_shift(base if base != 0.0 else None,
                                              extra_s, md))
+    rung_base = base if base != 0.0 else (
+        ladder_base if ladder_base else 1e-8)
     for i in range(int(ladder)):
-        rung = (base if base != 0.0 else 1e-8) * (10.0 ** (i + 1))
+        rung = rung_base * (10.0 ** (i + 1))
         bad = unusable(L_trial)
         jit_val = jnp.where(bad, jnp.asarray(rung, sd), jit_val)
         L_trial = jax.lax.cond(
@@ -221,6 +229,46 @@ def _solve_dtype(dtype):
     return dtype
 
 
+@_sensitive
+def _chol_lml(K, diag, y):
+    """Shared LML forward core: factor K (+ optional vector diag shift
+    applied inside the factorization), solve y. Returns (val, L, alpha, yc)."""
+    yc = y.astype(_solve_dtype(y.dtype))
+    shift = None if diag is None else diag.astype(_solve_dtype(K.dtype))
+    L = cholesky(K, diag_shift=shift)
+    alpha = jsl.cho_solve((L, True), yc)
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return val, L, alpha, yc
+
+
+@_sensitive
+def _chol_lml_probes(K, diag, y, num_probes, seed):
+    """Shared stochastic-LML forward core: the Hutchinson probes are solved
+    WITH y in one batched cho_solve — the probes are seed-fixed (independent
+    of the cotangent), and a triangular solve's cost is dominated by the
+    sequential panel traversal, not the RHS count, so batching makes the
+    backward pure GEMMs and removes two (1+R)-column solves per step.
+    Returns (val, alpha, U, Z)."""
+    yc = y.astype(_solve_dtype(y.dtype))
+    shift = None if diag is None else diag.astype(_solve_dtype(K.dtype))
+    L = cholesky(K, diag_shift=shift)
+    n = K.shape[0]
+    Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
+                              dtype=L.dtype)
+    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
+    alpha, U = AU[:, :1], AU[:, 1:]
+    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return val, alpha, U, Z
+
+
+def _stoch_lowrank(alpha, U, Z, g, num_probes):
+    """dK = ½g(ααᵀ − R⁻¹ U Zᵀ) as an explicit low-rank pair (A, B):
+    dK = A Bᵀ."""
+    A = (0.5 * g) * jnp.concatenate([alpha, -U / num_probes], axis=1)
+    B = jnp.concatenate([alpha, Z], axis=1)
+    return A, B
+
+
 @jax.custom_vjp
 @_sensitive
 def lml_quadform_logdet(K, y):
@@ -236,18 +284,12 @@ def lml_quadform_logdet(K, y):
     per-tile in VMEM (no f32 HBM copy) and returns an f32 factor;
     cotangents come back in the original dtype.
     """
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K)
-    alpha = jsl.cho_solve((L, True), yc)
-    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return _chol_lml(K, None, y)[0]
 
 
 @_sensitive
 def _lml_fwd(K, y):
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K)
-    alpha = jsl.cho_solve((L, True), yc)
-    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    val, L, alpha, _ = _chol_lml(K, None, y)
     # zero-length sentinels carry the primal dtypes through the residuals
     # (custom_vjp residuals must be JAX types, not dtype objects)
     return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
@@ -333,39 +375,22 @@ def lml_quadform_logdet_stochastic(K, y, num_probes, seed):
     A bf16/f16 K feeds cholesky() directly (per-tile VMEM upcast, f32
     factor out — see _solve_dtype and ops/blocked_cholesky).
     """
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K)
-    alpha = jsl.cho_solve((L, True), yc)
-    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return _chol_lml(K, None, y)[0]
 
 
 @_sensitive
 def _lml_stoch_fwd(K, y, num_probes, seed):
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K)
-    # solve the probes WITH y in one batched cho_solve: the probes are
-    # seed-fixed (independent of the cotangent), and a triangular solve's
-    # cost is dominated by the sequential panel traversal, not the RHS
-    # count — batching here makes the backward pure GEMMs and removes two
-    # (1+R)-column solves per training step
-    n = K.shape[0]
-    Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes), dtype=L.dtype)
-    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
-    alpha, U = AU[:, :1], AU[:, 1:]
-    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    val, alpha, U, Z = _chol_lml_probes(K, None, y, num_probes, seed)
     return val, (alpha, U, Z, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
 
 
 @_sensitive
 def _lml_stoch_bwd(num_probes, seed, res, g):
     alpha, U, Z, k_sent, y_sent = res
-    K_dtype, y_dtype = k_sent.dtype, y_sent.dtype
-    # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) as an explicit low-rank product
-    A = (0.5 * g) * jnp.concatenate([alpha, -U / num_probes], axis=1)
-    B = jnp.concatenate([alpha, Z], axis=1)
+    A, B = _stoch_lowrank(alpha, U, Z, g, num_probes)
     dK = A @ B.T
     dy = -g * alpha
-    return dK.astype(K_dtype), dy.astype(y_dtype)
+    return dK.astype(k_sent.dtype), dy.astype(y_sent.dtype)
 
 
 lml_quadform_logdet_stochastic.defvjp(_lml_stoch_fwd, _lml_stoch_bwd)
@@ -386,18 +411,12 @@ lml_quadform_logdet_stochastic.defvjp(_lml_stoch_fwd, _lml_stoch_bwd)
 def lml_quadform_logdet_shifted(K, diag, y):
     """lml_quadform_logdet of K + diag(`diag`), shift applied inside the
     factorization; gradients flow to K (dense), diag (= diag(dK)) and y."""
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
-    alpha = jsl.cho_solve((L, True), yc)
-    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return _chol_lml(K, diag, y)[0]
 
 
 @_sensitive
 def _lml_shift_fwd(K, diag, y):
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
-    alpha = jsl.cho_solve((L, True), yc)
-    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    val, L, alpha, _ = _chol_lml(K, diag, y)
     return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, diag.dtype),
                  jnp.zeros(0, y.dtype))
 
@@ -418,22 +437,12 @@ lml_quadform_logdet_shifted.defvjp(_lml_shift_fwd, _lml_shift_bwd)
 def lml_quadform_logdet_stochastic_shifted(K, diag, y, num_probes, seed):
     """lml_quadform_logdet_stochastic of K + diag(`diag`), shift applied
     inside the factorization (see lml_quadform_logdet_shifted)."""
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
-    alpha = jsl.cho_solve((L, True), yc)
-    return -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    return _chol_lml(K, diag, y)[0]
 
 
 @_sensitive
 def _lml_stoch_shift_fwd(K, diag, y, num_probes, seed):
-    yc = y.astype(_solve_dtype(y.dtype))
-    L = cholesky(K, diag_shift=diag.astype(_solve_dtype(K.dtype)))
-    n = K.shape[0]
-    Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
-                              dtype=L.dtype)
-    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
-    alpha, U = AU[:, :1], AU[:, 1:]
-    val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
+    val, alpha, U, Z = _chol_lml_probes(K, diag, y, num_probes, seed)
     return val, (alpha, U, Z, jnp.zeros(0, K.dtype), jnp.zeros(0, diag.dtype),
                  jnp.zeros(0, y.dtype))
 
@@ -441,8 +450,7 @@ def _lml_stoch_shift_fwd(K, diag, y, num_probes, seed):
 @_sensitive
 def _lml_stoch_shift_bwd(num_probes, seed, res, g):
     alpha, U, Z, k_sent, d_sent, y_sent = res
-    A = (0.5 * g) * jnp.concatenate([alpha, -U / num_probes], axis=1)
-    B = jnp.concatenate([alpha, Z], axis=1)
+    A, B = _stoch_lowrank(alpha, U, Z, g, num_probes)
     dK = A @ B.T
     ddiag = jnp.sum(A * B, axis=1)
     dy = -g * alpha

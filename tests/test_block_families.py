@@ -147,6 +147,34 @@ def test_matvec_and_lowrank_match_dense(name):
                                    np.asarray(b), rtol=1e-9, atol=1e-11)
 
 
+def test_fused_lmc_sm_tile_matches_dense_d2():
+    """ops/fused.py's lmc_sm tile (the iterative-engine path, distinct from
+    the block-engine spec above) at D=2: tile-with-one-hots, dense, and diag
+    must agree."""
+    from mogptk_tpu.ops.fused import resolve_family
+    rng = np.random.RandomState(7)
+    O, Q, Rq, D, n = 3, 2, 2, 2, 20
+    W = jnp.asarray(0.3 + rng.rand(O, Q, Rq))
+    mag = jnp.asarray(0.5 + rng.rand(Q, 1))
+    mu = jnp.asarray(0.1 + rng.rand(Q, D))
+    var = jnp.asarray(0.2 + rng.rand(Q, D))
+    params = (W, mag, mu, var)
+    x1 = jnp.asarray(rng.rand(n, D) * 4)
+    x2 = jnp.asarray(rng.rand(n + 4, D) * 4)
+    c1 = jnp.asarray(rng.randint(0, O, n), dtype=jnp.int32)
+    c2 = jnp.asarray(rng.randint(0, O, n + 4), dtype=jnp.int32)
+    tile, dense, diag = resolve_family(("lmc_sm", (Q, D)))
+    oh = lambda c: (c[:, None] == jnp.arange(O)[None, :]).astype(x1.dtype)
+    K_tile = tile(x1, oh(c1), x2, oh(c2), *params)
+    K_dense = dense(c1, x1, c2, x2, params)
+    np.testing.assert_allclose(np.asarray(K_tile), np.asarray(K_dense),
+                               rtol=1e-12, atol=1e-12)
+    K_self = dense(c1, x1, c1, None, params)
+    np.testing.assert_allclose(np.asarray(diag(c1, x1, params)),
+                               np.asarray(jnp.diagonal(K_self)),
+                               rtol=1e-12, atol=1e-12)
+
+
 @pytest.mark.parametrize("kname", ["umosm", "csm", "conv", "lmc_sm"])
 def test_exact_model_routes_to_family_engine(kname, monkeypatch):
     import mogptk_tpu.gpr as gpr

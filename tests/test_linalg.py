@@ -642,6 +642,24 @@ class TestShiftedLml:
             jittered_cholesky(K, 1e-8, ladder=2, extra_diag=d)))))(d)
         assert np.all(np.isfinite(np.asarray(g))) and float(jnp.max(jnp.abs(g))) > 0
 
+    def test_ladder_base_scales_rungs_with_extra_diag(self):
+        """When the model's relative jitter is folded into extra_diag
+        (jitter=None here), ladder rungs must escalate from ladder_base,
+        not the hardcoded 1e-8 — otherwise a conditioning failure that a
+        jitter-scaled ladder recovers stays NaN."""
+        from mogptk_tpu.ops.linalg import jittered_cholesky
+        n = 64
+        e = np.ones((n, 1)) / np.sqrt(n)
+        # eigenvalues: 1 (n-1 times) and −0.1 → needs an absolute shift >0.1,
+        # i.e. a relative rung >~0.1; base 1e-8 tops out at 1e-5 over 3 rungs
+        K = jnp.asarray(np.eye(n) - 1.1 * (e @ e.T))
+        d = jnp.zeros(n)
+        L_default = jittered_cholesky(K, None, ladder=3, extra_diag=d)
+        assert not bool(jnp.all(jnp.isfinite(L_default)))
+        L_scaled = jittered_cholesky(K, None, ladder=3, extra_diag=d,
+                                     ladder_base=1e-2)
+        assert bool(jnp.all(jnp.isfinite(L_scaled)))
+
 
 class TestLmlCholFused:
     """The fully fused gram+factorization+probe-backward LML
