@@ -53,6 +53,11 @@ def _rand_mo_kernel(rng, O):
         lambda: gpr.LinearModelOfCoregionalizationKernel(
             *[gpr.SpectralMixtureKernel(Q=1) for _ in range(2)],
             output_dims=O, Q=2),
+        # all-spectral bases: eligible for the fused "lmc_sm" block engine,
+        # so the K_sorted parity branch below fuzzes that path too
+        lambda: gpr.LinearModelOfCoregionalizationKernel(
+            *[gpr.SpectralKernel(1) for _ in range(2)],
+            output_dims=O, Q=2, Rq=int(rng.randint(1, 3))),
     ]
     k = kinds[rng.randint(len(kinds))]()
     for p in k.parameters():
