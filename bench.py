@@ -195,8 +195,37 @@ def bench_reference(xs, ys, max_steps=2):
     return steps_per_sec
 
 
+def bench_bignum(n_total=65536, timeout_sec=2400):
+    """The beyond-reference scale point: one iterative exact-GP step at
+    N=65,536 (the f32 Gram alone would be 17 GB — impossible to materialize
+    on this chip). Runs benchmarks/bignum_exact.py in a SUBPROCESS: the
+    tunneled TPU worker does not survive many large distinct programs in one
+    process (CLAUDE.md), and this keeps a failure from taking down the main
+    bench. Returns sec/step or None."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "benchmarks", "bignum_exact.py"),
+             str(n_total)],
+            capture_output=True, text=True, timeout=timeout_sec)
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line).get("value")
+    except Exception as e:
+        print("bignum bench failed: %r" % (e,), file=sys.stderr)
+    return None
+
+
 def main():
     xs, ys = make_data()
+
+    # bignum runs FIRST: its subprocess must claim the chip while this
+    # process has not yet initialized JAX (two concurrent clients deadlock)
+    bignum = None
+    if not os.environ.get("BENCH_SKIP_BIGN"):
+        bignum = bench_bignum()
 
     probe_sps, exact_sps = bench_ours(xs, ys)
 
@@ -227,6 +256,7 @@ def main():
         "exact_grad_steps_per_sec": round(exact_sps, 4) if exact_sps else None,
         "exact_grad_vs_baseline": round(exact_sps / ref, 2) if (exact_sps and ref) else None,
         "svgp_elbo_steps_per_sec_M1024": round(svgp, 4) if svgp else None,
+        "iterative_exact_N65536_sec_per_step": bignum,
     }
     print(json.dumps(result))
 
