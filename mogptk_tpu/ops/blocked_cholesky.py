@@ -5,9 +5,11 @@ N³/3) on a v5e whose default-precision f32 GEMM sustains ~165 TFLOP/s — the
 expander's small internal blocks leave the MXU idle. This implementation
 moves ~all of the N³/3 FLOPs into one large GEMM per block column
 (`S = K_panel − L_below @ L_topᵀ`) whose precision is independently
-configurable, while the cancellation-sensitive panel work (the B×B diagonal
-factorization and the triangular solve that forms the sub-diagonal panel)
-runs at "highest" (full-f32 multi-pass) precision.
+configurable, while the cancellation-sensitive B×B diagonal factorization
+runs at "highest" (full-f32 multi-pass) precision; the sub-diagonal panel
+TRSM (a GEMM against the explicit panel inverse) runs at "high" — no
+cancellation there — escalating to "highest" only when update_precision
+asks for it.
 
 The block-column loop is a Python unroll: every GEMM/solve has a static
 shape, the trace stays small (N/B ≤ ~32 iterations), and XLA schedules each
@@ -72,9 +74,19 @@ def _s_panel_kernel(k_ref, lrow_ref, ljrow_ref, s_ref, acc_ref, *, n_k):
         s_ref[:, :] = acc_ref[:, :]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _s_panel_pallas(K, L, j, B, T=256, TK=512):
     """The left-looking accumulation S = K[r0:, r0:r0+B] − Lleft·Lleft[:B]ᵀ
-    for block column j as one streamed Pallas GEMM over K-chunks."""
+    for block column j as one streamed Pallas GEMM over K-chunks.
+
+    custom_vjp: pallas_call has no transpose rule, so reverse-mode through
+    the factorization (e.g. Titsias/SVGP differentiating through
+    cholesky(Kuu) at M ≥ the blocked threshold) would otherwise crash at
+    trace time; the backward is the hand-written bilinear-map VJP."""
+    return _s_panel_impl(K, L, j, B, T, TK)
+
+
+def _s_panel_impl(K, L, j, B, T, TK):
     npad = K.shape[0]
     r0 = j * B
     m = npad - r0
@@ -96,6 +108,32 @@ def _s_panel_pallas(K, L, j, B, T=256, TK=512):
         scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
     )(K, L, L)
+
+
+def _s_panel_fwd(K, L, j, B, T, TK):
+    return _s_panel_impl(K, L, j, B, T, TK), (K, L)
+
+
+def _s_panel_bwd(j, B, T, TK, res, g):
+    # S = K[r0:, r0:r0+B] − A Cᵀ with A = L[r0:, :r0], C = L[r0:r0+B, :r0]
+    # (C is also the first B rows of A): dK places g on the panel, dL gets
+    # −g·C on A's rows and −gᵀ·A on C's rows. bf16x3 matches the forward.
+    K, L = res
+    r0 = j * B
+    dK = jnp.zeros(K.shape, K.dtype)
+    dK = jax.lax.dynamic_update_slice(dK, g.astype(K.dtype), (r0, r0))
+    A = L[r0:, :r0].astype(jnp.float32)
+    C = L[r0:r0 + B, :r0].astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    dL = jnp.zeros(L.shape, L.dtype)
+    dA = -jnp.matmul(gf, C, precision="high")
+    dC = -jnp.matmul(gf.T, A, precision="high")
+    dL = dL.at[r0:, :r0].add(dA.astype(L.dtype))
+    dL = dL.at[r0:r0 + B, :r0].add(dC.astype(L.dtype))
+    return dK, dL
+
+
+_s_panel_pallas.defvjp(_s_panel_fwd, _s_panel_bwd)
 
 
 def _dot_t(a, b, precision):
@@ -209,8 +247,12 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                 # diagonals, well within inverse-stability territory).
                 # "high" (bf16x3) suffices: no cancellation — S is already
                 # accumulated — and it halves the N²B/2 TRSM FLOPs' cost
-                # (measured 8.8 ms → ~4.4 ms of the N=16k factorization)
-                below = _dot_t(S[B:], _tri_inverse(Ljj), "high")
+                # (measured 8.8 ms → ~4.4 ms of the N=16k factorization).
+                # An explicit update_precision="highest" escalates this GEMM
+                # too (the full-accuracy debugging mode must mean it).
+                trsm_prec = ("highest" if update_precision == "highest"
+                             else "high")
+                below = _dot_t(S[B:], _tri_inverse(Ljj), trsm_prec)
                 colj = jnp.concatenate([Ljj, below], axis=0)
             else:
                 colj = Ljj

@@ -59,8 +59,10 @@ def blocked_trisolve(L, B, lower=True, block_size=1024,
                               panel_precision=panel_precision)
     if npad != n:
         pad = npad - n
+        # zero-pad only: the sweep never reads L's diagonal blocks (the
+        # panel solves go through `invs`, whose padded tail gets the
+        # identity below), and padded off-diagonal rows contribute 0
         L = jnp.pad(L, ((0, pad), (0, pad)))
-        L = L.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
         B = jnp.pad(B, ((0, pad), (0, 0)))
         k = -1 if lower else 0
         invs = list(invs)
@@ -89,7 +91,19 @@ def blocked_trisolve(L, B, lower=True, block_size=1024,
     return X[:n]
 
 
-def blocked_cho_solve(L, B, **kw):
-    """K⁻¹B given the lower Cholesky factor L: forward then back solve."""
-    Z = blocked_trisolve(L, B, lower=True, **kw)
-    return blocked_trisolve(L.T, Z, lower=False, **kw)
+def blocked_cho_solve(L, B, invs=None, **kw):
+    """K⁻¹B given the lower Cholesky factor L: forward then back solve.
+
+    invs (optional) are the LOWER-sweep panel inverses from
+    panel_inverses(L, lower=True); the upper sweep's inverses are derived
+    from them ((L.T)_ii⁻¹ = (L_ii⁻¹)ᵀ, reversed into solve order) — computed
+    once here either way, halving the 2·nb sequential panel inversions a
+    naive double solve pays."""
+    if invs is None:
+        invs = panel_inverses(L, lower=True,
+                              block_size=kw.get("block_size", 1024),
+                              panel_precision=kw.get("panel_precision",
+                                                     "highest"))
+    Z = blocked_trisolve(L, B, lower=True, invs=invs, **kw)
+    invs_up = [inv.T for inv in reversed(invs)]
+    return blocked_trisolve(L.T, Z, lower=False, invs=invs_up, **kw)

@@ -118,6 +118,12 @@ def lanczos(matvec, Z, m):
     quadrature with modest m.
     """
     n, R = Z.shape
+    # run the recurrence in the matvec's OUTPUT dtype: a dtype mismatch
+    # (f32 probes against an f64 operator under x64) would otherwise fail
+    # the scan's carry-type check on q_next
+    out_dtype = jax.eval_shape(matvec,
+                               jax.ShapeDtypeStruct(Z.shape, Z.dtype)).dtype
+    Z = Z.astype(out_dtype)
     q = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
 
     def body(carry, _):

@@ -35,6 +35,19 @@ def test_cg_with_preconditioner():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_slq_logdet_dtype_mismatch():
+    """Default f32 probes against an f64 operator (x64 is on in this suite)
+    must not trip the scan carry-type check — the recurrence runs in the
+    matvec's output dtype."""
+    rng = np.random.RandomState(3)
+    A_ = rng.randn(40, 40)
+    A = jnp.asarray(A_ @ A_.T + 40 * np.eye(40))   # f64 under x64
+    est = float(slq_logdet(lambda V: A @ V, 40, num_probes=64,
+                           lanczos_iters=30))       # default dtype=float32
+    ref = float(np.linalg.slogdet(np.asarray(A))[1])
+    assert np.isfinite(est) and abs(est - ref) / abs(ref) < 0.1
+
+
 def test_slq_logdet_accuracy():
     A = _spd(60)
     sign, logdet = np.linalg.slogdet(np.asarray(A))

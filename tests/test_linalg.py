@@ -345,6 +345,31 @@ class TestBlockedCholesky:
         g_x = sym(np.asarray(jax.grad(f_xla)(K)))
         np.testing.assert_allclose(g_b, g_x, rtol=1e-7, atol=1e-9)
 
+    def test_gradient_through_pallas_s_panel_path(self):
+        """reverse-mode through the streamed Pallas S-panel accumulation
+        (f32, block 512 — the TPU default gate) must work (custom_vjp; a
+        bare pallas_call has no transpose rule) and match the jnp path."""
+        from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+        n = 1024
+        K = jnp.asarray(_spd(n, seed=11), dtype=jnp.float32)
+        w = jnp.asarray(np.random.RandomState(12).randn(n, n), jnp.float32)
+
+        def f_pallas(K):
+            # update_precision="high" + B=512 + f32 → the Pallas S-panel gate
+            return jnp.sum(w * blocked_cholesky(K, block_size=512,
+                                                update_precision="high"))
+
+        def f_jnp(K):
+            # "highest" disables the Pallas gate → plain jnp branch
+            return jnp.sum(w * blocked_cholesky(K, block_size=512,
+                                                update_precision="highest"))
+
+        g_p = np.asarray(jax.grad(f_pallas)(K))
+        g_j = np.asarray(jax.grad(f_jnp)(K))
+        assert np.all(np.isfinite(g_p))
+        scale = np.abs(g_j).max()
+        np.testing.assert_allclose(g_p, g_j, rtol=2e-3, atol=2e-4 * scale)
+
     def test_bf16_input_and_diag_shift(self):
         from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
         K = jnp.asarray(_spd(160, seed=11), dtype=jnp.float32)
@@ -458,6 +483,24 @@ class TestBlockedTrisolve:
             C = np.asarray(blocked_cho_solve(L, B, block_size=Bs))
             C_ref = np.asarray(jsl_.cho_solve((L, True), B))
             np.testing.assert_allclose(C, C_ref, rtol=1e-8, atol=1e-9)
+
+    def test_cho_solve_with_hoisted_panel_inverses(self):
+        """Passing lower-sweep panel_inverses to blocked_cho_solve must give
+        the same answer: the upper sweep's inverses are DERIVED (transposed,
+        reversed), never the lower list reused as-is."""
+        from mogptk_tpu.ops.blocked_trisolve import (blocked_trisolve,
+                                                     blocked_cho_solve,
+                                                     panel_inverses)
+        import jax.scipy.linalg as jsl_
+        for n, Bs in [(128, 64), (100, 48)]:
+            K = jnp.asarray(_spd(n, seed=n + 3))
+            L = jnp.linalg.cholesky(K)
+            B = jnp.asarray(np.random.RandomState(n).randn(n, 5))
+            invs = panel_inverses(L, lower=True, block_size=Bs)
+            C = np.asarray(blocked_cho_solve(L, B, invs=invs, block_size=Bs))
+            C_ref = np.asarray(jsl_.cho_solve((L, True), B))
+            np.testing.assert_allclose(C, C_ref, rtol=1e-8, atol=1e-9,
+                                       err_msg="n=%d Bs=%d" % (n, Bs))
 
     def test_exact_lml_gradient_via_blocked_kinv(self):
         """_lml_bwd's MXU path (blocked K⁻¹) must match the scan path."""
