@@ -324,7 +324,9 @@ def _dense_lml_cotangents(L, alpha, g):
         from .blocked_trisolve import blocked_trisolve, panel_inverses
         LT = L.T
         invs_lo = panel_inverses(L, lower=True)
-        invs_up = panel_inverses(LT, lower=False)
+        # upper-sweep inverses are the lower ones transposed, in reverse
+        # solve order — saves nb sequential "highest" panel inversions
+        invs_up = [inv.T for inv in reversed(invs_lo)]
 
         def body_trsm(_, b):
             cols = b * B + jnp.arange(B)
