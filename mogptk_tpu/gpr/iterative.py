@@ -83,9 +83,28 @@ def _lml_iter(static, x, c, noise_diag, y, mask, params):
     return val
 
 
+def _solve_dt(dt):
+    """CG/Lanczos/preconditioner dtype: sub-f32 configs (use_half_precision)
+    solve in f32 — the fused engines already return f32 ('solve dtype'), and
+    bf16 recurrences/Cholesky would crash or lose the solves' accuracy."""
+    return jnp.float32 if jnp.dtype(dt).itemsize < 4 else jnp.dtype(dt)
+
+
+def _counts_or_none(counts, x):
+    """Drop channel counts that no longer describe x (e.g. rows padded for
+    mesh sharding after the counts were computed) — the sorted engines
+    would otherwise produce a shape mismatch at trace time."""
+    if counts is not None and int(sum(counts)) != x.shape[0]:
+        return None
+    return counts
+
+
 def _make_matvec(static, x, c, noise_diag, params, mask=None):
     (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
      precond_rank, ring, counts) = static
+    counts = _counts_or_none(counts, x)
+    sd = _solve_dt(noise_diag.dtype)
+    noise_diag = noise_diag.astype(sd)
 
     if ring is not None:
         from ..parallel.ring import ring_gram_matvec
@@ -93,7 +112,7 @@ def _make_matvec(static, x, c, noise_diag, params, mask=None):
 
         def base(V):
             return ring_gram_matvec(mesh, axis, family, O, x, c, noise_diag,
-                                    params, use_pallas, V)
+                                    params, use_pallas, V).astype(sd)
     elif use_pallas and counts is not None and family[0] == "mosm":
         # channel-sorted layout: scalar-stat tiles, one evaluation per
         # symmetric block pair (ops/block_mosm.py) — ~2x the generic
@@ -103,28 +122,28 @@ def _make_matvec(static, x, c, noise_diag, params, mask=None):
 
         def base(V):
             return (mosm_matvec_sorted(x, counts, *params, twopi, V,
-                                       phase_inside=phase_inside)
+                                       phase_inside=phase_inside).astype(sd)
                     + noise_diag[:, None] * V)
     elif use_pallas and counts is not None and _has_block_family(family[0]):
         from ..ops.block_families import family_matvec_sorted
 
         def base(V):
             return (family_matvec_sorted(family[0], family[1], x, counts,
-                                         params, V)
+                                         params, V).astype(sd)
                     + noise_diag[:, None] * V)
     elif use_pallas:
         def base(V):
-            return (fused_gram_matvec(family, O, x, c, x, c, params, V)
+            return (fused_gram_matvec(family, O, x, c, x, c, params, V).astype(sd)
                     + noise_diag[:, None] * V)
     else:
         _, dense, _ = resolve_family(family)
-        K = dense(c, x, c, None, params)
+        K = dense(c, x, c, None, params).astype(sd)
 
         def base(V):
             return K @ V + noise_diag[:, None] * V
     if mask is None:
         return base
-    m = mask.reshape(-1, 1)
+    m = mask.reshape(-1, 1).astype(sd)
 
     def matvec(V):
         # apply M(K+σ²)M + (I−M): padded coordinates pass through untouched
@@ -141,24 +160,26 @@ def _make_preconditioner(static, x, c, noise_diag, params, full=False):
     family = static[0]
     precond_rank = static[8]
     n = x.shape[0]
+    sd = _solve_dt(noise_diag.dtype)
     if not precond_rank:
         if not full:
             return None
-        dt = noise_diag.dtype
 
         def sample_id(key, R):
-            return jax.random.normal(key, (n, R), dtype=dt)
+            return jax.random.normal(key, (n, R), dtype=sd)
 
-        return None, sample_id, jnp.zeros((), dt)
+        return None, sample_id, jnp.zeros((), sd)
     _, dense, diag = resolve_family(family)
-    sigma2 = jnp.mean(noise_diag)
+    sigma2 = jnp.mean(noise_diag.astype(sd))
 
     def K_row(i):
         xi = jax.lax.dynamic_slice(x, (i, 0), (1, x.shape[1]))
         ci = jax.lax.dynamic_slice(c, (i,), (1,))
-        return dense(ci, xi, c, x, params)[0, :]
+        # solve dtype: bf16 params would otherwise put a bf16 matrix into
+        # the Woodbury jnp.linalg.cholesky below (rejected by lax.linalg)
+        return dense(ci, xi, c, x, params)[0, :].astype(sd)
 
-    L = pivoted_cholesky(diag(c, x, params), K_row, n, precond_rank)
+    L = pivoted_cholesky(diag(c, x, params).astype(sd), K_row, n, precond_rank)
     r = L.shape[1]
     inner = sigma2 * jnp.eye(r, dtype=L.dtype) + L.T @ L
     Linner = jnp.linalg.cholesky(inner)
@@ -187,6 +208,8 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, mask, params):
     (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
      precond_rank, ring, counts) = static
     n = x.shape[0]
+    y_primal = y
+    y = y.astype(_solve_dt(y.dtype))   # CG/quadrature run in the solve dtype
     matvec = _make_matvec(static, x, c, noise_diag, params, mask)
     M_inv, sample_P, logdetP = _make_preconditioner(
         static, x, c, noise_diag, params, full=True)
@@ -228,13 +251,14 @@ def _lml_iter_fwd(static, x, c, noise_diag, y, mask, params):
                             lanczos_iters=lanczos_iters,
                             key=jax.random.PRNGKey(seed), dtype=y.dtype)
     val = -0.5 * jnp.sum(y * alpha) - 0.5 * logdet
-    return val, (x, c, noise_diag, y, mask, params, alpha, U, Z)
+    return val, (x, c, noise_diag, y_primal, mask, params, alpha, U, Z)
 
 
 def _lml_iter_bwd(static, res, g):
     (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
      precond_rank, ring, counts) = static
     x, c, noise_diag, y, mask, params, alpha, U, Z = res
+    counts = _counts_or_none(counts, x)
 
     # dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with (solves already done in fwd)
     A = (0.5 * g) * jnp.concatenate([alpha, -U / probes], axis=1)  # N x (R+1)
@@ -263,15 +287,18 @@ def _lml_iter_bwd(static, res, g):
         dparams = fused_gram_lowrank_vjp(family, O, x, c, x, c, params, A, B)
     else:
         _, dense, _ = resolve_family(family)
-        dK = A @ B.T
+        dK = (A @ B.T).astype(params[0].dtype)
         _, vjp = jax.vjp(lambda ps: dense(c, x, c, None, ps), params)
         (dparams,) = vjp(dK)
 
-    dnoise = jnp.sum(A * B, axis=1)      # diag(A Bᵀ)
-    dy = -g * alpha
+    # cotangent dtypes must match the primal inputs (the solves ran in the
+    # solve dtype, which differs under use_half_precision)
+    dnoise = jnp.sum(A * B, axis=1).astype(noise_diag.dtype)   # diag(A Bᵀ)
+    dy = (-g * alpha).astype(y.dtype)
+    dparams = tuple(d.astype(p.dtype) for d, p in zip(dparams, params))
     zeros = lambda a: jnp.zeros_like(a)
     dmask = None if mask is None else jnp.zeros_like(mask)
-    return (zeros(x), zeros(c), dnoise, dy, dmask, tuple(dparams))
+    return (zeros(x), zeros(c), dnoise, dy, dmask, dparams)
 
 
 _lml_iter.defvjp(_lml_iter_fwd, _lml_iter_bwd)
@@ -346,8 +373,11 @@ class ExactIterative(Model):
     def _static(self):
         from .config import pallas_enabled
         # channel-sorted layouts ride the scalar-stat block engine; the
-        # ring path keeps the generic kernel (row shards straddle channels)
-        counts = None if getattr(self, "_ring", None) is not None \
+        # ring path keeps the generic kernel (row shards straddle channels),
+        # and a row mask means X was padded AFTER the counts were computed
+        # (mesh sharding), so the sorted split no longer describes it
+        counts = None if (getattr(self, "_ring", None) is not None
+                          or getattr(self, "_row_mask", None) is not None) \
             else getattr(self, "_channel_counts", None)
         return (_family_of(self.kernel), self.kernel.output_dims,
                 self.max_cg_iters, self.cg_tol,

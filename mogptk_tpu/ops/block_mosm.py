@@ -328,8 +328,7 @@ def mosm_gram_sorted(x, counts, w, mu, var, theta, phi, twopi,
         raise ValueError("counts must have one entry per output dim")
     st3, st2 = mosm_pair_stats(w, mu, var, theta, phi, twopi)
     st3f = st3.reshape(O, O, Q * D, 3)
-    offs = np.concatenate([[0], np.cumsum(counts)]).astype(int)
-    xs = [x[offs[i]:offs[i + 1]] for i in range(O)]
+    xs, _ = _split_counts(x, counts)
 
     blocks = {}
     for i in range(O):

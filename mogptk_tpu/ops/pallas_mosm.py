@@ -29,18 +29,9 @@ TILE = 512
 BWD_TILE = 256  # backward holds ~40 VJP temps per tile in VMEM
 
 
-def _interpret():
-    """Pallas only compiles on TPU; on CPU (use_pallas(True) forced, or unit
-    tests) run the kernels in interpreter mode."""
-    import jax as _jax
-    return _jax.default_backend() == "cpu"
-
-
-def _compute_dtype(dtype):
-    """In-tile compute dtype: sub-f32 configs (use_half_precision) store the
-    Gram in bf16 but run the τ-chain/exp/cos math in f32 (see
-    ops/block_mosm._compute_dtype for the numerics rationale)."""
-    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+# one source of truth for the interpret/compute-dtype policy (the numerics
+# rationale lives on the definitions there)
+from .block_mosm import _interpret, _compute_dtype
 
 
 def _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta, phi, twopi,

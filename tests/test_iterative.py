@@ -281,6 +281,60 @@ def test_iterative_family_prediction_matches_cholesky(name):
     np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_c), rtol=1e-2, atol=1e-5)
 
 
+def test_iterative_half_precision():
+    """use_half_precision + ExactIterative: bf16 data/params while the CG
+    recurrence, Woodbury preconditioner and logdet quadrature run in the
+    f32 solve dtype (the fused engines return f32; a bf16 carry crashed the
+    scan and jnp.linalg.cholesky rejected the bf16 Woodbury inner)."""
+    old_dtype = gpr.config._dtype
+    old_x64 = jax.config.jax_enable_x64
+    old_pallas = gpr.config.pallas
+    try:
+        gpr.use_half_precision()
+        gpr.use_pallas(True)       # engines return the f32 solve dtype
+        jax.clear_caches()
+        rng = np.random.RandomState(0)
+        n_per = 24
+        x0 = np.linspace(0, 6, n_per).reshape(-1, 1)
+        _, X, Y = gpr.merge_data(
+            [x0, x0], [np.sin(1.2 * x0) + 0.05 * rng.randn(n_per, 1),
+                       np.cos(1.2 * x0) + 0.05 * rng.randn(n_per, 1)])
+        k = gpr.MultiOutputSpectralKernel(output_dims=2)
+        k.mean.assign(0.1 + 0.1 * rng.rand(2, 1))
+        it = gpr.ExactIterative(k, X, Y, variance=0.1, max_cg_iters=100,
+                                num_probes=32, lanczos_iters=24)
+        assert it.X.dtype == jnp.bfloat16
+        loss = float(it.loss())
+        assert np.isfinite(loss)
+        grads = jax.grad(it.make_loss_fn())(*it._split_raws())
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        assert all(g.dtype == jnp.bfloat16 for g in leaves)
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
+        gpr.config._dtype = old_dtype
+        gpr.config.pallas = old_pallas
+        gpr.config.bump()
+        jax.clear_caches()
+
+
+def test_static_drops_stale_channel_counts():
+    """A row mask means X was padded after _channel_counts was computed
+    (mesh sharding) — the sorted engines must not see the stale counts."""
+    from mogptk_tpu.gpr.iterative import _counts_or_none
+    rng = np.random.RandomState(0)
+    x0 = np.linspace(0, 6, 20).reshape(-1, 1)
+    _, X, Y = gpr.merge_data([x0, x0], [np.sin(x0), np.cos(x0)])
+    k = gpr.MultiOutputSpectralKernel(output_dims=2)
+    it = gpr.ExactIterative(k, X, Y, variance=0.1)
+    assert it._static()[-1] == (20, 20)
+    object.__setattr__(it, "_row_mask", jnp.ones(48))
+    assert it._static()[-1] is None
+    # defense in depth: counts that no longer sum to the row count drop too
+    assert _counts_or_none((20, 20), jnp.zeros((48, 1))) is None
+    assert _counts_or_none((20, 20), jnp.zeros((40, 1))) == (20, 20)
+
+
 def test_iterative_family_trains():
     _, it = _family_models("conv")
     loss0 = it.loss()
