@@ -333,8 +333,10 @@ def _matvec_offdiag_kernel(x1_ref, x2_ref, s_ref, vi_ref, vj_ref,
     K_tile = tile(x1_ref[:, :], x2_ref[:, :], _read_svals(s_ref, S))
     outi_ref[:, :] += jnp.dot(K_tile, vj_ref[:, :],
                               preferred_element_type=outi_ref.dtype)
+    # partial stored TRANSPOSED, (R, TILE): R minor would lane-pad to 128
+    # (see block_mosm._matvec_offdiag_kernel)
     outjp_ref[0, :, :] = jax.lax.dot_general(
-        K_tile, vi_ref[:, :], (((0,), (0,)), ((), ())),
+        vi_ref[:, :], K_tile, (((0,), (0,)), ((), ())),
         preferred_element_type=outi_ref.dtype)
 
 
@@ -491,7 +493,7 @@ def family_matvec_sorted(name, statics, x, counts, params, V):
             oi, ojp = pl.pallas_call(
                 functools.partial(_matvec_offdiag_kernel, tile=tile, S=S),
                 out_shape=(jax.ShapeDtypeStruct((ni, R), dtype),
-                           jax.ShapeDtypeStruct((gi, nj, R), dtype)),
+                           jax.ShapeDtypeStruct((gi, R, nj), dtype)),
                 grid=(gi, nj // TILE),
                 in_specs=[
                     pl.BlockSpec((TILE, D), lambda i_, j_: (i_, 0)),
@@ -502,12 +504,12 @@ def family_matvec_sorted(name, statics, x, counts, params, V):
                 ],
                 out_specs=(
                     pl.BlockSpec((TILE, R), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((1, TILE, R), lambda i_, j_: (i_, j_, 0)),
+                    pl.BlockSpec((1, R, TILE), lambda i_, j_: (i_, 0, j_)),
                 ),
                 interpret=_interpret(),
             )(xi, xj, packs[i, j].reshape(S, 1), vi, vj)
             outs[i] = outs[i] + oi[:counts[i]]
-            outs[j] = outs[j] + jnp.sum(ojp, axis=0)[:counts[j]]
+            outs[j] = outs[j] + jnp.sum(ojp, axis=0).T[:counts[j]]
     return jnp.concatenate(outs, axis=0) if O > 1 else outs[0]
 
 

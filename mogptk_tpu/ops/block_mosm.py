@@ -211,7 +211,9 @@ def _matvec_offdiag_kernel(x1_ref, x2_ref, st3_ref, st2_ref, vi_ref, vj_ref,
     diagonal pair: out_i accumulates K@V_j across the (consecutive) j-grid;
     the Kᵀ@V_i contribution is written to a per-(i,j)-tile partial slot
     (summed outside) because its output tile would otherwise be revisited
-    non-consecutively."""
+    non-consecutively. The partial is stored TRANSPOSED, (R, TILE): with R
+    minor the TPU would lane-pad small R to 128 (the CLAUDE.md layout rule
+    — up to 128× HBM blowup for the R=1 predict solve)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -223,7 +225,7 @@ def _matvec_offdiag_kernel(x1_ref, x2_ref, st3_ref, st2_ref, vi_ref, vj_ref,
     outi_ref[:, :] += jnp.dot(K_tile, vj_ref[:, :],
                               preferred_element_type=outi_ref.dtype)
     outjp_ref[0, :, :] = jax.lax.dot_general(
-        K_tile, vi_ref[:, :], (((0,), (0,)), ((), ())),
+        vi_ref[:, :], K_tile, (((0,), (0,)), ((), ())),
         preferred_element_type=outi_ref.dtype)
 
 
@@ -404,7 +406,7 @@ def mosm_matvec_sorted(x, counts, w, mu, var, theta, phi, twopi, V,
                 functools.partial(_matvec_offdiag_kernel, Q=Q, D=D,
                                   phase_inside=phase_inside),
                 out_shape=(jax.ShapeDtypeStruct((ni, R), dtype),
-                           jax.ShapeDtypeStruct((gi, nj, R), dtype)),
+                           jax.ShapeDtypeStruct((gi, R, nj), dtype)),
                 grid=(gi, gj),
                 in_specs=[
                     pl.BlockSpec((TILE, D), lambda i_, j_: (i_, 0)),
@@ -416,12 +418,12 @@ def mosm_matvec_sorted(x, counts, w, mu, var, theta, phi, twopi, V,
                 ],
                 out_specs=(
                     pl.BlockSpec((TILE, R), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((1, TILE, R), lambda i_, j_: (i_, j_, 0)),
+                    pl.BlockSpec((1, R, TILE), lambda i_, j_: (i_, 0, j_)),
                 ),
                 interpret=_interpret(),
             )(xi, xj, st3f[i, j], st2[i, j], vi, vj)
             outs[i] = outs[i] + oi[:counts[i]]
-            outs[j] = outs[j] + jnp.sum(ojp, axis=0)[:counts[j]]
+            outs[j] = outs[j] + jnp.sum(ojp, axis=0).T[:counts[j]]
     return jnp.concatenate(outs, axis=0) if O > 1 else outs[0]
 
 

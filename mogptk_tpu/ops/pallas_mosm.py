@@ -139,7 +139,10 @@ def _bwd_kernel(x1_ref, c1_ref, x2_ref, c2_ref, w_ref, mu_ref, var_ref,
                          var_ref[:, :, :], th_ref[:, :, :], ph_ref[:, :])
         dx1, dx2, dw, dmu, dvar, dth, dph = vjp(g_ref[:, :])
         dx1_ref[:, :] += dx1
-        dx2p_ref[0, :, :] = dx2
+        # partial slab stored TRANSPOSED, (D, T): tiny D minor would be
+        # lane-padded to 128 in HBM (CLAUDE.md layout rule — up to 128×
+        # blowup on 1-D inducing grids)
+        dx2p_ref[0, :, :] = dx2.T
     else:
         def tile_fn(w, mu, var, theta, phi):
             return _tile_forward(x1t, c1oh, x2t, c2oh, w, mu, var, theta,
@@ -262,11 +265,11 @@ def _mosm_gram_bwd(twopi, phase_inside, input_grads, res, g):
     if input_grads:
         out_shape += [
             jax.ShapeDtypeStruct((Np, D), dtype),            # dx1
-            jax.ShapeDtypeStruct((Np // T, Mp, D), dtype),   # dx2 partials
+            jax.ShapeDtypeStruct((Np // T, D, Mp), dtype),   # dx2 partials, transposed
         ]
         out_specs += [
             pl.BlockSpec((T, D), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, T, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, D, T), lambda i, j: (i, 0, j)),
         ]
     douts = pl.pallas_call(
         functools.partial(_bwd_kernel, twopi=twopi, phase_inside=phase_inside,
@@ -287,7 +290,7 @@ def _mosm_gram_bwd(twopi, phase_inside, input_grads, res, g):
     )(x1p, c1p, x2p, c2p, w, mu, var, theta, phi, gp)
     if input_grads:
         dx1 = douts[5][:N].astype(x1.dtype)
-        dx2 = jnp.sum(douts[6], axis=0)[:M].astype(x2.dtype)
+        dx2 = jnp.sum(douts[6], axis=0).T[:M].astype(x2.dtype)
         douts = douts[:5]
     else:
         dx1 = jnp.zeros_like(x1)
