@@ -366,7 +366,11 @@ class ExactIterative(Model):
         diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1),
                                 (self.X.shape[0],))
         if self.data_variance is not None:
-            diag = diag + self.data_variance
+            dv = self.data_variance
+            if dv.shape[0] != diag.shape[0]:
+                # X padded for mesh sharding; padded rows are masked out
+                dv = jnp.pad(dv, (0, diag.shape[0] - dv.shape[0]))
+            diag = diag + dv
         # small absolute floor in place of the Cholesky jitter ladder
         return diag + self.jitter
 

@@ -488,7 +488,12 @@ class Exact(Model):
         diag = jnp.broadcast_to(jnp.asarray(noise, dtype=config.dtype).reshape(-1),
                                 (self.X.shape[0],))
         if self.data_variance is not None:
-            diag = diag + self.data_variance
+            dv = self.data_variance
+            if dv.shape[0] != diag.shape[0]:
+                # X padded for mesh sharding after construction; padded rows
+                # are masked out of the objective, 0 variance is fine
+                dv = jnp.pad(dv, (0, diag.shape[0] - dv.shape[0]))
+            diag = diag + dv
         if add_jitter:
             kdiag = self.kernel.K_diag(self.X)
             diag = diag + self.jitter * jnp.mean(kdiag + diag)
@@ -496,6 +501,16 @@ class Exact(Model):
 
     def _Kff(self, add_jitter=False, with_noise=True):
         counts = getattr(self, "_channel_counts", None)
+        if counts is not None and (
+                getattr(self, "_row_mask", None) is not None
+                or int(sum(counts)) != self.X.shape[0]
+                or getattr(self, "_gram_sharding", None) is not None):
+            # stale counts: X was padded after they were computed (mesh
+            # sharding sets a row mask and swaps in the padded X), or the
+            # Gram carries a row-block sharding constraint — a monolithic
+            # pallas_call has no GSPMD partitioning rule, so the sorted
+            # engine would defeat (or break) the sharding
+            counts = None
         if counts is not None and pallas_enabled():
             # channel-sorted data + a kernel with a channel-block engine:
             # scalar pair stats per block, ~2x the generic Pallas Gram.
@@ -538,6 +553,17 @@ class Exact(Model):
         return Kff + jnp.where(r == c, d, jnp.zeros((), Kff.dtype))
 
     supports_row_mask = True
+
+    def use_gram_sharding(self, mesh, axis="data"):
+        """Row-block-shard the Gram assembly over a mesh (set by
+        parallel.sharding.exact_sharded_step). Call with mesh=None to go
+        back to single-device; either way the jit cache is invalidated so
+        previously traced programs don't silently disagree."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        object.__setattr__(self, "_gram_sharding",
+                           None if mesh is None
+                           else NamedSharding(mesh, PartitionSpec(axis, None)))
+        self._jit_cache.clear()
 
     def log_marginal_likelihood(self):
         """LML via Cholesky (reference: gpr/model.py:438-453), with the

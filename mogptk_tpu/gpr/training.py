@@ -27,7 +27,8 @@ def _make_optimizer(method, lr, **kwargs):
     elif method_l == "adagrad":
         return optax.adagrad(1e-2 if lr is None else lr, **kwargs), False
     elif method_l == "lbfgs":
-        return optax.lbfgs(), True
+        # lr is driven by the line search; other options pass through
+        return optax.lbfgs(**kwargs), True
     raise ValueError("optimizer method %s unknown; use Adam, SGD, AdaGrad, or LBFGS" % method)
 
 
@@ -56,6 +57,9 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
 
     if chunk is None:
         chunk = max(1, min(iters, 100 if not verbose and callback is None else 10))
+    chunk = int(chunk)
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
 
     if is_lbfgs:
         def fun(params):
@@ -81,6 +85,9 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
             if verbose and (i % max(1, iters // 20) == 0 or i == iters - 1):
                 print("  iter %5d/%d  loss %.6g" % (i + 1, iters, losses[-1]))
             if callback is not None:
+                # sync the optimized raws first: callbacks read the MODEL
+                # (per-iteration error tracking predicts with current params)
+                model.set_train_raws(params)
                 callback(i, losses[-1])
         elapsed = time.time() - start
         model.set_train_raws(params)
@@ -125,6 +132,9 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
         if verbose:
             print("  iter %5d/%d  loss %.6g" % (done, iters, losses[-1]))
         if callback is not None:
+            # sync the optimized raws first: callbacks read the MODEL
+            # (per-iteration error tracking predicts with current params)
+            model.set_train_raws(params)
             callback(done - 1, losses[-1])
     elapsed = time.time() - start
     model.set_train_raws(params)

@@ -47,16 +47,21 @@ def ring_gram_matvec(mesh, axis, family, O, x, c, noise_diag, params,
         return dense(c1, x1, c2, x2, params) @ Vb
 
     def local(x_loc, c_loc, noise_loc, V_loc):
+        # local diagonal block first, then n_dev−1 rotations (rotating
+        # before each off-local product): the last rotation of the naive
+        # n_dev-step loop only fed a discarded carry — one wasted round of
+        # ICI transfers per K application
         def step(_, carry):
             acc, xb, cb, Vb = carry
-            acc = acc + block_product(x_loc, c_loc, xb, cb, Vb)
             xb = jax.lax.ppermute(xb, axis, perm)
             cb = jax.lax.ppermute(cb, axis, perm)
             Vb = jax.lax.ppermute(Vb, axis, perm)
+            acc = acc + block_product(x_loc, c_loc, xb, cb, Vb)
             return acc, xb, cb, Vb
 
-        acc0 = noise_loc[:, None] * V_loc
-        acc, _, _, _ = jax.lax.fori_loop(0, n_dev, step,
+        acc0 = (noise_loc[:, None] * V_loc
+                + block_product(x_loc, c_loc, x_loc, c_loc, V_loc))
+        acc, _, _, _ = jax.lax.fori_loop(0, n_dev - 1, step,
                                          (acc0, x_loc, c_loc, V_loc))
         return acc
 
@@ -95,23 +100,23 @@ def ring_gram_lowrank_vjp(mesh, axis, family, O, x, c, params, use_pallas,
         return d
 
     def local(x_loc, c_loc, A_loc, B_loc):
-        pv = lambda a: jax.lax.pcast(a, axis, to="varying")
-        # zeros built from shape/dtype, NOT zeros_like: a closed-over tracer's
-        # aval carries its Auto-mesh sharding, which is illegal to broadcast
-        # inside the Manual (shard_map) context
-        zero = tuple(pv(jnp.zeros(p.shape, p.dtype)) for p in params)
-
+        # local diagonal block outside the loop, n_dev−1 rotations inside
+        # (rotate first, then accumulate) — saves one discarded ppermute
+        # round; the carry starts from the local partials, so no explicit
+        # zeros (whose closed-over Auto-mesh avals were illegal to broadcast
+        # inside the Manual shard_map context anyway)
         def step(_, carry):
             acc, xb, cb, Bb = carry
-            d = block_vjp(x_loc, c_loc, xb, cb, A_loc, Bb)
-            acc = tuple(a + g for a, g in zip(acc, d))
             xb = jax.lax.ppermute(xb, axis, perm)
             cb = jax.lax.ppermute(cb, axis, perm)
             Bb = jax.lax.ppermute(Bb, axis, perm)
+            d = block_vjp(x_loc, c_loc, xb, cb, A_loc, Bb)
+            acc = tuple(a + g for a, g in zip(acc, d))
             return acc, xb, cb, Bb
 
-        acc, _, _, _ = jax.lax.fori_loop(0, n_dev, step,
-                                         (zero, x_loc, c_loc, B_loc))
+        acc0 = block_vjp(x_loc, c_loc, x_loc, c_loc, A_loc, B_loc)
+        acc, _, _, _ = jax.lax.fori_loop(0, n_dev - 1, step,
+                                         (tuple(acc0), x_loc, c_loc, B_loc))
         return tuple(jax.lax.psum(a, axis) for a in acc)
 
     f = jax.shard_map(local, mesh=mesh,

@@ -104,11 +104,13 @@ def data_parallel_step(model, mesh, optimizer, axis="data"):
 
     opt_state0 = optimizer.init(params0)
 
+    import optax
+
     @jax.jit
     def step(params, opt_state, X, y):
         value, grads = jax.value_and_grad(loss_fn)(params, X, y)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, value
 
     return step, params0, opt_state0, X_sh, y_sh
@@ -127,8 +129,7 @@ def exact_sharded_step(model, mesh, optimizer, axis="data"):
     """
     from ..gpr.model import Exact
     if isinstance(model, Exact):
-        object.__setattr__(model, "_gram_sharding",
-                           NamedSharding(mesh, P(axis, None)))
+        model.use_gram_sharding(mesh, axis)
     return data_parallel_step(model, mesh, optimizer, axis)
 
 

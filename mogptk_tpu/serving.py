@@ -31,6 +31,34 @@ import numpy as np
 
 _FORMAT_VERSION = 1
 
+# Unpickling executes arbitrary callables by default — a serving process
+# loading a third-party .gpx must not be an RCE sink. The metadata pickle
+# only ever contains plain containers, numpy arrays, and this package's
+# transformer objects; everything else is refused.
+_SAFE_MODULES = ("mogptk_tpu", "numpy")
+_SAFE_BUILTINS = {"list", "tuple", "dict", "set", "frozenset", "str",
+                  "bytes", "int", "float", "complex", "bool", "NoneType",
+                  "slice", "range"}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module == "builtins":
+            if name not in _SAFE_BUILTINS:
+                raise pickle.UnpicklingError(
+                    "refusing to unpickle builtins.%s from a .gpx artifact"
+                    % name)
+        elif not any(module == p or module.startswith(p + ".")
+                     for p in _SAFE_MODULES):
+            raise pickle.UnpicklingError(
+                "refusing to unpickle %s.%s from a .gpx artifact"
+                % (module, name))
+        return super().find_class(module, name)
+
+
+def _restricted_loads(data):
+    return _RestrictedUnpickler(io.BytesIO(data)).load()
+
 
 def _device_fn(gpr_model):
     """Pure (n, 1+D)->((n,), (n,)) predictive function with everything but
@@ -116,7 +144,7 @@ class Predictor:
             filename += ".gpx"
         with zipfile.ZipFile(filename) as z:
             self._exported = jexport.deserialize(z.read("graph.bin"))
-            self.meta = pickle.loads(z.read("meta.pkl"))
+            self.meta = _restricted_loads(z.read("meta.pkl"))
         if self.meta["format_version"] > _FORMAT_VERSION:
             raise ValueError("artifact written by a newer mogptk_tpu")
         self._call = None

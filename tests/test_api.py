@@ -122,9 +122,14 @@ def test_model_quickstart_vertical_slice():
     model = mogptk.MOSM(dataset, Q=2)
     model.init_parameters("LS")
     loss0 = model.loss()
-    losses, errors = model.train(method="Adam", lr=0.05, iters=60)
+    losses, errors = model.train(method="Adam", lr=0.05, iters=60, error="MAE")
     assert losses[-1] < loss0
     assert model.iters == 60
+    # per-iteration error tracking must see the CURRENT parameters, not the
+    # initial ones (training syncs raws before each callback) — a training
+    # run that moves the loss this much cannot leave every error identical
+    assert np.isfinite(model.errors).all()
+    assert len(np.unique(np.round(model.errors, 12))) > 1
 
     # predict over the prediction range
     X, Mu, Lower, Upper = model.predict()

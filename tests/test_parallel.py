@@ -240,6 +240,26 @@ def test_ring_lowrank_vjp_matches_dense():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
 
 
+def test_nondivisible_n_with_data_variance():
+    """Padding must also cover per-point data_variance (y_err models): the
+    noise diagonal pads the (n_real,) vector to the padded row count."""
+    import optax
+    rng = np.random.RandomState(0)
+    n = 67
+    X = np.linspace(0, 10, n).reshape(-1, 1)
+    y = np.sin(X) + 0.05 * rng.randn(n, 1)
+    y_err = 0.01 + 0.02 * rng.rand(n)
+    kernel = gpr.SpectralMixtureKernel(Q=1)
+    model = gpr.Exact(kernel, X, y, variance=0.05,
+                      data_variance=np.asarray(y_err) ** 2)
+    mesh = make_mesh(8)
+    step, params, opt_state, X_sh, y_sh = data_parallel_step(
+        model, mesh, optax.adam(1e-2))
+    _, _, loss_sharded = step(params, opt_state, X_sh, y_sh)
+    np.testing.assert_allclose(float(loss_sharded), float(model.loss()),
+                               rtol=1e-8)
+
+
 def test_ring_matvec_family_generic():
     """The ring primitives are family-generic: SM-LMC (the newest fused
     family) through ring_gram_matvec matches the dense product."""

@@ -70,3 +70,27 @@ def test_channel_count_validation(tmp_path):
     pred = serving.Predictor(path)
     with pytest.raises(ValueError):
         pred.predict([np.linspace(0, 1, 4)] * 3)
+
+
+def test_restricted_unpickler_refuses_payload(tmp_path):
+    """A crafted meta.pkl must not execute code on load: the Predictor uses
+    a restricted unpickler (plain containers, numpy, mogptk_tpu only)."""
+    import io
+    import pickle
+    import zipfile
+    import pytest
+    from mogptk_tpu.serving import _restricted_loads
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    payload = pickle.dumps(Evil())
+    with pytest.raises(pickle.UnpicklingError):
+        _restricted_loads(payload)
+    # the benign metadata shapes still load
+    import numpy as np
+    meta = {"a": np.arange(3), "b": [1.0, "s"], "c": None}
+    out = _restricted_loads(pickle.dumps(meta))
+    assert out["b"] == [1.0, "s"]
