@@ -213,16 +213,21 @@ class MultiOutputLikelihood(Likelihood):
             key = config.next_key()
         masks = self._channel_masks(X)
         out = jnp.zeros(f.shape, dtype=config.dtype)
-        any_none = False
         for i in range(self.output_dims):
             key, sub = jax.random.split(key)
             s = self.likelihoods[i].conditional_sample(X, f, key=sub)
             if s is None:
-                s = f
-                any_none = True
-            m = masks[i][None, :, None] if f.ndim == 3 else masks[i][:, None]
+                # a channel that cannot sample y|f (e.g. Bernoulli) makes
+                # the whole multi-output sample undefined — signal None like
+                # the single-output protocol instead of leaking latent f
+                # values as y samples
+                return None
+            # f carries the data axis SECOND for ndim >= 2 ((S, N) from
+            # sample_y, (S, N, 1) from the MC predict path)
+            m = (masks[i][None, :, None] if f.ndim == 3
+                 else masks[i][None, :] if f.ndim == 2 else masks[i])
             out = out + jnp.where(m, s, 0.0)
-        return out if not any_none else out
+        return out
 
     def predict(self, X, mu, var, ci=None, sigma=None, n=10000, key=None):
         masks = self._channel_masks(X)
@@ -230,7 +235,12 @@ class MultiOutputLikelihood(Likelihood):
             out = jnp.zeros(mu.shape, dtype=config.dtype)
             for i in range(self.output_dims):
                 m = masks[i][:, None]
-                p = self.likelihoods[i].predict(X, mu, var, ci=None, sigma=sigma, n=n, key=key)
+                # mean only: force sigma=None — a Gaussian sub-likelihood
+                # with sigma set returns a (mu, lo, up) tuple that cannot be
+                # masked elementwise (Model.predict_y converts sigma -> ci
+                # before it reaches here; bounds need the ci branch)
+                p = self.likelihoods[i].predict(X, mu, var, ci=None,
+                                                sigma=None, n=n, key=key)
                 out = out + jnp.where(m, p, 0.0)
             return out
         mean = jnp.zeros(mu.shape, dtype=config.dtype)
@@ -289,7 +299,10 @@ class GaussianLikelihood(Likelihood):
     def conditional_sample(self, X, f, key=None):
         if key is None:
             key = config.next_key()
-        n_axis = 1 if f.ndim >= 2 and f.shape[0] != X.shape[0] else 0
+        # conditional_sample's f always carries the data axis SECOND when
+        # ndim >= 2 ((S, N) / (S, N, 1)); a value-based heuristic misfired
+        # when the sample count happened to equal N
+        n_axis = 1 if f.ndim >= 2 else 0
         s = self._scale_per_point(X, like=f, n_axis=n_axis)
         return f + s * jax.random.normal(key, f.shape, dtype=config.dtype)
 

@@ -36,10 +36,11 @@ from ..ops.linalg import (jittered_cholesky, cholesky_solve, solve_triangular,
 def _init_grid(N, X):
     """Grid-distributed inducing points (reference: gpr/model.py:11-21)."""
     X = np.asarray(X)
-    n = np.power(N, 1.0 / X.shape[1])
-    if not float(n).is_integer():
+    n = int(round(np.power(N, 1.0 / X.shape[1])))
+    # integer check on the ROUNDED root: 1000**(1/3) = 9.999999999999998
+    # would otherwise spuriously reject valid counts
+    if n ** X.shape[1] != N:
         raise ValueError("number of inducing points must equal N = n^%d" % X.shape[1])
-    n = int(round(n))
     axes = [np.linspace(X[:, i].min(), X[:, i].max(), n) for i in range(X.shape[1])]
     grid = np.meshgrid(*axes, indexing="ij")
     return np.stack([g.flatten() for g in grid], axis=1)
@@ -258,7 +259,12 @@ class Model(Module):
         key = (name, config.structure_version)
         fn = self._jit_cache.get(key)
         if fn is None:
-            self._jit_cache.clear()
+            # evict only STALE-version entries: clearing everything made
+            # alternating loss()/predict_f() rebuild (and recompile) the
+            # other program on every switch
+            for k in [k for k in self._jit_cache
+                      if k[1] != config.structure_version]:
+                del self._jit_cache[k]
             fn = builder()
             self._jit_cache[key] = fn
         return fn
@@ -440,7 +446,12 @@ class Exact(Model):
                  trace_probes=None, seed=0):
         if data_variance is not None:
             data_variance = jnp.asarray(data_variance, dtype=config.dtype).reshape(-1)
-            if np.asarray(X).ndim == 2 and data_variance.shape[0] != np.asarray(X).shape[0]:
+            # count rows the way _check_input will (1-D X is one point per
+            # entry) — a skipped check here let _noise_diag's mesh-padding
+            # branch silently zero-pad a too-short vector
+            n_points = (np.asarray(X).shape[0] if np.asarray(X).ndim >= 1
+                        else 1)
+            if data_variance.shape[0] != n_points:
                 raise ValueError("data variance must have shape (data_points,)")
 
         variance = jnp.asarray(variance, dtype=config.dtype)
@@ -758,8 +769,12 @@ class OpperArchambeau(Model):
         kl += jnp.sum(invL ** 2)
         kl -= n
 
-        if self.mean is not None:
-            qf_mu = qf_mu - self.mean(self.X).reshape(-1, 1)
+        # NOTE: y is already the mean-residual (_residual_y) and qf_mu is the
+        # variational mean of the ZERO-MEAN GP part, so no mean subtraction
+        # happens here. The reference subtracts mean(X) from qf_mu too
+        # (gpr/model.py:630-632), which makes q fit the RAW y and biases
+        # predictions by +mean — a reference defect intentionally fixed
+        # (see PARITY.md).
         var_exp = self.likelihood.variational_expectation(self.X, y, qf_mu, qf_var_diag)
         return var_exp - 0.5 * kl
 
@@ -792,6 +807,11 @@ class Titsias(Model):
 
     def __init__(self, kernel, X, y, Z, Z_init="grid", variance=1.0, jitter=1e-8, mean=None):
         variance = jnp.asarray(variance, dtype=config.dtype)
+        if variance.ndim != 0:
+            # the collapsed bound's algebra treats sigma2 as a scalar
+            # (Q/sigma2 on an (M,M) matrix, N·log(scale)); a per-channel
+            # vector would fail with an obscure broadcast error at trace time
+            raise ValueError("Titsias requires a scalar variance")
         super().__init__(kernel, X, y, GaussianLikelihood(jnp.sqrt(variance)), jitter, mean)
         Z = init_inducing_points(Z, self.X, method=Z_init, output_dims=kernel.output_dims)
         Z = self._check_input(Z)
@@ -925,9 +945,12 @@ class SparseHensman(Model):
         else:
             Kff = self.kernel.K(self.X)
             Lff = self._cholesky(Kff, add_jitter=True)
+            # y is the mean-residual and Lff @ q_mu is the zero-mean GP
+            # part: subtracting mean(X) here (as the reference does,
+            # gpr/model.py:826-828) double-counts the mean and biases
+            # predictions — fixed, see PARITY.md; the sparse branch above
+            # already handles the mean correctly via _predict_f
             qf_mu = Lff @ self.q_mu()
-            if self.mean is not None:
-                qf_mu = qf_mu - self.mean(self.X).reshape(-1, 1)
             qf_sqrt = Lff @ jnp.tril(self.q_sqrt())
             qf_var_diag = jnp.sum(qf_sqrt * qf_sqrt, axis=1).reshape(-1, 1)
 

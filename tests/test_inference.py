@@ -201,3 +201,42 @@ def test_cholesky_exception_diagnostics():
     kernel.magnitude._raw = jnp.asarray(np.nan)
     with pytest.raises(gpr.CholeskyException):
         model.loss()
+
+
+def test_jit_cache_keeps_distinct_programs():
+    """Alternating loss()/predict_f() must not evict each other's compiled
+    programs (only stale structure_version entries are evicted)."""
+    rng = np.random.RandomState(0)
+    X = np.linspace(0, 5, 16).reshape(-1, 1)
+    y = np.sin(X) + 0.05 * rng.randn(16, 1)
+    model = gpr.Exact(gpr.SquaredExponentialKernel(), X, y, variance=0.1)
+    model.loss()
+    model.predict_f(X[:4])
+    model.loss()
+    names = {k[0] for k in model._jit_cache}
+    assert {"loss", "predict_f"} <= names
+
+
+def test_titsias_rejects_vector_variance():
+    X = np.linspace(0, 5, 12).reshape(-1, 1)
+    y = np.sin(X)
+    with pytest.raises(ValueError, match="scalar variance"):
+        gpr.Titsias(gpr.SquaredExponentialKernel(), X, y, Z=4,
+                    variance=[1.0, 2.0])
+
+
+def test_exact_validates_data_variance_length_1d_x():
+    X = np.linspace(0, 5, 12)          # 1-D X: one point per entry
+    y = np.sin(X).reshape(-1, 1)
+    with pytest.raises(ValueError, match="data variance"):
+        gpr.Exact(gpr.SquaredExponentialKernel(), X, y,
+                  data_variance=np.ones(6))
+
+
+def test_init_grid_accepts_cube_roots():
+    from mogptk_tpu.gpr.model import _init_grid
+    X = np.random.RandomState(0).rand(50, 3)
+    Z = _init_grid(1000, X)            # 10**3; 1000**(1/3) rounds to 9.99…
+    assert Z.shape == (1000, 3)
+    with pytest.raises(ValueError):
+        _init_grid(1001, X)

@@ -235,3 +235,58 @@ def test_studentt_predict_mc_ci():
     mean, lo, up = lik.predict(X, mu, var, ci=[0.05, 0.95], n=4000)
     assert np.all(np.asarray(lo) < np.asarray(mean))
     assert np.all(np.asarray(mean) < np.asarray(up))
+
+
+def test_multioutput_sample_y_and_axis_conventions():
+    """conditional_sample carries the data axis SECOND ((S, N)): the
+    multi-output mask must broadcast along it (Model.sample_y crashed), and
+    the Gaussian per-channel scale must land on the data axis even when the
+    sample count equals N."""
+    import jax
+    rng = np.random.RandomState(0)
+    n_per = 4
+    x0 = np.linspace(0, 1, n_per).reshape(-1, 1)
+    _, X, y = gpr.merge_data([x0, x0], [np.sin(x0), np.cos(x0)])
+    lik = gpr.MultiOutputLikelihood(gpr.GaussianLikelihood(0.001),
+                                    gpr.GaussianLikelihood(5.0))
+    model = gpr.SparseHensman(gpr.MultiOutputSpectralKernel(output_dims=2),
+                              X, y, Z=4, likelihood=lik)
+    s = model.sample_y(X, n=3, key=jax.random.PRNGKey(0))
+    assert s.shape == (3, 2 * n_per)
+
+    # Gaussian axis convention: S == N must still put channel noise on the
+    # data axis (a value-based heuristic used to misfire here)
+    glik = gpr.GaussianLikelihood(jnp.asarray([0.001, 5.0]))
+    glik.output_dims = 2
+    f = jnp.zeros((2 * n_per, 2 * n_per))      # S == N
+    samples = np.asarray(glik.conditional_sample(X, f, key=jax.random.PRNGKey(1)))
+    stds = samples.std(axis=0)                  # per data point, over samples
+    assert stds[:n_per].max() < 0.1             # channel-0 points: tiny noise
+    assert stds[n_per:].min() > 1.0             # channel-1 points: big noise
+
+
+def test_multioutput_sample_none_propagates():
+    """A channel that cannot sample y|f (Bernoulli) must make the whole
+    multi-output sample None — not leak latent f values as y samples."""
+    import jax
+    x0 = np.linspace(0, 1, 3).reshape(-1, 1)
+    _, X, _ = gpr.merge_data([x0, x0], [np.zeros_like(x0), np.zeros_like(x0)])
+    lik = gpr.MultiOutputLikelihood(gpr.GaussianLikelihood(1.0),
+                                    gpr.BernoulliLikelihood())
+    out = lik.conditional_sample(X, jnp.full((2, 6), 5.0),
+                                 key=jax.random.PRNGKey(0))
+    assert out is None
+
+
+def test_multioutput_predict_mean_only_with_sigma():
+    """ci=None is the mean-only path even if sigma is set (bounds go through
+    the ci branch); a Gaussian sub-likelihood's (mu, lo, up) tuple used to
+    crash the masked sum."""
+    x0 = np.linspace(0, 1, 3).reshape(-1, 1)
+    _, X, _ = gpr.merge_data([x0, x0], [np.zeros_like(x0), np.zeros_like(x0)])
+    lik = gpr.MultiOutputLikelihood(gpr.GaussianLikelihood(1.0),
+                                    gpr.GaussianLikelihood(2.0))
+    mu = jnp.ones((6, 1))
+    var = 0.1 * jnp.ones((6, 1))
+    out = lik.predict(X, mu, var, ci=None, sigma=2)
+    np.testing.assert_allclose(np.asarray(out), np.ones((6, 1)), rtol=1e-12)

@@ -78,3 +78,27 @@ def test_full_covariance_diag_consistency(factory):
     np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d), rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.diag(np.asarray(var_f)).reshape(-1, 1),
                                np.asarray(var_d), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("factory", [
+    lambda k, X, y, m: gpr.OpperArchambeau(
+        k, X, y, likelihood=gpr.GaussianLikelihood(0.3), mean=m),
+    lambda k, X, y, m: gpr.Hensman(
+        k, X, y, likelihood=gpr.GaussianLikelihood(0.3), mean=m),
+], ids=["opper", "hensman_nonsparse"])
+def test_variational_training_with_mean_is_unbiased(factory):
+    """y is the mean-residual and qf_mu the zero-mean GP part: subtracting
+    the mean from qf_mu in the ELBO (as the reference does) makes q fit the
+    RAW y and predictions come out biased by +mean. Train with a large
+    constant mean and require predictions near the data, not mean-shifted."""
+    rng = np.random.RandomState(0)
+    X = np.linspace(0, 5, 30).reshape(-1, 1)
+    y = 10.0 + np.sin(1.3 * X) + 0.05 * rng.randn(30, 1)
+    mean = gpr.ConstantMean()
+    mean.bias.assign(10.0)
+    mean.bias.train = False
+    model = factory(gpr.SquaredExponentialKernel(), X, y, mean)
+    gpr.train(model, method="Adam", lr=0.02, iters=500)
+    mu, _ = model.predict_f(X)
+    err = float(np.max(np.abs(np.asarray(mu) - y)))
+    assert err < 1.5, "predictions biased by the mean (max err %.2f)" % err
