@@ -155,17 +155,22 @@ class Data:
                     raise ValueError("X dict must contain all keys listed in x_labels")
                 X = [X[key] for key in x_labels]
 
+        # meshgrid input (a list of D coordinate grids from np.meshgrid,
+        # each shaped like Y): flatten BEFORE formatting. The reference
+        # checks after its transpose, where the condition can never match a
+        # real meshgrid (and produced a list when it did fire) — fixed.
+        if (isinstance(X, list) and 0 < len(X)
+                and all(isinstance(x, np.ndarray) and 1 < x.ndim for x in X)
+                and all(x.shape == np.asarray(Y).shape for x in X)):
+            X = [np.ravel(x) for x in X]
+            Y = np.ravel(np.asarray(Y))
+            if Y_err is not None:
+                Y_err = np.ravel(np.asarray(Y_err))
+
         X, X_dtypes = self._format_X(X)
         Y = self._format_Y(Y)
         if Y_err is not None:
             Y_err = self._format_Y(Y_err)
-
-        # meshgrid input: flatten
-        if 1 < X[0].ndim and 1 < Y.ndim and X[0].shape == Y.shape:
-            X = [np.ravel(x) for x in X]
-            Y = np.ravel(Y)
-            if Y_err is not None:
-                Y_err = np.ravel(Y_err)
 
         if X.ndim != 2:
             raise ValueError("X must have shape (data_points,input_dims)")
@@ -456,7 +461,10 @@ class Data:
             n = 0 if pct is None else int(pct * len(self.Y))
         elif not isinstance(n, (int, np.integer)):
             raise ValueError("n must be an integer")
-        idx = np.random.permutation(len(self.Y))[:n]
+        # the package-seeded RNG (gpr.set_seed), not global np.random: test
+        # splits stay reproducible alongside LoadFunction's draws
+        from .gpr.config import config as _cfg
+        idx = _cfg.numpy_rng().permutation(len(self.Y))[:n]
         self.mask[idx] = False
 
     def _add_range(self, start, end, dim):
@@ -528,11 +536,13 @@ class Data:
         locs = self.X[:, dim] <= (np.max(self.X[:, dim]) - delta)
         if int(np.sum(locs)) < len(locs):
             locs[int(np.sum(locs))] = True  # allow the last data point to be deleted
+        from .gpr.config import config as _cfg
+        rng = _cfg.numpy_rng()
         for i in range(n):
             avail = self.X[locs, dim]
             if avail.shape[0] == 0:
                 break
-            x = avail[np.random.randint(avail.shape[0])]
+            x = avail[rng.integers(avail.shape[0])]
             locs[(self.X[:, dim] > x - delta) & (self.X[:, dim] < x + delta)] = False
             self.remove_range(x, x + delta, dim)
 
@@ -692,16 +702,13 @@ class Data:
             C[:num, i] = variances
         return A, B, C
 
-    def get_sm_estimation(self, Q=1, method="LS", optimizer="Adam", iters=200, params={}):
+    def get_sm_estimation(self, Q=1, method="LS", optimizer="Adam", iters=200, params=None):
         """Spectral peak estimation by pre-fitting an SM model
         (reference: mogptk/data.py:1053-1087)."""
         from .models.sm import SM
 
         input_dims = self.get_input_dims()
-        A = np.zeros((Q, input_dims))
-        B = np.zeros((Q, input_dims))
-        C = np.zeros((Q, input_dims))
-
+        params = params or {}
         sm = SM(self, Q)
         sm.init_parameters(method)
         sm.train(method=optimizer, iters=iters, **params)
@@ -753,7 +760,10 @@ class Data:
                 n = len(self.X) * 10
                 xf = np.linspace(xmin, xmax, n)
                 x = xf
-            y = self.F(xf)
+            # F's contract is the DATA dtype (datetime64 axes probe F with
+            # datetime64 in _check_function) — passing the float64 view
+            # crashed every datetime LoadFunction dataset on plot
+            y = self.F(x)
             if transformed:
                 y = self.Y_transformer.forward(y, xf.reshape(-1, 1))
             ax.plot(x, y, "g--", lw=1)

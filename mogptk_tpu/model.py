@@ -403,7 +403,7 @@ class Model:
         Y_pred = []
         for j in range(self.dataset.get_output_dims()):
             N = X[j].shape[0]
-            Y_pred.append(self.dataset[j].Y_transformer.backward(np.squeeze(y_pred[i:i + N]), X[j]))
+            Y_pred.append(self.dataset[j].Y_transformer.backward(np.asarray(y_pred[i:i + N]).reshape(-1), X[j]))
             i += N
 
         y_true = np.concatenate(Y_true)
@@ -484,13 +484,21 @@ class Model:
         # reference; otherwise fuse many steps per dispatch
         chunk = 1 if error is not None else None
 
+        # callbacks fire only at chunk boundaries (gpr.train fuses ~10 steps
+        # per dispatch without error tracking): throttle prints by iteration
+        # COUNT since the last print, not i % stride (which callback i
+        # values would never hit)
+        last_print = [-1]
+
         def callback(i, loss):
             idx = iter_offset + 1 + i
             if idx < len(times):
                 times[idx] = time.time() - initial_time
                 if error is not None:
                     errors[idx] = float(self.error(error, error_use_all_data))
-                if verbose and (i % max(1, iters // 10) == 0 or i == iters - 1):
+                if verbose and (i - last_print[0] >= max(1, iters // 10)
+                                or i == iters - 1):
+                    last_print[0] = i
                     msg = "  %d/%d %s  loss=%12g" % (i + 1, iters, _format_time(times[idx]), loss)
                     if error is not None:
                         msg += "  error=%12g" % errors[idx]
@@ -502,13 +510,14 @@ class Model:
                                          chunk=chunk, **kwargs)
         n_done = len(step_losses)
         losses[iter_offset + 1: iter_offset + 1 + n_done] = step_losses
-        # per-iteration times are only exact at chunk boundaries; interpolate
-        filled = times[iter_offset: iter_offset + 1 + n_done]
-        nz = np.nonzero(filled)[0]
-        if len(nz) and nz[-1] != n_done:
-            times[iter_offset + 1 + len(nz): iter_offset + 1 + n_done] = elapsed
-        if times[iter_offset + n_done] == 0.0:
-            times[iter_offset + n_done] = time.time() - initial_time
+        # per-iteration times are exact only at chunk boundaries: fill the
+        # gaps by linear interpolation between the known boundaries so the
+        # history is monotone (the old prefix-fill left most entries 0)
+        seg = times[iter_offset: iter_offset + 1 + n_done]
+        if n_done > 0 and seg[n_done] == 0.0:
+            seg[n_done] = time.time() - initial_time
+        known = np.union1d(np.flatnonzero(seg), [0])
+        seg[:] = np.interp(np.arange(n_done + 1), known, seg[known])
 
         if verbose:
             print("Optimization finished in %s" % _format_duration(time.time() - initial_time))
@@ -581,6 +590,23 @@ class Model:
         y = np.concatenate(Y, axis=0).reshape(-1, 1)
         return x, y
 
+    def _rescale_kernel_x(self, X):
+        """Apply the rescale_x affine to an already kernel-formatted array
+        (channel column, if any, untouched). The kernel plots build raw
+        data-unit grids directly; without this mapping they would evaluate a
+        normalized-unit kernel at data-unit coordinates."""
+        off = getattr(self, "_x_offset", None)
+        sc = getattr(self, "_x_scale", None)
+        if off is None and sc is None:
+            return X
+        X = np.array(X, dtype=np.float64, copy=True)
+        cols = slice(1, None) if self.is_multioutput else slice(None)
+        if off is not None:
+            X[:, cols] = X[:, cols] - off
+        if sc is not None:
+            X[:, cols] = X[:, cols] / sc
+        return X
+
     def predict(self, X=None, ci=None, sigma=2, n=10000, transformed=False):
         """Predict mean and confidence bounds per channel, inverting the data
         transformations (reference: mogptk/model.py:608-664)."""
@@ -609,9 +635,9 @@ class Model:
         Mu, Lower, Upper = [], [], []
         for j in range(self.dataset.get_output_dims()):
             N = X[j].shape[0]
-            Mu.append(np.squeeze(mu[i:i + N]))
-            Lower.append(np.squeeze(lower[i:i + N]))
-            Upper.append(np.squeeze(upper[i:i + N]))
+            Mu.append(np.asarray(mu[i:i + N]).reshape(-1))
+            Lower.append(np.asarray(lower[i:i + N]).reshape(-1))
+            Upper.append(np.asarray(upper[i:i + N]).reshape(-1))
             i += N
 
         if not transformed:
@@ -654,7 +680,7 @@ class Model:
         for j in range(self.dataset.get_output_dims()):
             N = X[j].shape[0]
             if n is None:
-                sample = np.squeeze(samples[i:i + N])
+                sample = np.asarray(samples[i:i + N]).reshape(-1)
                 if not transformed:
                     sample = self.dataset[j].Y_transformer.backward(sample, X[j])
                 Samples.append(sample)
@@ -818,7 +844,7 @@ class Model:
                 X[j * n:(j + 1) * n, 1] = np.linspace(start[j], end[j], n)
         if not self.is_multioutput:
             X = X[:, 1:]
-        k = self.gpr.K(X)
+        k = self.gpr.K(self._rescale_kernel_x(X))
 
         fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
         if title is not None:
@@ -870,9 +896,11 @@ class Model:
                     continue
                 X0 = np.concatenate((i * channel, tau), axis=1)
                 if not self.is_multioutput:
-                    k = self.gpr.K(tau, np.array([[0.0]]))
+                    k = self.gpr.K(self._rescale_kernel_x(tau),
+                                   self._rescale_kernel_x(np.array([[0.0]])))
                 else:
-                    k = self.gpr.K(X0, X1)
+                    k = self.gpr.K(self._rescale_kernel_x(X0),
+                                   self._rescale_kernel_x(X1))
                 ax[j, i].plot(tau, k, color="k")
                 ax[j, i].set_yticks([])
         return fig, ax
@@ -888,7 +916,7 @@ class Model:
         output_dims = len(self.dataset)
         X = np.zeros((output_dims, 2))
         X[:, 0] = np.arange(output_dims)
-        K = np.array(self.gpr.K(X))
+        K = np.array(self.gpr.K(self._rescale_kernel_x(X)))
 
         diag_sqrt = np.sqrt(np.diag(K))
         K /= np.outer(diag_sqrt, diag_sqrt)

@@ -540,3 +540,39 @@ def test_top_level_namespace_matches_reference_surface():
                  "MultiOutputHarmonizableSpectralKernel"]:
         assert hasattr(mogptk, name), name
         assert getattr(mogptk, name) is getattr(mogptk.gpr, name)
+
+
+def test_training_times_are_filled_and_monotone():
+    """Per-iteration times history must not be mostly zeros: callbacks fire
+    only at chunk boundaries and the gaps are interpolated."""
+    dataset = _two_channel_dataset()
+    model = mogptk.SM(dataset, Q=1)
+    model.train(method="Adam", lr=0.02, iters=40)
+    t = np.asarray(model.times)
+    assert t.shape[0] == 41
+    assert np.all(np.diff(t) >= 0)
+    assert np.count_nonzero(t[1:]) == 40
+
+
+def test_meshgrid_data_input():
+    """A list of np.meshgrid coordinate grids with a grid-shaped Y loads as
+    flattened (N, 2) data (the reference's meshgrid branch never worked)."""
+    xx, yy = np.meshgrid(np.linspace(0, 1, 3), np.linspace(0, 1, 4))
+    Y = np.sin(xx) + yy
+    data = mogptk.Data([xx, yy], Y)
+    X, y = data.get_data()
+    assert X.shape == (12, 2) and y.shape == (12,)
+
+
+def test_error_and_predict_with_single_point_channels():
+    """One test point per channel must not collapse to 0-d arrays
+    (np.squeeze) and crash error()/predict()."""
+    t = np.linspace(0, 10, 20)
+    ds = mogptk.DataSet(t, [np.sin(t), np.cos(t)], names=["a", "b"])
+    for channel in ds:
+        channel.remove_indices([5])
+    model = mogptk.MOSM(ds, Q=1)
+    model.init_parameters("LS")
+    assert np.isfinite(model.error("MAE"))
+    X, Mu, Lo, Up = model.predict([np.array([3.0]), np.array([4.0])])
+    assert Mu[0].shape == (1,) and Up[1].shape == (1,)
