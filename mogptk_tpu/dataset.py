@@ -115,13 +115,17 @@ class DataSet:
             if _is_arraylike(args[1]) and _to_numpy(args[1]).ndim == 2:
                 args[1] = [channel for channel in _to_numpy(args[1])]
 
+            n = 1
+            if isinstance(args[0], list):
+                n = max(n, len(args[0]))
+            if isinstance(args[1], list):
+                n = max(n, len(args[1]))
             if names is None or isinstance(names, str):
-                n = 1
-                if isinstance(args[0], list):
-                    n = max(n, len(args[0]))
-                if isinstance(args[1], list):
-                    n = max(n, len(args[1]))
                 names = [names] * n
+            elif len(names) != n:
+                # zip() would silently DROP channels beyond len(names)
+                raise ValueError("names must have one entry per channel "
+                                 "(%d given, %d channels)" % (len(names), n))
 
             if isinstance(args[0], list):
                 if isinstance(args[1], list):
@@ -160,7 +164,10 @@ class DataSet:
                 X = [X] * self.get_output_dims()
         elif not isinstance(X, list):
             raise ValueError("X must be a list, dict, numpy.ndarray, pandas.Series, or tensor")
-        elif not any(isinstance(x, (list, np.ndarray)) for x in X):
+        elif not any(isinstance(x, (list, np.ndarray, pd.Series))
+                     or _is_jax_or_torch(x) for x in X):
+            # a list of SCALARS is one set of coordinates for every channel;
+            # a list of arrays (numpy/pandas/jax/torch) is per-channel
             X = [X] * self.get_output_dims()
         if len(X) != self.get_output_dims():
             raise ValueError("X must be of shape (data_points,), (data_points,input_dims), or [(data_points,)] * input_dims for each channel")
@@ -265,17 +272,19 @@ class DataSet:
                     return i
         raise ValueError("channel '%s' does not exist in DataSet" % (index,))
 
+    # one getter call per channel (each call runs the Y transform, and for
+    # function-backed channels evaluates F): X/Y come from the SAME call
     def get_data(self, transformed=False):
-        return ([channel.get_data(transformed=transformed)[0] for channel in self.channels],
-                [channel.get_data(transformed=transformed)[1] for channel in self.channels])
+        out = [channel.get_data(transformed=transformed) for channel in self.channels]
+        return [x for x, _ in out], [y for _, y in out]
 
     def get_train_data(self, transformed=False):
-        return ([channel.get_train_data(transformed=transformed)[0] for channel in self.channels],
-                [channel.get_train_data(transformed=transformed)[1] for channel in self.channels])
+        out = [channel.get_train_data(transformed=transformed) for channel in self.channels]
+        return [x for x, _ in out], [y for _, y in out]
 
     def get_test_data(self, transformed=False):
-        return ([channel.get_test_data(transformed=transformed)[0] for channel in self.channels],
-                [channel.get_test_data(transformed=transformed)[1] for channel in self.channels])
+        out = [channel.get_test_data(transformed=transformed) for channel in self.channels]
+        return [x for x, _ in out], [y for _, y in out]
 
     # -- prediction range ------------------------------------------------------------
     def get_prediction_data(self):

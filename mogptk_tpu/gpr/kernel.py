@@ -157,13 +157,22 @@ class Kernels(Kernel):
     """Base for kernels composed of a list of kernels
     (reference: mogptk/gpr/kernel.py:193-230)."""
 
+    # associativity class: "sum"/"prod" compositors may be flattened into a
+    # like-kind parent; None (e.g. ChangePoints, whose per-kernel regime
+    # weights depend on the nesting) must never be
+    _assoc = None
+
     def __init__(self, *kernels):
         super().__init__()
         kernels = self._check_kernels(kernels)
-        # flatten nested compositors of the same type
+        # flatten nested ASSOCIATIVE compositors of the same kind (an
+        # isinstance check against self.__class__ used to flatten a nested
+        # ChangePointsKernel, dropping its locations/steepness)
         i = 0
         while i < len(kernels):
-            if isinstance(kernels[i], self.__class__):
+            if (self._assoc is not None
+                    and getattr(kernels[i], "_assoc", None) == self._assoc
+                    and kernels[i].active_dims is None):
                 subkernels = list(kernels[i].kernels)
                 kernels = kernels[:i] + subkernels + kernels[i + 1:]
                 i += len(subkernels) - 1
@@ -188,17 +197,27 @@ class Kernels(Kernel):
 class AddKernel(Kernels):
     """Sum of kernels (reference: mogptk/gpr/kernel.py:232-246)."""
 
+    _assoc = "sum"
+
     def K(self, X1, X2=None):
+        # apply the compositor's OWN active_dims (e.g. the channel-column
+        # skip _check_kernels installs on a nested single-output compositor
+        # under a multi-output composite) before fanning out
+        X1, X2 = self._active_input(X1, X2)
         return sum(kernel.K(X1, X2) for kernel in self.kernels)
 
     def K_diag(self, X1):
+        X1, _ = self._active_input(X1)
         return sum(kernel.K_diag(X1) for kernel in self.kernels)
 
 
 class MulKernel(Kernels):
     """Product of kernels (reference: mogptk/gpr/kernel.py:248-262)."""
 
+    _assoc = "prod"
+
     def K(self, X1, X2=None):
+        X1, X2 = self._active_input(X1, X2)
         out = None
         for kernel in self.kernels:
             k = kernel.K(X1, X2)
@@ -206,6 +225,7 @@ class MulKernel(Kernels):
         return out
 
     def K_diag(self, X1):
+        X1, _ = self._active_input(X1)
         out = None
         for kernel in self.kernels:
             k = kernel.K_diag(X1)
@@ -266,6 +286,7 @@ class ChangePointsKernel(Kernels):
         return 1.0 / (1.0 + jnp.exp(-self.steepness() * (X - self.locations())))
 
     def K(self, X1, X2=None):
+        X1, X2 = self._active_input(X1, X2)
         N1 = X1.shape[0]
         weights_x1 = self._weight_sigmoid(X1)  # N1 x Ncp
         if X2 is None:
@@ -290,6 +311,7 @@ class ChangePointsKernel(Kernels):
         return jnp.sum(start_weights * kernel_stack * end_weights, axis=-1)
 
     def K_diag(self, X1):
+        X1, _ = self._active_input(X1)
         N1 = X1.shape[0]
         weights_x1 = self._weight_sigmoid(X1)
         ones = jnp.ones((N1, 1), dtype=config.dtype)
@@ -317,13 +339,16 @@ class MultiOutputKernel(Kernel):
 
     def _check_input(self, X1, X2=None):
         X1, X2 = super()._check_input(X1, X2)
-        c1 = np.asarray(X1[:, 0])
-        if not np.all(c1 == c1.astype(np.int64)) or not np.all(c1 < self.output_dims):
-            raise ValueError("X must have integers for the channel IDs in the first input dimension")
-        if X2 is not None:
-            c2 = np.asarray(X2[:, 0])
-            if not np.all(c2 == c2.astype(np.int64)) or not np.all(c2 < self.output_dims):
-                raise ValueError("X must have integers for the channel IDs in the first input dimension")
+        # both bounds: a negative ID would silently gather the LAST channel's
+        # parameters through JAX's negative indexing
+        def _bad(c):
+            return (not np.all(c == c.astype(np.int64))
+                    or not np.all((0 <= c) & (c < self.output_dims)))
+
+        if _bad(np.asarray(X1[:, 0])):
+            raise ValueError("X must have integers in [0, output_dims) for the channel IDs in the first input dimension")
+        if X2 is not None and _bad(np.asarray(X2[:, 0])):
+            raise ValueError("X must have integers in [0, output_dims) for the channel IDs in the first input dimension")
         return X1, X2
 
     def _split(self, X):

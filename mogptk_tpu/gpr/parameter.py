@@ -8,6 +8,7 @@ gpr/parameter.py:220-230). Unlike the torch version, the raw value is an
 immutable jnp array that can be swapped for a tracer during jit via
 Module.bind(), making every model loss a pure function of its parameters.
 """
+import copy
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -159,7 +160,7 @@ class Parameter:
             name = self.pegged_parameter._name
         if name is None:
             return "{}".format(np.asarray(self.constrained).tolist())
-        return "{}={}".format(self._name, np.asarray(self.constrained).tolist())
+        return "{}={}".format(name, np.asarray(self.constrained).tolist())
 
     # -- value access ----------------------------------------------------------
     def __call__(self):
@@ -253,6 +254,10 @@ class Parameter:
             train = True if self.pegged else self._train
 
         old_key = self.structure_key() if self._raw is not None else None
+        # a new prior OBJECT changes the traced -log p(θ) term but not the
+        # structure key — bump explicitly or a cached jit loss would keep
+        # training against the old (or no) prior
+        prior_changed = prior is not self.prior
 
         transform = Parameter.to_transform(lower, upper)
         if transform is not None:
@@ -275,7 +280,7 @@ class Parameter:
         self.pegged_parameter = None
         self.pegged_transform = None
 
-        if old_key != self.structure_key():
+        if old_key != self.structure_key() or prior_changed:
             config.bump()
 
     def peg(self, other, transform=None):
@@ -311,10 +316,13 @@ class Parameter:
         new.transform = self.transform
         new.prior = self.prior
         new._train = self._train
-        new.pegged_parameter = self.pegged_parameter
+        memo[id(self)] = new
+        # the peg target must be resolved THROUGH the memo: a by-reference
+        # copy left clones pegged to the ORIGINAL model's parameters (stale
+        # constants inside the clone's jit trace, zero gradients)
+        new.pegged_parameter = copy.deepcopy(self.pegged_parameter, memo)
         new.pegged_transform = self.pegged_transform
         new.num_parameters = self.num_parameters
-        memo[id(self)] = new
         return new
 
     # pickle support: jnp arrays are converted to numpy

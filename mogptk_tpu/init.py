@@ -80,7 +80,8 @@ def BNSE(x, y, y_err=None, max_freq=None, n=1000, iters=100):
 
     kernel = gpr.SpectralKernel()
     model = gpr.Exact(kernel, x2, y2,
-                      data_variance=y_err ** 2 if y_err is not None else None)
+                      data_variance=(np.asarray(y_err) ** 2
+                                     if y_err is not None else None))
 
     # initialize parameters as the reference does (init.py:40-48)
     magnitude = float(np.var(y))

@@ -171,3 +171,44 @@ def test_mixture_kernel_is_sum_of_clones():
     K = np.asarray(k(X1))
     expected = np.asarray(k.kernels[0](X1)) + np.asarray(k.kernels[1](X1))
     np.testing.assert_allclose(K, expected, rtol=1e-8)
+
+
+def test_nested_compositor_skips_channel_column():
+    """A single-output compositor nested under a multi-output composite gets
+    active_dims=[1] from _check_kernels — its K must APPLY it (the leaves
+    previously read the channel-ID column as the time axis)."""
+    mosm = gpr.MultiOutputSpectralKernel(output_dims=2)
+    mix = gpr.MixtureKernel(gpr.SpectralKernel(), Q=2)
+    k = mosm + mix
+    assert mix.active_dims == [1]
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.rand(12) * 5)
+    X = np.column_stack([np.repeat([0.0, 1.0], 6), np.concatenate([x[:6], x[6:]])])
+    K = np.asarray(k.K(jnp.asarray(X)))
+    # the mixture part must depend only on the time axis: direct evaluation
+    # on the stripped column must match K − MOSM part
+    K_mix = np.asarray(mix.K(jnp.asarray(X)))
+    K_mix_direct = None
+    for sub in mix.kernels:
+        t = np.asarray(sub.K(jnp.asarray(X[:, 1:])))
+        K_mix_direct = t if K_mix_direct is None else K_mix_direct + t
+    np.testing.assert_allclose(K_mix, K_mix_direct, rtol=1e-12)
+    np.testing.assert_allclose(K, np.asarray(mosm.K(jnp.asarray(X))) + K_mix_direct,
+                               rtol=1e-12)
+
+
+def test_nested_changepoints_not_flattened():
+    """ChangePoints regime weights depend on the nesting: a nested
+    ChangePointsKernel must survive as one subkernel (the old
+    same-class flatten dropped its locations/steepness)."""
+    k1, k2, k3 = (gpr.SquaredExponentialKernel() for _ in range(3))
+    inner = gpr.ChangePointsKernel([2.0], 1.0, k2, k3)
+    outer = gpr.ChangePointsKernel([5.0], 1.0, k1, inner)
+    assert len(outer.kernels) == 2
+    X = jnp.asarray(np.linspace(0, 8, 16).reshape(-1, 1))
+    K = np.asarray(outer.K(X))
+    np.testing.assert_allclose(K, K.T, rtol=1e-12)
+    np.testing.assert_allclose(np.diag(K), np.asarray(outer.K_diag(X)), rtol=1e-12)
+    # Add/Mul still flatten like-kind compositors
+    flat = (k1 + k2) + k3
+    assert len(flat.kernels) == 3

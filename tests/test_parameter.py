@@ -85,3 +85,31 @@ def test_parameter_trailing_dim_alignment():
     p = Parameter(np.ones((3, 1)))
     p.assign(np.array([1.0, 2.0, 3.0]))
     np.testing.assert_allclose(p.numpy().reshape(-1), [1.0, 2.0, 3.0])
+
+
+def test_clone_repegs_to_cloned_target():
+    """deepcopy must resolve the peg target through the memo: a clone whose
+    parameter pegs to the ORIGINAL model silently tracks it (stale constant
+    inside the clone's jit trace)."""
+    import mogptk_tpu.gpr as gpr
+    k = gpr.MultiOutputSpectralKernel(output_dims=2)
+    k.phase.peg(k.mean)
+    k2 = k.clone()
+    assert k2.phase.pegged_parameter is k2.mean
+    assert k2.phase.pegged_parameter is not k.mean
+    k.mean.assign(0.7 * np.ones_like(k.mean.numpy()))
+    assert not np.allclose(k2.phase.numpy(), k.phase.numpy())
+
+
+def test_assign_prior_bumps_structure_version():
+    """A new prior changes the traced -log p(θ): the jit-cache version must
+    bump or a cached loss keeps training without it."""
+    from mogptk_tpu.gpr.config import config
+    p = Parameter(1.0, lower=0.0)
+    v0 = config.structure_version
+
+    class _P:
+        def log_prob(self, x):
+            return -x
+    p.assign(prior=_P())
+    assert config.structure_version != v0
