@@ -66,6 +66,11 @@ class Config:
 
     @property
     def device(self):
+        # respect use_cpu()/use_gpu(): jax_default_device is where jitted
+        # computation actually lands; fall back to the priority backend
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev
         devs = jax.devices()
         return devs[0] if devs else None
 
@@ -128,6 +133,19 @@ def use_double_precision():
     jax.config.update("jax_enable_x64", True)
     config.dtype = jnp.float64
     config.bump()
+
+
+def _compute_platform():
+    """The platform jitted computation actually lands on: the explicit
+    use_cpu()/use_gpu() override (jax_default_device — which
+    jax.default_backend() IGNORES) or the priority backend. The TPU-only
+    auto policies (Pallas Gram, blocked Cholesky) consult this so
+    use_cpu() on a TPU image does not trace TPU kernels into a CPU
+    executable."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
 
 
 def use_cpu(n=None):
@@ -194,7 +212,7 @@ def pallas_enabled():
         return bool(config.pallas)
     if config.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    return jax.default_backend() == "tpu"
+    return _compute_platform() == "tpu"
 
 
 @_contextlib.contextmanager
@@ -264,7 +282,7 @@ def blocked_cholesky_enabled(n, ndim=2, dtype=None):
         return False
     if config.blocked_cholesky is not None:
         return bool(config.blocked_cholesky)
-    return n >= config.blocked_cholesky_min_n and jax.default_backend() == "tpu"
+    return n >= config.blocked_cholesky_min_n and _compute_platform() == "tpu"
 
 
 def set_matmul_precision(precision="highest"):
@@ -302,9 +320,8 @@ def set_sensitive_matmul_precision(precision="highest"):
 def sensitive_matmul_scope():
     """Context manager applying the sensitive-product matmul precision
     (no-op when config.sensitive_matmul_precision is None)."""
-    import contextlib
     if config.sensitive_matmul_precision is None:
-        return contextlib.nullcontext()
+        return _contextlib.nullcontext()
     return jax.default_matmul_precision(config.sensitive_matmul_precision)
 
 

@@ -35,13 +35,10 @@ class MultiOutputMean(Mean):
 
     def __init__(self, *means):
         super().__init__()
-        if isinstance(means, tuple):
-            if len(means) == 1 and isinstance(means[0], list):
-                means = means[0]
-            else:
-                means = list(means)
-        elif not isinstance(means, list):
-            means = [means]
+        if len(means) == 1 and isinstance(means[0], list):
+            means = means[0]
+        else:
+            means = list(means)
         if len(means) == 0:
             raise ValueError("must pass at least one mean")
         for mean in means:
@@ -56,12 +53,20 @@ class MultiOutputMean(Mean):
         return "[%s]" % ",".join(mean.name() for mean in self.means)
 
     def mean(self, X):
+        # static-shape one-hot combination (the reference's per-channel row
+        # gather is dynamic-shape); each sub-mean sees SAFE inputs on
+        # foreign rows — its own first row, broadcast — so a mean that is
+        # non-finite off its channel's domain (e.g. log) cannot poison other
+        # channels through 0·NaN, in either the forward or the VJP
         c = X[:, 0].astype(jnp.int32)
         x = X[:, 1:]
         out = jnp.zeros((X.shape[0], 1), dtype=config.dtype)
         for i in range(self.output_dims):
-            sel = (c == i).astype(config.dtype)[:, None]
-            out = out + sel * self.means[i].mean(x).reshape(-1, 1)
+            sel = (c == i)[:, None]
+            anchor = x[jnp.argmax(sel[:, 0])][None, :]
+            x_safe = jnp.where(sel, x, anchor)
+            mi = self.means[i].mean(x_safe).reshape(-1, 1)
+            out = out + jnp.where(sel, mi, jnp.zeros((), config.dtype))
         return out
 
 

@@ -22,8 +22,11 @@ class Module:
 
     def __setattr__(self, name, val):
         if name == "train" and not hasattr(type(self), name):
+            # applies to the parameters existing NOW (parameters added later
+            # keep their own flag); also stored so reads round-trip
             for p in self.parameters():
                 p.train = val
+            object.__setattr__(self, name, bool(val))
             return
         if hasattr(self, name) and isinstance(getattr(self, name), Parameter) and not isinstance(val, Parameter):
             raise AttributeError("parameter is read-only, use Parameter.assign()")

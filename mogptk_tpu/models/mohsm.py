@@ -50,6 +50,19 @@ class MOHSM(Model):
         if method.lower() not in ["bnse", "ls", "sm"]:
             raise ValueError("valid methods of estimation are BNSE, LS, and SM")
 
+        # the spectral estimation is loop-invariant (the reference recomputes
+        # it per p only because its commented-out per-p data filtering would
+        # have changed the inputs): run the expensive estimate ONCE
+        if method.lower() == "bnse":
+            amplitudes, means, variances = self.dataset.get_bnse_estimation(self.Q, iters=iters)
+        elif method.lower() == "ls":
+            amplitudes, means, variances = self.dataset.get_ls_estimation(self.Q)
+        else:
+            amplitudes, means, variances = self.dataset.get_sm_estimation(self.Q, iters=iters)
+        if len(amplitudes) == 0:
+            logger.warning("{} could not find peaks for MOHSM".format(method))
+            return
+
         for p in range(self.P):
             for q in range(self.Q):
                 if self.P != 1:
@@ -57,16 +70,6 @@ class MOHSM(Model):
                         (1000 * p / (self.P - 1)) * np.ones(input_dims[0]))
                     self.gpr.kernel[p * self.Q + q].lengthscale.assign(
                         ((self.P + 1) / 1000) * np.ones(output_dims))
-
-            if method.lower() == "bnse":
-                amplitudes, means, variances = self.dataset.get_bnse_estimation(self.Q, iters=iters)
-            elif method.lower() == "ls":
-                amplitudes, means, variances = self.dataset.get_ls_estimation(self.Q)
-            else:
-                amplitudes, means, variances = self.dataset.get_sm_estimation(self.Q, iters=iters)
-            if len(amplitudes) == 0:
-                logger.warning("{} could not find peaks for MOHSM".format(method))
-                return
 
             weight = np.zeros((output_dims, self.Q))
             for q in range(self.Q):

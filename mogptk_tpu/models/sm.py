@@ -24,6 +24,12 @@ class SM(Model):
 
         output_dims = dataset.get_output_dims()
         input_dims = dataset.get_input_dims()[0]
+        for other in dataset.get_input_dims()[1:]:
+            if other != input_dims:
+                # kernels would be built with channel 0's width while the
+                # init heuristics use per-channel widths — fail clearly like
+                # the other model families do
+                raise ValueError("input dimensions for all channels must match")
         kernel = IndependentMultiOutputKernel(
             [SpectralMixtureKernel(Q=Q, input_dims=input_dims) for _ in range(output_dims)],
             output_dims=output_dims)

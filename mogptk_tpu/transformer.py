@@ -112,14 +112,22 @@ class TransformLinear(_AffineTransform):
         self.offset = bias
         self.scale = slope
 
-    # reference attribute names, kept for API parity
+    # reference attribute names, kept for API parity (read AND write)
     @property
     def bias(self):
         return self.offset
 
+    @bias.setter
+    def bias(self, value):
+        self.offset = value
+
     @property
     def slope(self):
         return self.scale
+
+    @slope.setter
+    def slope(self, value):
+        self.scale = value
 
     def __repr__(self):
         return "TransformLinear(bias=%g, slope=%g)" % (self.offset, self.scale)
