@@ -41,12 +41,14 @@ class IndependentMultiOutputKernel(MultiOutputKernel):
         x2e = x1 if x2 is None else x2
         # Only diagonal blocks are nonzero: mask each channel's subkernel over
         # the full input. O× elementwise overhead versus the reference's
-        # per-block loop, but fully fused and static-shaped.
+        # per-block loop, but fully fused and static-shaped. x2 is forwarded
+        # AS IS (None means the Gram path — WhiteKernel returns zeros for any
+        # materialized X2, so passing x2e here dropped its noise block).
         out = jnp.zeros((x1.shape[0], x2e.shape[0]), dtype=config.dtype)
         for i in range(self.output_dims):
             m1 = (c1 == i).astype(config.dtype)[:, None]
             m2 = (c2 == i).astype(config.dtype)[None, :]
-            out = out + m1 * self.kernels[i].K(x1, x2e) * m2
+            out = out + m1 * self.kernels[i].K(x1, x2) * m2
         return out
 
     def K_mo_diag(self, c1, x1):
@@ -143,7 +145,10 @@ def _umosm_cross_weight(W, c1, c2):
     an (N,O)·(O,O)·(O,M) matmul chain on the MXU — no (N,M)-shaped gather."""
     import jax as _jax
     O = W.shape[0]
-    mag = jnp.tril(W) @ jnp.tril(W).T  # OxO
+    # the WWᵀ product itself must be full precision too — a default bf16
+    # pass would bake the ~4e-3 rounding the 'highest' gathers below exist
+    # to avoid
+    mag = _jax.lax.dot(jnp.tril(W), jnp.tril(W).T, precision="highest")  # OxO
     onehot1 = (c1[:, None] == jnp.arange(O)[None, :]).astype(mag.dtype)
     onehot2 = (c2[:, None] == jnp.arange(O)[None, :]).astype(mag.dtype)
     # full-precision selection: XLA:TPU's default bf16 matmul passes would
@@ -586,13 +591,14 @@ class LinearModelOfCoregionalizationKernel(MultiOutputKernel):
 
     def K_mo(self, c1, x1, c2, x2=None):
         # per-component (N,M) MXU matmuls; avoids a materialized (N,M,Q)
-        # einsum output whose minor dim would be lane-padded on TPU
-        x2e = x1 if x2 is None else x2
+        # einsum output whose minor dim would be lane-padded on TPU. x2 is
+        # forwarded AS IS: None is the Gram path (WhiteKernel bases return
+        # zeros for any materialized X2)
         w = self.weight()                                   # OxQxR
         K = None
         for q, kernel in enumerate(self.kernels):
             Bq = w[c1, q, :] @ w[c2, q, :].T                # NxM
-            Kq = Bq * kernel.K(x1, x2e)
+            Kq = Bq * kernel.K(x1, x2)
             K = Kq if K is None else K + Kq
         return K
 
@@ -605,8 +611,13 @@ class LinearModelOfCoregionalizationKernel(MultiOutputKernel):
     def Ksub(self, i, j, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
         magnitude = jnp.sum(self.weight()[i] * self.weight()[j], axis=-1)  # Q
-        Ks = jnp.stack([k.K(X1, X2) for k in self.kernels], axis=-1)
-        return jnp.tensordot(Ks, magnitude, axes=1)
+        # per-q accumulation keeps all temps (N, M) — stacking on a minor Q
+        # axis would lane-pad Q to 128 on TPU
+        K = None
+        for q, k in enumerate(self.kernels):
+            Kq = magnitude[q] * k.K(X1, X2)
+            K = Kq if K is None else K + Kq
+        return K
 
     def Ksub_diag(self, i, X1):
         X1, _ = self._active_input(X1)

@@ -193,9 +193,6 @@ def _lengthscale_matrix(kernel):
         return L @ L.T + jnp.diag(1.0 / kernel.lengthscale() ** 2)
 
 
-def _quadform(tau, M):
-    """einsum('nmi,ij,nmj->nm') — quadratic form per tau entry."""
-    return jnp.einsum("nmi,ij,nmj->nm", tau, M, tau)
 
 
 class SquaredExponentialKernel(Kernel):
@@ -379,8 +376,10 @@ class SpectralKernel(Kernel):
 
 
 class SpectralMixtureKernel(Kernel):
-    """K(x,x') = Σ_q σ_q² Π_d exp(−2π²τ_d²Σ_qd) cos(2πμ_qd τ_d)
-    (reference: gpr/singleoutput.py:563-605)."""
+    """K(x,x') = Σ_q σ_q² Σ_d exp(−2π²τ_d²Σ_qd) cos(2πμ_qd τ_d)
+    (reference: gpr/singleoutput.py:563-605 — the reference SUMS the per-dim
+    exp·cos terms, einsum 'q,qnmd,qnmd->nm', exactly like its SpectralKernel;
+    this keeps SpectralMixtureKernel(Q, D) == MixtureKernel(SpectralKernel(D), Q))."""
 
     def __init__(self, Q=1, input_dims=1, active_dims=None):
         super().__init__(input_dims, active_dims)
@@ -400,21 +399,20 @@ class SpectralMixtureKernel(Kernel):
         mu = self.mean()
         K = None
         for q in range(self.Q):
-            expo = None
-            ang = None
+            acc = None
             for d in range(self.input_dims):
                 taud = X1[:, d][:, None] - X2e[:, d][None, :]
-                e = taud * taud * var[q, d]
-                a = taud * mu[q, d]
-                expo = e if expo is None else expo + e
-                ang = a if ang is None else ang + a
-            Kq = mag[q] * jnp.exp(-2.0 * _pi ** 2 * expo) * jnp.cos(2.0 * _pi * ang)
+                t = (jnp.exp(-2.0 * _pi ** 2 * taud * taud * var[q, d])
+                     * jnp.cos(2.0 * _pi * taud * mu[q, d]))
+                acc = t if acc is None else acc + t
+            Kq = mag[q] * acc
             K = Kq if K is None else K + Kq
         return K
 
     def K_diag(self, X1):
         X1, _ = self._active_input(X1)
-        return jnp.full((X1.shape[0],), 1.0, dtype=config.dtype) * jnp.sum(self.magnitude())
+        return (jnp.full((X1.shape[0],), 1.0, dtype=config.dtype)
+                * jnp.sum(self.magnitude()) * self.input_dims)
 
 
 class MaternKernel(Kernel):
@@ -430,7 +428,13 @@ class MaternKernel(Kernel):
 
     def K(self, X1, X2=None):
         X1, X2 = self._active_input(X1, X2)
-        dist = jnp.abs(jnp.tensordot(self.distance(X1, X2), 1.0 / self.lengthscale(), axes=1))
+        # |Σ_d τ_d / l_d| as a rank-1 projection: all temps stay (N, M) —
+        # the (N, M, D) distance tensor would be lane-padded to 128 on TPU
+        X2e = X1 if X2 is None else X2
+        v = 1.0 / self.lengthscale()
+        p1 = X1 @ v
+        p2 = X2e @ v
+        dist = jnp.abs(p1[:, None] - p2[None, :])
         if self.nu == 0.5:
             constant = 1.0
         elif self.nu == 1.5:

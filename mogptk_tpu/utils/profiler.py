@@ -32,7 +32,9 @@ def device_memory_stats(device=None):
     """Per-device live memory statistics (bytes). Returns a dict, or {} when
     the backend does not expose memory stats (e.g. CPU)."""
     if device is None:
-        device = jax.devices()[0]
+        # respect use_cpu()/use_gpu() like the rest of the package
+        from ..gpr.config import config as _cfg
+        device = _cfg.device
     try:
         return dict(device.memory_stats() or {})
     except Exception:
@@ -57,18 +59,28 @@ def print_device_memory():
 class Timer:
     """Wall-clock timer that synchronizes the device before reading, the
     equivalent of the reference's perf_counter+cuda.synchronize pattern
-    (tests/scalability.py:107-118)."""
+    (tests/scalability.py:107-118).
+
+    The sync is a HOST FETCH, not block_until_ready(): on this image's
+    tunneled TPU backend block_until_ready returns without waiting (see
+    CLAUDE.md / benchmarks/_timing.py), which would make the timer measure
+    dispatch instead of execution."""
 
     def __init__(self):
         self.start = None
         self.elapsed = 0.0
 
+    @staticmethod
+    def _sync():
+        import numpy as _np
+        float(_np.asarray(jax.device_put(0.0) + 0))
+
     def __enter__(self):
-        (jax.device_put(0.0) + 0).block_until_ready()
+        self._sync()
         self.start = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        (jax.device_put(0.0) + 0).block_until_ready()
+        self._sync()
         self.elapsed = time.perf_counter() - self.start
         return False

@@ -212,3 +212,56 @@ def test_nested_changepoints_not_flattened():
     # Add/Mul still flatten like-kind compositors
     flat = (k1 + k2) + k3
     assert len(flat.kernels) == 3
+
+
+def test_spectral_mixture_multidim_matches_mixture_of_spectrals():
+    """The reference SUMS the per-dim exp·cos terms (einsum
+    'q,qnmd,qnmd->nm'), so SpectralMixtureKernel(Q, D) must equal
+    MixtureKernel(SpectralKernel(D), Q) at matched parameters — the product
+    form silently diverged for D > 1."""
+    rng = np.random.RandomState(0)
+    Q, D, n = 2, 2, 14
+    X = jnp.asarray(rng.rand(n, D) * 3)
+    sm = gpr.SpectralMixtureKernel(Q=Q, input_dims=D)
+    mag = 0.5 + rng.rand(Q)
+    mu = 0.2 + rng.rand(Q, D)
+    var = 0.3 + rng.rand(Q, D)
+    sm.magnitude.assign(mag)
+    sm.mean.assign(mu)
+    sm.variance.assign(var)
+    parts = []
+    for q in range(Q):
+        s = gpr.SpectralKernel(D)
+        s.magnitude.assign(mag[q])
+        s.mean.assign(mu[q])
+        s.variance.assign(var[q])
+        parts.append(s)
+    mix = gpr.AddKernel(*parts)
+    np.testing.assert_allclose(np.asarray(sm.K(X)), np.asarray(mix.K(X)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sm.K_diag(X)),
+                               np.diag(np.asarray(sm.K(X))), rtol=1e-12)
+
+
+def test_white_kernel_survives_multioutput_gram_path():
+    """K_mo must forward x2=None (the Gram path): materializing X2 made
+    WhiteKernel bases return zeros, silently dropping per-channel noise
+    blocks inside IndependentMultiOutput and LMC composites."""
+    rng = np.random.RandomState(0)
+    n_per = 8
+    x = np.sort(rng.rand(2 * n_per) * 5)
+    X = jnp.asarray(np.column_stack([np.repeat([0.0, 1.0], n_per), x]))
+    se_w = [gpr.SquaredExponentialKernel() + gpr.WhiteKernel() for _ in range(2)]
+    for k in se_w:
+        k[1].magnitude.assign(0.25)
+    imo = gpr.IndependentMultiOutputKernel(*se_w, output_dims=2)
+    K = np.asarray(imo.K(X))
+    se_only = gpr.IndependentMultiOutputKernel(
+        gpr.SquaredExponentialKernel(), gpr.SquaredExponentialKernel(),
+        output_dims=2)
+    K_se = np.asarray(se_only.K(X))
+    np.testing.assert_allclose(K, K_se + 0.25 * np.eye(2 * n_per),
+                               rtol=1e-10, atol=1e-12)
+    # cross-Gram path still has NO white contribution
+    Kx = np.asarray(imo.K(X, X))
+    np.testing.assert_allclose(Kx, K_se, rtol=1e-10, atol=1e-12)
