@@ -124,8 +124,9 @@ def exact_sharded_step(model, mesh, optimizer, axis="data"):
     N/devices × N rows — the O(Q·D) elementwise assembly chain and its VJP
     are the dominant cost and memory at this model's scale). The Cholesky
     itself still gathers: XLA's factorization is single-device, so peak
-    factorization memory is N² on one device. For fully-distributed O(N/P)
-    memory use `iterative_ring_step` instead.
+    factorization memory is N² on one device. For an O(N²/P)-per-device
+    factorization use `parallel.distributed_cholesky`; for fully-distributed
+    O(N/P) inference use `iterative_ring_step`.
     """
     from ..gpr.model import Exact
     if isinstance(model, Exact):
