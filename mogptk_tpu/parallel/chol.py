@@ -85,3 +85,92 @@ def distributed_cholesky(K, mesh, axis="data", panel_precision="highest",
     f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None),),
                       out_specs=P(axis, None))
     return f(K)
+
+
+def distributed_cho_solve(L, B, mesh, axis="data"):
+    """K⁻¹B given the row-sharded factor from distributed_cholesky.
+
+    Block substitution across the mesh: the forward sweep broadcasts each
+    solved block with a masked psum ((B, R) per step); the backward sweep
+    with Lᵀ needs column block k of L, whose pieces L_mk live on their row
+    owners — each device contributes L_mkᵀ x_m locally and one psum forms
+    the off-diagonal term, so Lᵀ is never materialized or transposed across
+    the mesh. Total ICI traffic 2·N·R. Returns K⁻¹B replicated.
+    """
+    n_dev = mesh.shape[axis]
+    n = L.shape[-1]
+    Bn = n // n_dev
+
+    def local(L_loc, rhs):
+        d = jax.lax.axis_index(axis)
+
+        def true_diag(k):
+            # the owner's L_kk, broadcast: every device then solves against
+            # a valid triangular block (a non-owner's local slice would be
+            # off-diagonal — singular solves produce inf/NaN garbage that
+            # poisons autodiff even behind the masked select)
+            blk = jax.lax.dynamic_slice(L_loc, (0, k * Bn), (Bn, Bn))
+            return jax.lax.psum(jnp.where(d == k, blk, jnp.zeros_like(blk)),
+                                axis)
+
+        # forward: L z = rhs
+        z = jnp.zeros_like(rhs)
+        for k in range(n_dev):
+            c0 = k * Bn
+            Dk = true_diag(k)
+            # my slab's prefix product is only meaningful on the owner; the
+            # replicated z is zero beyond block k−1
+            pref = jax.lax.dot(L_loc[:, :c0], z[:c0],
+                               precision="high") if k else jnp.zeros(
+                                   (Bn, rhs.shape[1]), rhs.dtype)
+            bk = jax.lax.dynamic_slice(rhs, (c0, 0), (Bn, rhs.shape[1]))
+            zk = jsl.solve_triangular(Dk, bk - pref, lower=True)
+            zk = jax.lax.psum(jnp.where(d == k, zk, jnp.zeros_like(zk)),
+                              axis)
+            z = jax.lax.dynamic_update_slice(z, zk, (c0, 0))
+        # backward: Lᵀ x = z;  (Lᵀ x)_k = L_kkᵀ x_k + Σ_{m>k} L_mkᵀ x_m,
+        # where L_mk is row-owner m's column block k — computed locally and
+        # psum'd, so Lᵀ is never materialized across the mesh
+        x = jnp.zeros_like(rhs)
+        for k in range(n_dev - 1, -1, -1):
+            c0 = k * Bn
+            Dk = true_diag(k)
+            mine = jax.lax.dot_general(
+                jax.lax.dynamic_slice(L_loc, (0, c0), (Bn, Bn)),
+                jax.lax.dynamic_slice(x, (d * Bn, jnp.asarray(0, d.dtype)),
+                                      (Bn, rhs.shape[1])),
+                (((0,), (0,)), ((), ())), precision="high")   # L_dkᵀ x_d
+            off = jax.lax.psum(jnp.where(d > k, mine, jnp.zeros_like(mine)),
+                               axis)
+            zk = jax.lax.dynamic_slice(z, (c0, 0), (Bn, rhs.shape[1]))
+            xk = jsl.solve_triangular(Dk, zk - off, lower=True, trans="T")
+            xk = jax.lax.psum(jnp.where(d == k, xk, jnp.zeros_like(xk)),
+                              axis)
+            x = jax.lax.dynamic_update_slice(x, xk, (c0, 0))
+        return x
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None), P()),
+                      out_specs=P())
+    return f(L, B)
+
+
+def distributed_lml(K, y, mesh, axis="data"):
+    """−Σ log diag(L) − ½ yᵀK⁻¹y with K row-sharded over the mesh: the
+    factorization runs distributed (O(N²/P) per device), the solves use the
+    block-substitution sweeps above, and the log-determinant is a psum of
+    each slab's local diagonal. The counterpart of
+    ops/linalg.lml_quadform_logdet for mesh-resident Grams."""
+    L = distributed_cholesky(K, mesh, axis)
+    alpha = distributed_cho_solve(L, y, mesh, axis)
+    n_dev = mesh.shape[axis]
+    Bn = K.shape[-1] // n_dev
+
+    def local_logdet(L_loc):
+        d = jax.lax.axis_index(axis)
+        diag = jnp.diagonal(jax.lax.dynamic_slice(
+            L_loc, (jnp.asarray(0, d.dtype), d * Bn), (Bn, Bn)))
+        return jax.lax.psum(jnp.sum(jnp.log(diag)), axis)
+
+    logdet = jax.shard_map(local_logdet, mesh=mesh, in_specs=(P(axis, None),),
+                           out_specs=P())(L)
+    return -logdet - 0.5 * jnp.sum(y * alpha)

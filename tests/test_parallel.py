@@ -370,3 +370,36 @@ def test_distributed_cholesky_matches_dense():
 
     with pytest.raises(ValueError, match="divide"):
         distributed_cholesky(jnp.eye(60), mesh)
+
+
+def test_distributed_cho_solve_and_lml():
+    """Block-substitution solves against the row-sharded factor and the
+    distributed LML must match the dense forms; gradients flow through the
+    LML (the masked selects solve against the broadcast TRUE diagonal
+    block, so no singular-solve garbage poisons autodiff)."""
+    from mogptk_tpu.parallel import (distributed_cholesky,
+                                     distributed_cho_solve, distributed_lml)
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+    from mogptk_tpu.ops.linalg import lml_quadform_logdet
+    rng = np.random.RandomState(1)
+    n = 64
+    A = rng.randn(n, n)
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    Bm = jnp.asarray(rng.randn(n, 3))
+    mesh = make_mesh(8)
+    L = distributed_cholesky(K, mesh)
+    X = jax.jit(lambda L, B: distributed_cho_solve(L, B, mesh))(L, Bm)
+    X_ref = jsl.cho_solve((jnp.linalg.cholesky(K), True), Bm)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               rtol=1e-9, atol=1e-10)
+
+    y = jnp.asarray(rng.randn(n, 1))
+    val = jax.jit(lambda K, y: distributed_lml(K, y, mesh))(K, y)
+    ref = lml_quadform_logdet(K, y)
+    np.testing.assert_allclose(float(val), float(ref), rtol=1e-10)
+
+    g = jax.grad(lambda K: distributed_lml(K, y, mesh))(K)
+    g_ref = jax.grad(lambda K: lml_quadform_logdet(K, y))(K)
+    sym = lambda A: 0.5 * (np.asarray(A) + np.asarray(A).T)
+    np.testing.assert_allclose(sym(g), sym(g_ref), rtol=1e-7, atol=1e-9)
