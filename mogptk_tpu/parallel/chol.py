@@ -102,6 +102,17 @@ def distributed_cho_solve(L, B, mesh, axis="data"):
     Bn = n // n_dev
 
     def local(L_loc, rhs):
+        return _cho_solve_local(L_loc, rhs, axis, n_dev, Bn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None), P()),
+                      out_specs=P())
+    return f(L, B)
+
+
+def _cho_solve_local(L_loc, rhs, axis, n_dev, Bn):
+    """The per-device body of distributed_cho_solve — reusable inside other
+    shard_map contexts (e.g. the distributed LML backward)."""
+    if True:
         d = jax.lax.axis_index(axis)
 
         def true_diag(k):
@@ -149,17 +160,8 @@ def distributed_cho_solve(L, B, mesh, axis="data"):
             x = jax.lax.dynamic_update_slice(x, xk, (c0, 0))
         return x
 
-    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None), P()),
-                      out_specs=P())
-    return f(L, B)
 
-
-def distributed_lml(K, y, mesh, axis="data"):
-    """−Σ log diag(L) − ½ yᵀK⁻¹y with K row-sharded over the mesh: the
-    factorization runs distributed (O(N²/P) per device), the solves use the
-    block-substitution sweeps above, and the log-determinant is a psum of
-    each slab's local diagonal. The counterpart of
-    ops/linalg.lml_quadform_logdet for mesh-resident Grams."""
+def _lml_value(K, y, mesh, axis):
     L = distributed_cholesky(K, mesh, axis)
     alpha = distributed_cho_solve(L, y, mesh, axis)
     n_dev = mesh.shape[axis]
@@ -173,4 +175,60 @@ def distributed_lml(K, y, mesh, axis="data"):
 
     logdet = jax.shard_map(local_logdet, mesh=mesh, in_specs=(P(axis, None),),
                            out_specs=P())(L)
-    return -logdet - 0.5 * jnp.sum(y * alpha)
+    return -logdet - 0.5 * jnp.sum(y * alpha), L, alpha
+
+
+def distributed_lml(K, y, mesh, axis="data"):
+    """−Σ log diag(L) − ½ yᵀK⁻¹y with K row-sharded over the mesh: the
+    factorization runs distributed (O(N²/P) per device), the solves use the
+    block-substitution sweeps above, and the log-determinant is a psum of
+    each slab's local diagonal. The counterpart of
+    ops/linalg.lml_quadform_logdet for mesh-resident Grams.
+
+    Gradients use the closed-form custom VJP dK = ½g(ααᵀ − K⁻¹), with each
+    device computing only ITS ROW SLAB of K⁻¹ (P block-substitution solves
+    against identity column blocks inside one shard_map) — autodiff through
+    the unrolled panel loop would otherwise keep O(P) slab residuals =
+    O(N²) per device in the backward. The dK cotangent comes back
+    row-sharded over the mesh."""
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def _lml(K, y):
+        return _lml_value(K, y, mesh, axis)[0]
+
+    def _fwd(K, y):
+        val, L, alpha = _lml_value(K, y, mesh, axis)
+        return val, (L, alpha)
+
+    def _bwd(res, g):
+        L, alpha = res
+        n_dev = mesh.shape[axis]
+        n = L.shape[-1]
+        Bn = n // n_dev
+
+        def local(L_loc, alpha_rep):
+            d = jax.lax.axis_index(axis)
+            # my row slab of K⁻¹ (symmetric: rows d = (K⁻¹ E_d)ᵀ): run the
+            # P identity-block solves; each device keeps only its own
+            inv_slab = jnp.zeros((Bn, n), L_loc.dtype)
+            rows = jnp.arange(n)
+            for k in range(n_dev):
+                Ek = (rows[:, None] == (k * Bn + jnp.arange(Bn))[None, :]
+                      ).astype(L_loc.dtype)                     # (N, Bn)
+                Xk = _cho_solve_local(L_loc, Ek, axis, n_dev, Bn)  # (N, Bn)
+                inv_slab = jnp.where(d == k, Xk.T, inv_slab)
+            a_slab = jax.lax.dynamic_slice(
+                alpha_rep, (d * Bn, jnp.asarray(0, d.dtype)),
+                (Bn, alpha_rep.shape[1]))
+            dK_slab = 0.5 * (jax.lax.dot(a_slab, alpha_rep.T,
+                                         precision="high")
+                             - inv_slab)
+            return dK_slab
+
+        dK = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None), P()),
+                           out_specs=P(axis, None))(L, alpha)
+        return g * dK, -g * alpha
+
+    _lml.defvjp(_fwd, _bwd)
+    return _lml(K, y)
