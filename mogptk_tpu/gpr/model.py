@@ -187,7 +187,7 @@ class Model(Module):
         state = self.__dict__.copy()
         state["_jit_cache"] = {}
         # mesh-bound handles are process-local and not picklable
-        for key in ("_gram_sharding", "_ring", "_row_mask"):
+        for key in ("_gram_sharding", "_gram_mesh", "_ring", "_row_mask"):
             state.pop(key, None)
         for key in ("X", "y", "data_variance"):
             if key in state and state[key] is not None:
@@ -569,11 +569,18 @@ class Exact(Model):
         """Row-block-shard the Gram assembly over a mesh (set by
         parallel.sharding.exact_sharded_step). Call with mesh=None to go
         back to single-device; either way the jit cache is invalidated so
-        previously traced programs don't silently disagree."""
+        previously traced programs don't silently disagree.
+
+        With a mesh installed, the deterministic (trace_probes=None)
+        unmasked LML also routes through parallel.chol.distributed_lml —
+        factorization, solves, AND the closed-form backward all run with
+        O(N²/P) per-device memory (nothing gathers the full Gram)."""
         from jax.sharding import NamedSharding, PartitionSpec
         object.__setattr__(self, "_gram_sharding",
                            None if mesh is None
                            else NamedSharding(mesh, PartitionSpec(axis, None)))
+        object.__setattr__(self, "_gram_mesh",
+                           None if mesh is None else (mesh, axis))
         self._jit_cache.clear()
 
     def log_marginal_likelihood(self):
@@ -594,6 +601,17 @@ class Exact(Model):
             val = lml_chol_fused(static, x, diag, y, params)
             return val - self.log_marginal_likelihood_constant
         y = self._residual_y()
+        gram_mesh = getattr(self, "_gram_mesh", None)
+        if (mask is None and gram_mesh is not None and not self.trace_probes
+                and self.X.shape[0] % gram_mesh[0].shape[gram_mesh[1]] == 0):
+            # mesh-sharded deterministic LML: distributed panel Cholesky +
+            # block-substitution solves + closed-form slab backward — the
+            # full Gram never exists on any single device
+            from ..parallel.chol import distributed_lml
+            mesh, axis = gram_mesh
+            Kff = self._Kff(add_jitter=True)
+            val = distributed_lml(Kff, y, mesh, axis)
+            return val - self.log_marginal_likelihood_constant
         if mask is None:
             # the noise (+relative jitter) diagonal rides the factorization
             # as a vector diag_shift — the noisy Gram is never materialized,

@@ -56,8 +56,20 @@ def test_exact_sharded_step_matches_single_device():
 
     mesh = make_mesh(8)
     step, params, opt_state, X_sh, Y_sh = exact_sharded_step(exact, mesh, opt)
-    _, _, loss_sharded = step(params, opt_state, X_sh, Y_sh)
+    params1, _, loss_sharded = step(params, opt_state, X_sh, Y_sh)
+    # with the mesh installed the deterministic LML routes through
+    # parallel.chol.distributed_lml (panel factorization + slab backward);
+    # value AND parameter updates must match the single-device step
     np.testing.assert_allclose(float(loss_sharded), exact.loss(), rtol=1e-8)
+    exact.use_gram_sharding(None)
+    loss_fn = exact.make_loss_fn()
+    train0, fixed = exact._split_raws()
+    _, g = jax.value_and_grad(loss_fn)(train0, fixed)
+    updates, _ = opt.update(g, opt.init(train0), train0)
+    expected = jax.tree.map(lambda p, u: p + u, train0, updates)
+    for a, b in zip(params1, expected):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
 
 
 def test_multiple_sharded_steps_progress():
