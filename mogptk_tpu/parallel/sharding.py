@@ -117,16 +117,17 @@ def data_parallel_step(model, mesh, optimizer, axis="data"):
 
 
 def exact_sharded_step(model, mesh, optimizer, axis="data"):
-    """Exact-GP LML+grad step with the Gram assembly sharded by rows.
+    """Exact-GP LML+grad step with the Gram sharded by rows end to end.
 
     X is row-sharded and the N×N Gram carries an explicit row-block sharding
     constraint (each device assembles and back-propagates through only its
-    N/devices × N rows — the O(Q·D) elementwise assembly chain and its VJP
-    are the dominant cost and memory at this model's scale). The Cholesky
-    itself still gathers: XLA's factorization is single-device, so peak
-    factorization memory is N² on one device. For an O(N²/P)-per-device
-    factorization use `parallel.distributed_cholesky`; for fully-distributed
-    O(N/P) inference use `iterative_ring_step`.
+    N/devices × N rows). For the deterministic (trace_probes=None) unmasked
+    LML the factorization, solves, and closed-form backward also run
+    distributed (parallel.chol.distributed_lml) — per-device memory is
+    O(N²/P) throughout, nothing gathers the full Gram. Probe-gradient and
+    masked configurations fall back to the single-device factorization
+    (which gathers); for fully-distributed O(N/P)-memory inference use
+    `iterative_ring_step`.
     """
     from ..gpr.model import Exact
     if isinstance(model, Exact):
