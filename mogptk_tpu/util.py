@@ -22,11 +22,21 @@ def mean_absolute_percentage_error(y_true, y_pred):
 
 
 def symmetric_mean_absolute_percentage_error(y_true, y_pred):
-    """sMAPE in percent (reference: mogptk/util.py:22-29)."""
+    """sMAPE in percent (reference: mogptk/util.py:22-29).
+
+    Known reference defect, intentionally fixed: the reference filters on
+    ``1e-6 < y_true`` only and divides by the signed sum, which makes the
+    "symmetric" metric asymmetric in its arguments and NaN for all-zero
+    inputs. Here we use the textbook form: pairs are kept when
+    ``|y_true| + |y_pred| > 1e-6`` and the denominator is that absolute sum,
+    so sMAPE(a, b) == sMAPE(b, a) and the all-equal case returns 0.
+    """
     y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
-    idx = 1e-6 < y_true
-    y_true, y_pred = y_true[idx], y_pred[idx]
-    return np.mean(np.abs((y_true - y_pred) / (y_true + y_pred))) * 200.0
+    denom = np.abs(y_true) + np.abs(y_pred)
+    idx = 1e-6 < denom
+    if not idx.any():
+        return 0.0
+    return np.mean(np.abs(y_true[idx] - y_pred[idx]) / denom[idx]) * 200.0
 
 
 def mean_squared_error(y_true, y_pred):
