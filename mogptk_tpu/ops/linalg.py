@@ -92,9 +92,13 @@ def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None,
     pass contains L⁻¹, so the gradient overflows first (observed: f32 Titsias
     with 500 trained inducing points NaNs through the gradient, never through
     the factor). The retry is a `lax.cond`, so under jit only the needed
-    factorizations execute — the happy path costs two diag reductions per
-    rung. This keeps f32 training alive when trained inducing points degrade
-    Kuu conditioning mid-optimization.
+    factorizations execute. The ladder is a custom-VJP op: the rung-0
+    factorization IS the returned factor on the happy path (no duplicate
+    trial — the r02 design paid one full extra factorization per call), and
+    the backward applies the explicit Cholesky-gradient formula to the
+    final (usable) factor only, so a NaN'd early rung can never poison the
+    gradient (the 0×NaN failure mode that forced the two-factorization
+    design). Cost of rungs that never fire: two diag reductions + a cond.
     """
     if ladder is None:
         from ..gpr.config import config
@@ -103,60 +107,108 @@ def jittered_cholesky(K, jitter=None, ladder=None, extra_diag=None,
     # blocked path upcasts per-tile in VMEM, diag_shift carries the jitter
     # in the factor dtype — adding 1e-8·diag to a bf16 K would round away)
     sd = _solve_dtype(K.dtype)
-    n = K.shape[-1]
     if extra_diag is not None:
         if K.ndim != 2:
             raise ValueError("extra_diag requires a 2-D K")
         extra = jnp.asarray(extra_diag, sd).reshape(-1)
-        mean_diag = jnp.mean(jnp.diagonal(K).astype(sd) + extra)
     else:
         extra = None
-        mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1).astype(sd),
-                             axis=-1)[..., None, None]
-
-    def _shift(scalar, e, m):
-        """cholesky() diag_shift: optional scalar relative-jitter value
-        combined with the optional extra vector."""
-        if e is None:
-            return None if scalar is None else scalar * m
-        return e if scalar is None else e + scalar * m
 
     base = jitter if jitter is not None else 0.0
     if int(ladder) <= 0:
+        if extra is None:
+            mean_diag = jnp.mean(
+                jnp.diagonal(K, axis1=-2, axis2=-1).astype(sd),
+                axis=-1)[..., None, None]
+        else:
+            mean_diag = jnp.mean(jnp.diagonal(K).astype(sd) + extra)
         return cholesky(K, diag_shift=_shift(base if base != 0.0 else None,
                                              extra, mean_diag))
 
-    # All trial factorizations run under stop_gradient and only select the
-    # *jitter value*; the returned factor comes from ONE final differentiable
-    # cholesky with the chosen jitter. Differentiating a NaN trial directly
-    # (even behind lax.cond, where the untaken branch gets a zero cotangent)
-    # poisons the gradient: the cholesky VJP evaluates 0 × NaN = NaN.
-    tol = 1000.0 * jnp.finfo(sd).eps
-
-    def unusable(L_):
-        d = jnp.abs(jnp.diagonal(L_, axis1=-2, axis2=-1))
-        return jnp.any(jnp.isnan(L_)) | jnp.any(jnp.min(d, axis=-1) <= tol * jnp.max(d, axis=-1))
-
-    Ks = jax.lax.stop_gradient(K)
-    md = jax.lax.stop_gradient(mean_diag)
-    extra_s = None if extra is None else jax.lax.stop_gradient(extra)
-    jit_val = jnp.asarray(base, sd)
-    L_trial = cholesky(Ks, diag_shift=_shift(base if base != 0.0 else None,
-                                             extra_s, md))
     rung_base = base if base != 0.0 else (
         ladder_base if ladder_base else 1e-8)
+    extra_arg = jnp.zeros(0, sd) if extra is None else extra
+    return _ladder_cholesky(K, extra_arg, float(base), int(ladder),
+                            float(rung_base))
+
+
+def _shift(scalar, e, m):
+    """cholesky() diag_shift: optional scalar relative-jitter value (times
+    the mean-diagonal base m) combined with the optional extra vector."""
+    if e is None:
+        return None if scalar is None else scalar * m
+    return e if scalar is None else e + scalar * m
+
+
+def _unusable(L, tol):
+    d = jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
+    return (jnp.any(jnp.isnan(L))
+            | jnp.any(jnp.min(d, axis=-1) <= tol * jnp.max(d, axis=-1)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _ladder_cholesky(K, extra, base, ladder, rung_base):
+    """Jitter-laddered Cholesky as one custom-VJP op.
+
+    extra is an (n,) vector diag shift, or a zero-length sentinel when K is
+    batched / has no vector shift. base/ladder/rung_base are static Python
+    numbers. Gradients flow to K (dense, symmetrized) and extra
+    (= diag(dK)); the relative-jitter shift itself contributes none (it is
+    selected data-dependently — same semantics as the r02 ladder, whose
+    final factorization used a stop-gradient mean diagonal)."""
+    return _ladder_fwd(K, extra, base, ladder, rung_base)[0]
+
+
+@_sensitive
+def _ladder_fwd(K, extra, base, ladder, rung_base):
+    sd = _solve_dtype(K.dtype)
+    e = extra if extra.size else None
+    if e is not None:
+        md = jnp.mean(jnp.diagonal(K).astype(sd) + e)
+    else:
+        md = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1).astype(sd),
+                      axis=-1)[..., None, None]
+    tol = 1000.0 * jnp.finfo(sd).eps
+    L = cholesky(K, diag_shift=_shift(base if base != 0.0 else None, e, md))
     for i in range(int(ladder)):
         rung = rung_base * (10.0 ** (i + 1))
-        bad = unusable(L_trial)
-        jit_val = jnp.where(bad, jnp.asarray(rung, sd), jit_val)
-        L_trial = jax.lax.cond(
-            bad,
-            lambda _, rung=rung: cholesky(Ks, diag_shift=_shift(rung, extra_s, md)),
-            lambda L_prev, rung=rung: L_prev,
-            L_trial)
-    # the extra vector stays differentiable; the selected jitter term (like
-    # the scalar path's) contributes no gradient (stop-gradient mean diag)
-    return cholesky(K, diag_shift=_shift(jit_val, extra, md))
+        L = jax.lax.cond(
+            _unusable(L, tol),
+            lambda L_, rung=rung: cholesky(K, diag_shift=_shift(rung, e, md)),
+            lambda L_: L_,
+            L)
+    # the extra sentinel keeps its (static) length so the backward knows
+    # whether a vector-shift cotangent is owed
+    return L, (L, jnp.zeros(0, K.dtype), jnp.zeros(extra.shape, extra.dtype))
+
+
+@_sensitive
+def _ladder_bwd(base, ladder, rung_base, res, gL):
+    """Explicit Cholesky VJP (Murray 2016) from the final factor:
+    dK = ½(G + Gᵀ), G = L⁻ᵀ Φ(Lᵀ tril(gL)) L⁻¹ with Φ = tril, diag halved.
+    Two triangular solves + one GEMM — the same cost shape as autodiff
+    through the factorization, but computable from L alone."""
+    L, k_sent, e_sent = res
+    gL = jnp.tril(gL)
+    middle = jnp.matmul(jnp.swapaxes(L, -1, -2), gL, precision="highest")
+    middle = jnp.tril(middle)
+    diag = jnp.diagonal(middle, axis1=-2, axis2=-1)
+    n = L.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    middle = jnp.where(r == c, 0.5 * diag[..., None, :], middle)
+    # G = L⁻ᵀ middle L⁻¹: T1 = L⁻ᵀ middle, then G = (L⁻ᵀ T1ᵀ)ᵀ = T1 L⁻¹
+    T1 = jsl.solve_triangular(L, middle, lower=True, trans=1)
+    G = jnp.swapaxes(
+        jsl.solve_triangular(L, jnp.swapaxes(T1, -1, -2), lower=True,
+                             trans=1), -1, -2)
+    dK = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+    dextra = (jnp.diagonal(dK).astype(e_sent.dtype) if e_sent.size
+              else jnp.zeros(0, e_sent.dtype))
+    return dK.astype(k_sent.dtype), dextra
+
+
+_ladder_cholesky.defvjp(_ladder_fwd, _ladder_bwd)
 
 
 def _static_ge(a, b):

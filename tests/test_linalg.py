@@ -160,6 +160,58 @@ def test_jitter_ladder_rescues_indefinite_matrix():
         gpr.use_jitter_ladder(0)
 
 
+def test_jitter_ladder_gradients_match_autodiff():
+    """The laddered Cholesky is a custom-VJP op (rung-0 factor reused on the
+    happy path; explicit Murray-2016 backward from the final factor). On a
+    PSD input its value AND gradients must match the ladder=0 autodiff path,
+    for dense dK, the extra_diag vector, and batched K — and a rescued
+    indefinite input must yield finite gradients (the 0×NaN poisoning that
+    forced the r02 two-factorization design)."""
+    from mogptk_tpu.ops.linalg import jittered_cholesky
+
+    rng = np.random.RandomState(3)
+    n = 24
+    A = rng.randn(n, n)
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    d = jnp.asarray(0.1 + rng.rand(n))
+    W = jnp.asarray(rng.randn(n, n))
+
+    def make(ladder):
+        def f(K, d):
+            L = jittered_cholesky(K, 1e-8, ladder=ladder, extra_diag=d)
+            return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(W * L)
+        return f
+
+    v0, g0 = jax.value_and_grad(make(0), argnums=(0, 1))(K, d)
+    v1, g1 = jax.value_and_grad(make(3), argnums=(0, 1))(K, d)
+    assert float(abs(v0 - v1)) == 0.0
+    # only the symmetric part of dK is meaningful for a symmetric input
+    s0 = 0.5 * (g0[0] + g0[0].T)
+    s1 = 0.5 * (g1[0] + g1[0].T)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                               rtol=1e-6, atol=1e-8)
+
+    # batched K, no extra vector
+    Kb = jnp.stack([K, K + jnp.eye(n)])
+    fb = lambda ladder: (lambda Kb: jnp.sum(jnp.log(jnp.diagonal(
+        jittered_cholesky(Kb, 1e-8, ladder=ladder), axis1=-2, axis2=-1))))
+    gb0 = jax.grad(fb(0))(Kb)
+    gb1 = jax.grad(fb(3))(Kb)
+    np.testing.assert_allclose(
+        np.asarray(0.5 * (gb0 + jnp.swapaxes(gb0, -1, -2))),
+        np.asarray(0.5 * (gb1 + jnp.swapaxes(gb1, -1, -2))),
+        rtol=1e-6, atol=1e-8)
+
+    # an input that needs rungs: value and grad come out finite
+    Kbad = jnp.asarray(A @ A.T - 3.0 * np.eye(n))
+    fbad = lambda K: jnp.sum(jnp.log(jnp.abs(jnp.diagonal(
+        jittered_cholesky(K, jitter=1e-8, ladder=12)))))
+    assert bool(jnp.isfinite(fbad(Kbad)))
+    assert bool(jnp.all(jnp.isfinite(jax.grad(fbad)(Kbad))))
+
+
 def test_half_precision_solves_run_in_f32():
     """use_half_precision keeps params/Gram in bf16 but the factorization
     and LML solve upcast to f32 (ops/linalg._solve_dtype)."""
