@@ -430,7 +430,10 @@ class Data:
         if self.F is not None:
             if X.shape[0] == 0:
                 X, _ = self.get_data()
-            Y = np.asarray(self.F(*[X[:, i] for i in range(X.shape[1])])).reshape(-1)
+            # F's contract is the per-dimension DATA dtype (datetime64 axes
+            # probe F with datetime64 in _check_function)
+            Y = np.asarray(self.F(*[X[:, i].astype(self.X_dtypes[i])
+                                    for i in range(X.shape[1])])).reshape(-1)
             if transformed:
                 Y = self.Y_transformer.forward(Y, X)
             return X, Y
@@ -719,169 +722,168 @@ class Data:
         return A, B, C
 
     # -- plotting -----------------------------------------------------------------
-    def plot(self, pred=None, title=None, ax=None, legend=True, errorbars=True, transformed=False):
-        """Plot observations, removed ranges, latent function
-        (reference: mogptk/data.py:1089-1183)."""
-        import matplotlib.pyplot as plt
-        import matplotlib.patches as patches
+    # Data preparation lives here; rendering goes through mogptk_tpu.plotting
+    # (covers reference mogptk/data.py:1089-1279).
 
+    def _require_plottable(self):
         if self.get_input_dims() > 2:
             raise ValueError("cannot plot more than two input dimensions")
         if self.get_input_dims() == 2:
             raise NotImplementedError("two dimensional input data not yet implemented")
 
-        if ax is None:
-            _, ax = plt.subplots(1, 1, figsize=(12, 4), squeeze=True, constrained_layout=True)
+    def _axis_dtype(self):
+        """dtype the x-axis should be rendered in (None = plain numeric)."""
+        return self.X_dtypes[0] if _is_datetime64(self.X_dtypes[0]) else None
 
-        legends = []
-        if errorbars and self.Y_err is not None:
-            x, y = self.get_train_data(transformed=transformed)
-            yl = self.Y[self.mask] - self.Y_err[self.mask]
-            yu = self.Y[self.mask] + self.Y_err[self.mask]
-            if transformed:
-                yl = self.Y_transformer.forward(yl, x)
-                yu = self.Y_transformer.forward(yu, x)
-            x = x.astype(self.X_dtypes[0])
-            ax.errorbar(x[:, 0], y, [y - yl, yu - y], elinewidth=1.5, ecolor="lightgray", capsize=0, ls="", marker="")
+    def _x_range(self):
+        """Observation + prediction-range x extent, as float64."""
+        lo, hi = np.min(self.X), np.max(self.X)
+        if self.X_pred is not None:
+            lo = min(lo, np.min(self.X_pred))
+            hi = max(hi, np.max(self.X_pred))
+        return float(lo), float(hi)
 
-        if self.X_pred is None:
-            xmin = np.min(self.X)
-            xmax = np.max(self.X)
+    def _latent_curve(self, xmin, xmax, transformed=False):
+        """Evaluate the known latent F densely over [xmin, xmax]; returns
+        (x_float64, y) or None. F's contract is the DATA dtype — datetime64
+        axes probe F with datetime64 in _check_function, so those axes get a
+        one-unit-step datetime grid, not a float grid."""
+        if self.F is None:
+            return None
+        x = np.linspace(xmin, xmax, 10 * len(self.X))
+        if _is_datetime64(self.X_dtypes[0]):
+            # snap samples to whole axis units and dedupe (a fine-unit axis
+            # must NOT get a one-unit-step grid: us units over months is TiB)
+            grid = np.unique(x.astype(self.X_dtypes[0]))
+            x = grid.astype(np.float64)
         else:
-            xmin = min(np.min(self.X), np.min(self.X_pred))
-            xmax = max(np.max(self.X), np.max(self.X_pred))
+            grid = x
+        y = self.F(grid)
+        if transformed:
+            y = self.Y_transformer.forward(y, x.reshape(-1, 1))
+        return x, y
 
-        if self.F is not None:
-            if _is_datetime64(self.X_dtypes[0]):
-                dt = np.timedelta64(1, _get_time_unit(self.X_dtypes[0]))
-                x = np.arange(xmin.astype(self.X_dtypes[0]), xmax.astype(self.X_dtypes[0]) + np.timedelta64(1, "us"), dt, dtype=self.X_dtypes[0])
-                xf = x.astype(np.float64)
-            else:
-                n = len(self.X) * 10
-                xf = np.linspace(xmin, xmax, n)
-                x = xf
-            # F's contract is the DATA dtype (datetime64 axes probe F with
-            # datetime64 in _check_function) — passing the float64 view
-            # crashed every datetime LoadFunction dataset on plot
-            y = self.F(x)
-            if transformed:
-                y = self.Y_transformer.forward(y, xf.reshape(-1, 1))
-            ax.plot(x, y, "g--", lw=1)
-            legends.append(plt.Line2D([0], [0], ls="--", color="g", label="Latent"))
+    def _errorbar_data(self, transformed=False):
+        """(x, y, lo, hi) whiskers for observations carrying Y_err, or None."""
+        if self.Y_err is None:
+            return None
+        x, y = self.get_train_data(transformed=transformed)
+        lo = self.Y[self.mask] - self.Y_err[self.mask]
+        hi = self.Y[self.mask] + self.Y_err[self.mask]
+        if transformed:
+            lo = self.Y_transformer.forward(lo, x)
+            hi = self.Y_transformer.forward(hi, x)
+        return x[:, 0], y, lo, hi
 
+    def _push_observations(self, canvas, transformed=False, errorbars=True):
+        """Layer this channel's observations onto a plotting.Canvas: error
+        whiskers, latent truth, test/train points, removed-range shading.
+        Shared by Data.plot and Model.plot_prediction. Returns the x extent."""
+        xmin, xmax = self._x_range()
+        if errorbars:
+            eb = self._errorbar_data(transformed)
+            if eb is not None:
+                canvas.errorbars(*eb)
+        latent = self._latent_curve(xmin, xmax, transformed)
+        if latent is not None:
+            canvas.curve(latent[0], latent[1], "latent", "Latent")
         if self.has_test_data():
             x, y = self.get_test_data(transformed=transformed)
-            x = x.astype(self.X_dtypes[0])
-            ax.plot(x[:, 0], y, "r.", ms=10)
-            legends.append(plt.Line2D([0], [0], ls="", color="r", marker=".", ms=10, label="Test data"))
-
+            canvas.points(x[:, 0], y, "test", "Test data")
         x, y = self.get_train_data(transformed=transformed)
-        x = x.astype(self.X_dtypes[0])
-        ax.plot(x[:, 0], y, "k.", ms=10)
-        legends.append(plt.Line2D([0], [0], ls="", color="k", marker=".", ms=10, label="Train data"))
+        canvas.points(x[:, 0], y, "train", "Train data")
+        canvas.spans(self.removed_ranges[0], "removed", "Removed ranges")
+        return xmin, xmax
 
-        if 0 < len(self.removed_ranges[0]):
-            for removed_range in self.removed_ranges[0]:
-                x0 = np.float64(removed_range[0]).astype(self.X_dtypes[0])
-                x1 = np.float64(removed_range[1]).astype(self.X_dtypes[0])
-                y0 = ax.get_ylim()[0]
-                y1 = ax.get_ylim()[1]
-                ax.add_patch(patches.Rectangle(
-                    (x0, y0), x1 - x0, y1 - y0, fill=True, color="crimson", alpha=0.3, lw=0))
-            legends.insert(0, patches.Rectangle(
-                (1, 1), 1, 1, fill=True, color="crimson", alpha=0.3, lw=0, label="Removed Ranges"))
-
-        xmin = np.float64(xmin).astype(self.X_dtypes[0])
-        xmax = np.float64(xmax).astype(self.X_dtypes[0])
-        ax.set_xlim(xmin - (xmax - xmin) * 0.001, xmax + (xmax - xmin) * 0.001)
-        ax.set_xlabel(self.X_labels[0], fontsize=14)
-        ax.set_ylabel(self.Y_label, fontsize=14)
-        ax.set_title(self.name if title is None else title, fontsize=16)
-
-        if legend:
-            ax.legend(handles=legends)
+    def plot(self, pred=None, title=None, ax=None, legend=True, errorbars=True, transformed=False):
+        """Plot observations, removed ranges, and the latent function."""
+        from . import plotting
+        self._require_plottable()
+        if ax is None:
+            _, axes = plotting.grid(1, 1)
+            ax = axes[0, 0]
+        canvas = plotting.Canvas(ax, x_dtype=self._axis_dtype())
+        xmin, xmax = self._push_observations(canvas, transformed=transformed,
+                                             errorbars=errorbars)
+        canvas.finish(xlim=(xmin, xmax), xlabel=self.X_labels[0],
+                      ylabel=self.Y_label,
+                      title=self.name if title is None else title,
+                      legend=legend)
         return ax
 
-    def plot_spectrum(self, title=None, method="ls", ax=None, per=None, maxfreq=None,
-                      log=False, transformed=True, n=10000):
-        """Plot the periodogram/BNSE spectrum of the data
-        (reference: mogptk/data.py:1185-1279)."""
-        import matplotlib.pyplot as plt
+    def periodogram(self, method="ls", per=None, maxfreq=None, n=10000,
+                    transformed=True):
+        """Spectral density estimate of this channel's observations.
+
+        Returns ``(freqs, psd, psd_err, unit)``: a density normalized to
+        integrate to 1 on its grid, an error band (empty unless
+        method='bnse'), and the frequency unit name for axis labeling
+        (datetime64 axes default to their native unit; ``per`` overrides).
+        With ``maxfreq=None`` the grid runs to the Nyquist rate of the mean
+        sampling interval and is trimmed to the 99% cumulative-mass point.
+        """
         from scipy import signal
+        from . import plotting
+        self._require_plottable()
 
-        if self.get_input_dims() > 2:
-            raise ValueError("cannot plot more than two input dimensions")
-        if self.get_input_dims() == 2:
-            raise NotImplementedError("two dimensional input data not yet implemented")
-
-        ax_set = ax is not None
-        if ax is None:
-            _, ax = plt.subplots(1, 1, figsize=(12, 4), squeeze=True, constrained_layout=True)
-
-        X_scale = 1.0
+        x_scale, unit = 1.0, per
         if _is_datetime64(self.X_dtypes[0]):
             if per is None:
-                per = _datetime64_unit_names[_get_time_unit(self.X_dtypes[0])]
+                unit = _datetime64_unit_names[_get_time_unit(self.X_dtypes[0])]
             else:
-                X_scale = 1.0 / _parse_delta(per, self.X_dtypes[0])
-                if not isinstance(per, str):
-                    per = "%s" % (per,)
+                x_scale = 1.0 / _parse_delta(per, self.X_dtypes[0])
+                unit = "%s" % (per,)
 
-        if per is not None:
-            ax.set_xlabel("Frequency [1/" + per + "]", fontsize=14)
-        else:
-            ax.set_xlabel("Frequency", fontsize=14)
+        Y = self.Y_transformer.forward(self.Y, self.X) if transformed else self.Y
+        order = np.argsort(self.X[:, 0])
+        x = self.X[order, 0] * x_scale
+        y = Y[order]
 
-        X = self.X
-        Y = self.Y
-        if transformed:
-            Y = self.Y_transformer.forward(Y, X)
+        nyquist = maxfreq if maxfreq is not None else \
+            float(0.5 / np.average(np.abs(np.diff(x))))
 
-        idx = np.argsort(X[:, 0])
-        X = X[idx, 0] * X_scale
-        Y = Y[idx]
-
-        nyquist = maxfreq
-        if nyquist is None:
-            dist = np.abs(X[1:] - X[:-1])
-            nyquist = float(0.5 / np.average(dist))
-
-        Y_freq_err = np.array([])
+        err = np.array([])
         if method.lower() == "ls":
-            X_freq = np.linspace(0.0, nyquist, n + 1)[1:]
-            Y_freq = signal.lombscargle(X * 2.0 * np.pi, Y, X_freq)
+            freqs = np.linspace(0.0, nyquist, n + 1)[1:]
+            psd = signal.lombscargle(2.0 * np.pi * x, y, freqs)
         elif method.lower() == "bnse":
             from .init import BNSE
-            X_freq, Y_freq, Y_freq_err = BNSE(X, Y, max_freq=nyquist, n=n)
+            freqs, psd, err = BNSE(x, y, max_freq=nyquist, n=n)
         else:
             raise ValueError('periodogram method "%s" does not exist' % (method,))
 
-        Y_freq = Y_freq / (Y_freq.sum() * (X_freq[1] - X_freq[0]))
-
+        psd = plotting.normalize_density(psd, freqs)
         if maxfreq is None:
-            idx = np.cumsum(Y_freq) * (X_freq[1] - X_freq[0]) < 0.99
-            X_freq = X_freq[idx]
-            Y_freq = Y_freq[idx]
-            if len(Y_freq_err) != 0:
-                Y_freq_err = Y_freq_err[idx]
+            keep = np.cumsum(psd) * (freqs[1] - freqs[0]) < 0.99
+            freqs, psd = freqs[keep], psd[keep]
+            if err.size:
+                err = err[keep]
+        return freqs, psd, err, unit
 
-        ax.plot(X_freq, Y_freq, "-", c="k", lw=2)
-        if len(Y_freq_err) != 0:
-            Y_freq_err = 2.0 * np.sqrt(Y_freq_err)
-            ax.fill_between(X_freq, Y_freq - Y_freq_err, Y_freq + Y_freq_err, color="k", alpha=0.2)
-        ax.set_title((self.name + " Spectrum" if self.name is not None else "") if title is None else title, fontsize=16)
+    def plot_spectrum(self, title=None, method="ls", ax=None, per=None, maxfreq=None,
+                      log=False, transformed=True, n=10000):
+        """Plot the Lomb-Scargle / BNSE spectrum of the observations."""
+        from . import plotting
+        freqs, psd, err, unit = self.periodogram(
+            method=method, per=per, maxfreq=maxfreq, n=n, transformed=transformed)
 
-        if log:
-            ax.set_xscale("log")
-            ax.set_yscale("log")
-        else:
+        ax_given = ax is not None
+        if ax is None:
+            _, axes = plotting.grid(1, 1)
+            ax = axes[0, 0]
+        canvas = plotting.Canvas(ax)
+        canvas.curve(freqs, psd, "psd")
+        if err.size:
+            band = 2.0 * np.sqrt(err)
+            canvas.band(freqs, psd - band, psd + band, "psd-err")
+        if title is None:
+            title = self.name + " Spectrum" if self.name is not None else ""
+        canvas.finish(
+            xlim=None if ax_given else (freqs.min(), freqs.max()), xpad=0.005,
+            xlabel="Frequency" + (" [1/%s]" % unit if unit is not None else ""),
+            title=title, legend=False, logx=log, logy=log, hide_yticks=True)
+        if not log:
             ax.set_ylim(0, None)
-
-        if not ax_set:
-            xmin = X_freq.min()
-            xmax = X_freq.max()
-            ax.set_xlim(xmin - (xmax - xmin) * 0.005, xmax + (xmax - xmin) * 0.005)
-        ax.set_yticks([])
         return ax
 
     # -- value normalization ------------------------------------------------------

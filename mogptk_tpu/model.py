@@ -696,242 +696,141 @@ class Model:
         return Samples
 
     # -- plotting ---------------------------------------------------------------
+    # Data preparation only; rendering goes through mogptk_tpu.plotting
+    # (covers reference mogptk/model.py:736-1037).
+
+    def _per_channel(self, val, default):
+        """Expand a scalar (or None) to one value per output channel."""
+        if val is None:
+            val = default
+        if not isinstance(val, (list, np.ndarray)):
+            val = [val] * len(self.dataset)
+        return val
+
     def plot_losses(self, title=None, figsize=(12, 4), legend=True, errors=True, log=False):
-        """Plot training loss (and error) history (reference: mogptk/model.py:736-780)."""
-        import matplotlib.pyplot as plt
+        """Plot the training loss (and, on a twin axis, error) history."""
+        from . import plotting
         if self.iters == 0:
             raise Exception("must be trained in order to plot the losses")
 
-        fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
-        x = np.arange(0, self.iters + 1)
+        fig, axes = plotting.grid(1, 1, figsize=figsize, title=title)
+        ax = axes[0, 0]
+        it = np.arange(self.iters + 1)
+        canvas = plotting.Canvas(ax)
+        canvas.curve(it, self.losses, "loss", "Loss")
+        if errors and it.shape[0] == self.errors.shape[0]:
+            twin = plotting.Canvas(ax.twinx(), legend_into=canvas)
+            twin.curve(it, self.errors, "error", "Error")
+            twin.finish(ylabel="Error", legend=False, logy=log, label_size=10)
+            twin.ax.set_ylim(0.0, None)
         ax.set_xlim(0, self.iters)
-        ax.set_xlabel("Iteration")
-        ax.set_ylabel("Loss")
-        if log:
-            ax.set_yscale("log")
-
-        ax.plot(x, self.losses, c="k", ls="-")
-
-        legends = [plt.Line2D([0], [0], ls="-", color="k", label="Loss")]
-        if errors and x.shape[0] == self.errors.shape[0]:
-            ax2 = ax.twinx()
-            ax2.plot(x, self.errors, c="k", ls="-.")
-            ax2.set_ylabel("Error")
-            ax2.set_ylim(0.0, None)
-            legends.append(plt.Line2D([0], [0], ls="-.", color="k", label="Error"))
-            if log:
-                ax2.set_yscale("log")
-
-        if title is not None:
-            fig.suptitle(title, fontsize=18)
-        if legend:
-            ax.legend(handles=legends)
+        canvas.finish(xlabel="Iteration", ylabel="Loss", legend=legend,
+                      logy=log, label_size=10)
         return fig, ax
 
     def plot_prediction(self, X=None, title=None, figsize=None, legend=True,
                         errorbars=True, ci=None, sigma=2, n=10000, transformed=False):
-        """Plot per-channel predictions with confidence bands
-        (reference: mogptk/model.py:782-895)."""
-        import matplotlib.pyplot as plt
-        import matplotlib.patches as patches
+        """Plot per-channel posterior mean + confidence band over the data.
+
+        The observation layers (error whiskers, latent, train/test points,
+        removed ranges) come from Data._push_observations — the same code
+        path as Data.plot — with the posterior layers stacked on top.
+        """
+        from . import plotting
 
         X, Mu, Lower, Upper = self.predict(X, ci=ci, sigma=sigma, n=n, transformed=transformed)
         if len(self.dataset) == 1:
             X, Mu, Lower, Upper = [X], [Mu], [Lower], [Upper]
 
-        if figsize is None:
-            figsize = (12, 4 * len(self.dataset))
-
-        fig, ax = plt.subplots(len(self.dataset), 1, figsize=figsize, squeeze=False, constrained_layout=True)
+        fig, axes = plotting.grid(len(self.dataset), 1, figsize=figsize)
         for j, data in enumerate(self.dataset):
-            if data.get_input_dims() > 2:
-                raise ValueError("cannot plot more than two input dimensions")
-            if data.get_input_dims() == 2:
-                raise NotImplementedError("two dimensional input data not yet implemented")
+            data._require_plottable()
+            canvas = plotting.Canvas(axes[j, 0], x_dtype=data._axis_dtype())
 
-            legends = []
-            if errorbars and data.Y_err is not None:
-                x, y = data.get_train_data(transformed=transformed)
-                yl = data.Y[data.mask] - data.Y_err[data.mask]
-                yu = data.Y[data.mask] + data.Y_err[data.mask]
-                if transformed:
-                    yl = data.Y_transformer.forward(yl, x)
-                    yu = data.Y_transformer.forward(yu, x)
-                x = x.astype(data.X_dtypes[0])
-                ax[j, 0].errorbar(x[:, 0], y, [y - yl, yu - y], elinewidth=1.5,
-                                  ecolor="lightgray", capsize=0, ls="", marker="")
+            order = np.argsort(X[j][:, 0])
+            xs = X[j][order, 0]
+            mu = Mu[j][order]
+            lo, hi = Lower[j][order], Upper[j][order]
+            if not (np.all(lo == mu) and np.all(hi == mu)):
+                canvas.band(xs, lo, hi, "band", "95% CI")
+            canvas.curve(xs, mu, "mean", "Posterior mean")
 
-            idx = np.argsort(X[j][:, 0])
-            x = X[j][idx, 0].astype(data.X_dtypes[0])
-            ax[j, 0].plot(x, Mu[j][idx], ls=":", color="blue", lw=2)
-            if not np.all(Lower[j][idx] == Mu[j][idx]) and not np.all(Upper[j][idx] == Mu[j][idx]):
-                ax[j, 0].fill_between(x, Lower[j][idx], Upper[j][idx], color="blue", alpha=0.3)
-                legends.append(patches.Rectangle(
-                    (1, 1), 1, 1, fill=True, color="blue", alpha=0.3, lw=0, label="95% Error Bars"))
-            legends.append(plt.Line2D([0], [0], ls=":", color="blue", lw=2, label="Posterior Mean"))
-
-            xmin = min(np.min(data.X), np.min(X[j]))
-            xmax = max(np.max(data.X), np.max(X[j]))
-            if data.F is not None:
-                nn = len(data.X) * 10
-                xf = np.linspace(xmin, xmax, nn)
-                y = data.F(xf)
-                if transformed:
-                    y = data.Y_transformer.forward(y, xf.reshape(-1, 1))
-                ax[j, 0].plot(xf.astype(data.X_dtypes[0]), y, "g--", lw=1)
-                legends.append(plt.Line2D([0], [0], ls="--", color="g", label="Latent"))
-
-            if data.has_test_data():
-                x, y = data.get_test_data(transformed=transformed)
-                x = x.astype(data.X_dtypes[0])
-                ax[j, 0].plot(x[:, 0], y, "r.", ms=10)
-                legends.append(plt.Line2D([0], [0], ls="", color="r", marker=".", ms=10, label="Test data"))
-
-            x, y = data.get_train_data(transformed=transformed)
-            x = x.astype(data.X_dtypes[0])
-            ax[j, 0].plot(x[:, 0], y, "k.", ms=10)
-            legends.append(plt.Line2D([0], [0], ls="", color="k", marker=".", ms=10, label="Train data"))
-
-            if 0 < len(data.removed_ranges[0]):
-                for removed_range in data.removed_ranges[0]:
-                    x0 = np.float64(removed_range[0]).astype(data.X_dtypes[0])
-                    x1 = np.float64(removed_range[1]).astype(data.X_dtypes[0])
-                    y0 = ax[j, 0].get_ylim()[0]
-                    y1 = ax[j, 0].get_ylim()[1]
-                    ax[j, 0].add_patch(patches.Rectangle(
-                        (x0, y0), x1 - x0, y1 - y0, fill=True, color="crimson", alpha=0.3, lw=0))
-                legends.insert(0, patches.Rectangle(
-                    (1, 1), 1, 1, fill=True, color="crimson", alpha=0.3, lw=0, label="Removed Ranges"))
-
-            xmin = np.float64(xmin).astype(data.X_dtypes[0])
-            xmax = np.float64(xmax).astype(data.X_dtypes[0])
-            ax[j, 0].set_xlim(xmin - (xmax - xmin) * 0.001, xmax + (xmax - xmin) * 0.001)
-            ax[j, 0].set_xlabel(data.X_labels[0])
-            ax[j, 0].set_ylabel(data.Y_label)
-            ax[j, 0].set_title(data.name if title is None else title, fontsize=14)
-
-            if legend:
-                ax[j, 0].legend(handles=legends[::-1])
-        return fig, ax
+            xmin, xmax = data._push_observations(canvas, transformed=transformed,
+                                                 errorbars=errorbars)
+            canvas.finish(xlim=(min(xmin, xs.min()), max(xmax, xs.max())),
+                          xlabel=data.X_labels[0], ylabel=data.Y_label,
+                          title=data.name if title is None else title,
+                          legend=legend, label_size=10, title_size=14)
+        return fig, axes
 
     def plot_gram(self, start=None, end=None, n=31, title=None, figsize=(12, 12)):
-        """Plot the Gram matrix over a per-channel grid
-        (reference: mogptk/model.py:897-957)."""
-        import matplotlib
-        import matplotlib.pyplot as plt
-        from mpl_toolkits.axes_grid1 import make_axes_locatable
-
+        """Heatmap of the Gram matrix on an n-point grid per channel."""
+        from . import plotting
         if not all(channel.get_input_dims() == 1 for channel in self.dataset):
             raise ValueError("cannot plot for more than one input dimension")
 
-        if start is None:
-            start = [channel.X.min() for channel in self.dataset]
-        if end is None:
-            end = [channel.X.max() for channel in self.dataset]
+        start = self._per_channel(start, [c.X.min() for c in self.dataset])
+        end = self._per_channel(end, [c.X.max() for c in self.dataset])
 
         output_dims = len(self.dataset)
-        if not isinstance(start, (list, np.ndarray)):
-            start = [start] * output_dims
-        if not isinstance(end, (list, np.ndarray)):
-            end = [end] * output_dims
-
-        X = np.zeros((output_dims * n, 2))
-        X[:, 0] = np.repeat(np.arange(output_dims), n)
-        for j in range(output_dims):
-            if n == 1:
-                X[j * n:(j + 1) * n, 1] = np.array((start[j] + end[j]) / 2.0)
-            else:
-                X[j * n:(j + 1) * n, 1] = np.linspace(start[j], end[j], n)
+        grids = [np.full(n, 0.5 * (s + e)) if n == 1 else np.linspace(s, e, n)
+                 for s, e in zip(start, end)]
+        X = np.stack([np.repeat(np.arange(output_dims, dtype=np.float64), n),
+                      np.concatenate(grids)], axis=1)
         if not self.is_multioutput:
             X = X[:, 1:]
-        k = self.gpr.K(self._rescale_kernel_x(X))
+        K = np.asarray(self.gpr.K(self._rescale_kernel_x(X)))
 
-        fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
-        if title is not None:
-            fig.suptitle(title, fontsize=18)
-
-        color_range = np.abs(k).max()
-        norm = matplotlib.colors.Normalize(vmin=-color_range, vmax=color_range)
-        im = ax.matshow(k, cmap="coolwarm", norm=norm)
-
-        divider = make_axes_locatable(ax)
-        cax = divider.append_axes("right", size="5%", pad=0.3)
-        fig.colorbar(im, cax=cax)
-
-        major_ticks = np.arange(-0.5, output_dims * n, n)
-        ax.set_xticks(major_ticks)
-        ax.set_yticks(major_ticks)
-        ax.grid(which="major", lw=1.5, c="k")
-        ax.set_xticklabels([])
-        ax.set_yticklabels([])
-        ax.tick_params(axis="both", which="both", length=0)
-        return fig, ax
+        fig, axes = plotting.grid(1, 1, figsize=figsize, title=title)
+        plotting.heatmap(fig, axes[0, 0], K, block=n)
+        return fig, axes[0, 0]
 
     def plot_kernel(self, dist=None, n=101, title=None, figsize=(12, 12)):
-        """Plot k(τ) per channel pair for stationary kernels
-        (reference: mogptk/model.py:959-1000)."""
-        import matplotlib.pyplot as plt
+        """Plot k(τ) for every channel pair on a lower-triangular grid."""
+        from . import plotting
         if not all(channel.get_input_dims() == 1 for channel in self.dataset):
             raise ValueError("cannot plot for more than one input dimension")
 
-        if dist is None:
-            dist = [(channel.X.max() - channel.X.min()) / 4.0 for channel in self.dataset]
+        dist = self._per_channel(
+            dist, [(c.X.max() - c.X.min()) / 4.0 for c in self.dataset])
 
         output_dims = len(self.dataset)
-        if not isinstance(dist, (list, np.ndarray)):
-            dist = [dist] * output_dims
-
-        fig, ax = plt.subplots(output_dims, output_dims, figsize=figsize,
-                               constrained_layout=True, squeeze=False, sharex=True)
-        if title is not None:
-            fig.suptitle(title, fontsize=18)
-
-        channel = np.ones((n, 1))
+        fig, axes = plotting.grid(output_dims, output_dims, figsize=figsize,
+                                  title=title, sharex=True)
         for j in range(output_dims):
             tau = np.linspace(-dist[j], dist[j], num=n).reshape(-1, 1)
-            X1 = np.array([[j, 0.0]])
             for i in range(output_dims):
                 if j < i:
-                    ax[j, i].set_axis_off()
+                    axes[j, i].set_axis_off()
                     continue
-                X0 = np.concatenate((i * channel, tau), axis=1)
-                if not self.is_multioutput:
-                    k = self.gpr.K(self._rescale_kernel_x(tau),
-                                   self._rescale_kernel_x(np.array([[0.0]])))
+                if self.is_multioutput:
+                    left = np.concatenate(
+                        (np.full((n, 1), float(i)), tau), axis=1)
+                    right = np.array([[float(j), 0.0]])
                 else:
-                    k = self.gpr.K(self._rescale_kernel_x(X0),
-                                   self._rescale_kernel_x(X1))
-                ax[j, i].plot(tau, k, color="k")
-                ax[j, i].set_yticks([])
-        return fig, ax
+                    left, right = tau, np.array([[0.0]])
+                k = self.gpr.K(self._rescale_kernel_x(left),
+                               self._rescale_kernel_x(right))
+                canvas = plotting.Canvas(axes[j, i])
+                canvas.curve(tau[:, 0], np.asarray(k)[:, 0], "kernel")
+                canvas.finish(legend=False, hide_yticks=True)
+        return fig, axes
 
     def plot_correlation(self, title=None, figsize=(12, 12)):
-        """Plot the cross-channel correlation matrix
-        (reference: mogptk/model.py:1002-1037)."""
-        import matplotlib.pyplot as plt
-        fig, ax = plt.subplots(1, 1, figsize=figsize, constrained_layout=True)
-        if title is not None:
-            fig.suptitle(title, fontsize=18)
-
+        """Heatmap of the cross-channel correlation matrix at x = 0."""
+        from . import plotting
         output_dims = len(self.dataset)
         X = np.zeros((output_dims, 2))
         X[:, 0] = np.arange(output_dims)
-        K = np.array(self.gpr.K(self._rescale_kernel_x(X)))
+        K = np.asarray(self.gpr.K(self._rescale_kernel_x(X)))
+        d = np.sqrt(np.diag(K))
+        C = K / np.outer(d, d)
 
-        diag_sqrt = np.sqrt(np.diag(K))
-        K /= np.outer(diag_sqrt, diag_sqrt)
-
-        im = ax.matshow(K, cmap="coolwarm", vmin=-1.0, vmax=1.0)
-        for (i, j), z in np.ndenumerate(K):
-            ax.text(j, i, "{:0.3f}".format(z), ha="center", va="center", fontsize=14,
-                    bbox=dict(boxstyle="round", facecolor="white", alpha=0.5, edgecolor="0.9"))
-
-        ax.set_xticks(range(output_dims))
-        ax.set_xticklabels(self.dataset.get_names(), fontsize=14)
-        ax.set_yticks(range(output_dims))
-        ax.set_yticklabels(self.dataset.get_names(), fontsize=14)
-        ax.xaxis.set_ticks_position("top")
-        return fig, ax
+        fig, axes = plotting.grid(1, 1, figsize=figsize, title=title)
+        plotting.heatmap(fig, axes[0, 0], C, vmin=-1.0, vmax=1.0,
+                         colorbar=False, cell_text=True,
+                         tick_labels=self.dataset.get_names())
+        return fig, axes[0, 0]
 
 
 def _format_duration(s):

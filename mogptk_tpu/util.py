@@ -130,111 +130,103 @@ def error(*models, X=None, Y=None, per_channel=False, transformed=False, disp=Fa
         return errors
 
 
+def _mixture_arg(a, name, shape, expand_axis):
+    """Validate/normalize a mixture-spectrum argument to ``shape`` by
+    expanding a missing trailing axis."""
+    a = np.array(a)
+    if a.ndim == len(shape) - 1:
+        a = np.expand_dims(a, axis=expand_axis)
+    if a.ndim != len(shape) or any(
+            s is not None and a.shape[k] != s for k, s in enumerate(shape)):
+        dims = ("mixtures", "output_dims", "input_dims")
+        want = tuple(dims[k] if s is None else s for k, s in enumerate(shape))
+        raise ValueError("%s must have shape (%s)" % (name, ",".join(
+            str(w) for w in want)))
+    return a
+
+
+# z-score of the standard-normal 99th percentile: mixture-component mass
+# outside mean ± Z99·scale is <2%, so it bounds the default frequency axis
+_Z99 = 2.3263478740408408
+
+
 def plot_spectrum(means, scales, dataset=None, weights=None, noises=None,
                   method="LS", maxfreq=None, log=False, n=10000, titles=None,
                   show=True, filename=None, title=None):
-    """Plot spectral Gaussian mixtures per channel and input dimension
-    (reference: mogptk/util.py:130-234)."""
-    import matplotlib.pyplot as plt
-    from scipy.stats import norm
+    """Grid of spectral Gaussian-mixture densities, one subplot per
+    (channel, input dim), optionally over each channel's data periodogram.
 
-    means = np.array(means)
-    if means.ndim == 2:
-        means = np.expand_dims(means, axis=2)
-    scales = np.array(scales)
-    if scales.ndim == 2:
-        scales = np.expand_dims(scales, axis=2)
-    if weights is not None:
-        weights = np.array(weights)
-        if weights.ndim == 1:
-            weights = np.expand_dims(weights, axis=1)
+    Covers reference mogptk/util.py:130-234; rendering goes through
+    mogptk_tpu.plotting (mixture_psd + Canvas layers).
+    """
+    from . import plotting
+
+    means = _mixture_arg(means, "means and scales", (None, None, None), 2)
+    scales = _mixture_arg(scales, "means and scales", means.shape, 2)
+    Q, output_dims, input_dims = means.shape
+    if weights is None:
+        weights = np.ones((Q, output_dims))
+    else:
+        weights = _mixture_arg(weights, "weights", (Q, output_dims), 1)
     if maxfreq is not None:
-        maxfreq = np.array(maxfreq)
-        if maxfreq.ndim == 1:
-            maxfreq = np.expand_dims(maxfreq, axis=1)
-
-    if means.ndim != 3:
-        raise ValueError("means and scales must have shape (mixtures,output_dims,input_dims)")
-    if means.shape != scales.shape:
-        raise ValueError("means and scales must have the same shape (mixtures,output_dims,input_dims)")
+        maxfreq = _mixture_arg(maxfreq, "maxfreq", (output_dims, input_dims), 1)
     if noises is not None:
         noises = np.asarray(noises)
-        if noises.ndim != 1 or noises.shape[0] != means.shape[1]:
+        if noises.ndim != 1 or noises.shape[0] != output_dims:
             raise ValueError("noises must have shape (output_dims,)")
-    if dataset is not None and len(dataset) != means.shape[1]:
-        raise ValueError("means and scales must have %d output dimensions" % len(dataset))
+    if dataset is not None and len(dataset) != output_dims:
+        raise ValueError("means and scales must have %d output dimensions"
+                         % len(dataset))
 
-    mixtures, output_dims, input_dims = means.shape
-
-    if isinstance(weights, np.ndarray) and (weights.ndim != 2 or weights.shape[0] != mixtures or weights.shape[1] != output_dims):
-        raise ValueError("weights must have shape (mixtures,output_dims)")
-    elif not isinstance(weights, np.ndarray):
-        weights = np.ones((mixtures, output_dims))
-    if isinstance(maxfreq, np.ndarray) and (maxfreq.ndim != 2 or maxfreq.shape[0] != output_dims or maxfreq.shape[1] != input_dims):
-        raise ValueError("maxfreq must have shape (output_dims,input_dims)")
-
-    h = 4.0 * output_dims
-    fig, axes = plt.subplots(output_dims, input_dims, figsize=(12, h), squeeze=False, constrained_layout=True)
-    if title is not None:
-        fig.suptitle(title, y=(h + 0.8) / h, fontsize=18)
-
+    fig, axes = plotting.grid(output_dims, input_dims, title=title)
     for j in range(output_dims):
         for i in range(input_dims):
-            x_low = max(0.0, norm.ppf(0.01, loc=means[:, j, i], scale=scales[:, j, i]).min())
-            x_high = norm.ppf(0.99, loc=means[:, j, i], scale=scales[:, j, i]).max()
+            ax = axes[j, i]
+            mu, sd = means[:, j, i], scales[:, j, i]
 
+            # frequency axis: the mixture's own 1%-99% mass range, unless a
+            # periodogram (whose own range wins) or maxfreq narrows it
+            x_lo = max(0.0, float((mu - _Z99 * sd).min()))
+            x_hi = float((mu + _Z99 * sd).max())
             if dataset is not None:
-                maxf = maxfreq[j, i] if maxfreq is not None else None
-                dataset[j].plot_spectrum(ax=axes[j, i], method=method, transformed=True, n=n, log=False, maxfreq=maxf)
-                x_low = axes[j, i].get_xlim()[0]
-                x_high = axes[j, i].get_xlim()[1]
+                mf = maxfreq[j, i] if maxfreq is not None else None
+                dataset[j].plot_spectrum(ax=ax, method=method, transformed=True,
+                                         n=n, log=False, maxfreq=mf)
+                x_lo, x_hi = ax.get_xlim()
             if maxfreq is not None:
-                x_high = maxfreq[j, i]
+                x_hi = maxfreq[j, i]
 
-            psds = []
-            x = np.linspace(x_low, x_high, n)
-            psd_total = np.zeros(x.shape)
-            for q in range(mixtures):
-                psd = weights[q, j] * norm.pdf(x, loc=means[q, j, i], scale=scales[q, j, i])
-                axes[j, i].axvline(means[q, j, i], ymin=0.001, ymax=0.05, lw=3, color="r")
-                psd_total += psd
-                psds.append(psd)
+            x = np.linspace(x_lo, x_hi, n)
+            comps, total = plotting.mixture_psd(x, mu, sd, weights[:, j])
             if noises is not None:
-                psd_total = psd_total + noises[j] ** 2
+                total = total + noises[j] ** 2
+            # one common normalizer keeps components proportional to total
+            scale = total.sum() * (x[1] - x[0])
 
-            for psd in psds:
-                psd /= psd_total.sum() * (x[1] - x[0])
-                axes[j, i].plot(x, psd, ls="--", c="b")
-            psd_total /= psd_total.sum() * (x[1] - x[0])
-            axes[j, i].plot(x, psd_total, ls="-", c="b")
+            canvas = plotting.Canvas(ax)
+            canvas.peaks(mu, "peak")
+            for comp in comps:
+                canvas.curve(x, comp / scale, "mixture")
+            canvas.curve(x, total / scale, "model")
 
-            y_low = 0.0
+            y_lo = 0.0
             if log:
-                x_low = max(x_low, 1e-8)
-                y_low = 1e-8
-            _, y_high = axes[j, i].get_ylim()
-            y_high = max(y_high, 1.05 * psd_total.max())
+                x_lo, y_lo = max(x_lo, 1e-8), 1e-8
+            y_hi = max(ax.get_ylim()[1], 1.05 * float(total.max()) / scale)
+            canvas.finish(legend=False, logx=log, logy=log, hide_yticks=True,
+                          title=None if titles is None else titles[j])
+            ax.set_xlim(x_lo, x_hi)
+            ax.set_ylim(y_lo, y_hi)
 
-            axes[j, i].set_xlim(x_low, x_high)
-            axes[j, i].set_ylim(y_low, y_high)
-            axes[j, i].set_yticks([])
-            if titles is not None:
-                axes[j, i].set_title(titles[j])
-            if log:
-                axes[j, i].set_xscale("log")
-                axes[j, i].set_yscale("log")
-
-    axes[output_dims - 1, input_dims - 1].set_xlabel("Frequency")
-
-    legends = []
-    if dataset is not None:
-        legends.append(plt.Line2D([0], [0], ls="-", color="k", label="Data (LombScargle)"))
-    legends.append(plt.Line2D([0], [0], ls="-", color="b", label="Model"))
-    legends.append(plt.Line2D([0], [0], ls="-", color="r", label="Peak location"))
-    fig.legend(handles=legends)
+    axes[-1, -1].set_xlabel("Frequency")
+    entries = [("psd", "Data (LombScargle)")] if dataset is not None else []
+    plotting.figure_legend(fig, entries + [("model", "Model"),
+                                           ("peak", "Peak location")])
 
     if filename is not None:
+        import matplotlib.pyplot as plt
         plt.savefig(filename + ".pdf", dpi=300)
     if show:
+        import matplotlib.pyplot as plt
         plt.show()
     return fig, axes
