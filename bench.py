@@ -195,6 +195,54 @@ def bench_reference(xs, ys, max_steps=2):
     return steps_per_sec
 
 
+def bench_reference_svgp(xs, ys, M=1024, max_steps=3):
+    """Time the reference SVGP (Titsias collapsed bound, torch CPU f64) at
+    M total inducing points on the same data — the BASELINE.md secondary
+    metric. Cached alongside the exact baseline (a step takes ~minutes)."""
+    cache = {}
+    if os.path.exists(CACHE_FILE):
+        with open(CACHE_FILE) as f:
+            cache = json.load(f)
+        if (cache.get("n_per_channel") == N_PER_CHANNEL
+                and cache.get("channels") == CHANNELS and cache.get("q") == Q
+                and cache.get("svgp_m") == M
+                and "svgp_steps_per_sec" in cache):
+            return cache["svgp_steps_per_sec"]
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import mogptk.gpr as refgpr
+
+    N, X, Y = refgpr.merge_data(
+        [torch.tensor(x, dtype=torch.float64) for x in xs],
+        [torch.tensor(y, dtype=torch.float64) for y in ys])
+    kernel = refgpr.MultiOutputSpectralMixtureKernel(Q, output_dims=CHANNELS)
+    rng = np.random.RandomState(1)
+    kernel.mean.assign(torch.tensor(0.05 + 0.3 * rng.rand(CHANNELS, Q, 1)))
+    kernel.variance.assign(torch.tensor(0.2 + 0.3 * rng.rand(CHANNELS, Q, 1)))
+    model = refgpr.Titsias(kernel, X, Y, Z=M // CHANNELS, Z_init="random",
+                           variance=0.1)
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3)
+
+    model.loss()
+    optimizer.step()  # warmup
+
+    start = time.perf_counter()
+    steps = 0
+    while steps < max_steps and (time.perf_counter() - start) < 600.0:
+        model.loss()
+        optimizer.step()
+        steps += 1
+    steps_per_sec = steps / (time.perf_counter() - start)
+
+    cache.update({"n_per_channel": N_PER_CHANNEL, "channels": CHANNELS, "q": Q,
+                  "svgp_m": M, "svgp_steps_per_sec": steps_per_sec,
+                  "svgp_steps_measured": steps})
+    with open(CACHE_FILE, "w") as f:
+        json.dump(cache, f)
+    return steps_per_sec
+
+
 def bench_bignum(n_total=65536, timeout_sec=2400):
     """The beyond-reference scale point: one iterative exact-GP step at
     N=65,536 (the f32 Gram alone would be 17 GB — impossible to materialize
@@ -236,16 +284,23 @@ def main():
         svgp = None
 
     if os.environ.get("BENCH_SKIP_BASELINE"):
-        ref = None
+        ref = ref_svgp = None
         if os.path.exists(CACHE_FILE):
             with open(CACHE_FILE) as f:
-                ref = json.load(f).get("steps_per_sec")
+                cache = json.load(f)
+            ref = cache.get("steps_per_sec")
+            ref_svgp = cache.get("svgp_steps_per_sec")
     else:
         try:
             ref = bench_reference(xs, ys)
         except Exception as e:
             print("baseline measurement failed: %r" % (e,), file=sys.stderr)
             ref = None
+        try:
+            ref_svgp = bench_reference_svgp(xs, ys)
+        except Exception as e:
+            print("svgp baseline measurement failed: %r" % (e,), file=sys.stderr)
+            ref_svgp = None
 
     result = {
         "metric": "exact GP LML+grad steps/sec (MOSM Q=%d, %d channels x %d points, f32 TPU)"
@@ -256,6 +311,7 @@ def main():
         "exact_grad_steps_per_sec": round(exact_sps, 4) if exact_sps else None,
         "exact_grad_vs_baseline": round(exact_sps / ref, 2) if (exact_sps and ref) else None,
         "svgp_elbo_steps_per_sec_M1024": round(svgp, 4) if svgp else None,
+        "svgp_vs_baseline": round(svgp / ref_svgp, 2) if (svgp and ref_svgp) else None,
         "iterative_exact_N65536_sec_per_step": bignum,
     }
     print(json.dumps(result))
