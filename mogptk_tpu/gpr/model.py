@@ -571,9 +571,10 @@ class Exact(Model):
         back to single-device; either way the jit cache is invalidated so
         previously traced programs don't silently disagree.
 
-        With a mesh installed, the deterministic (trace_probes=None)
-        unmasked LML also routes through parallel.chol.distributed_lml —
-        factorization, solves, AND the closed-form backward all run with
+        With a mesh installed the LML also routes through
+        parallel.chol.distributed_lml (deterministic gradient) or
+        distributed_lml_stochastic (probe gradients), masked/padded rows
+        included — factorization, solves, AND the backward all run with
         O(N²/P) per-device memory (nothing gathers the full Gram)."""
         from jax.sharding import NamedSharding, PartitionSpec
         object.__setattr__(self, "_gram_sharding",
@@ -582,6 +583,22 @@ class Exact(Model):
         object.__setattr__(self, "_gram_mesh",
                            None if mesh is None else (mesh, axis))
         self._jit_cache.clear()
+
+    @staticmethod
+    def _masked_gram(Kff, y, mask):
+        """Rewrite (K, y) so padded rows become independent unit-variance
+        zeros — a block-diagonal extension that adds exactly 0 to both the
+        quadratic form and the log-determinant. Returns (K', y', const)."""
+        m = mask.reshape(-1)
+        npad = Kff.shape[0]
+        r = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+        # one fused sweep: scale out masked rows/cols and put 1 on the
+        # padded diagonal (scatter form costs ~22 ms at N=16k on TPU)
+        Kff = (Kff * (m[:, None] * m[None, :])
+               + jnp.where(r == c, (1.0 - m).astype(Kff.dtype)[:, None],
+                           jnp.zeros((), Kff.dtype)))
+        return Kff, y * m[:, None], 0.5 * jnp.sum(m) * np.log(2.0 * np.pi)
 
     def log_marginal_likelihood(self):
         """LML via Cholesky (reference: gpr/model.py:438-453), with the
@@ -602,16 +619,28 @@ class Exact(Model):
             return val - self.log_marginal_likelihood_constant
         y = self._residual_y()
         gram_mesh = getattr(self, "_gram_mesh", None)
-        if (mask is None and gram_mesh is not None and not self.trace_probes
+        if (gram_mesh is not None
                 and self.X.shape[0] % gram_mesh[0].shape[gram_mesh[1]] == 0):
-            # mesh-sharded deterministic LML: distributed panel Cholesky +
-            # block-substitution solves + closed-form slab backward — the
-            # full Gram never exists on any single device
-            from ..parallel.chol import distributed_lml
+            # mesh-sharded LML: distributed panel Cholesky + block-
+            # substitution solves + slab backward (closed-form K⁻¹ slabs for
+            # the deterministic gradient, the low-rank probe pair for
+            # trace_probes) — the full Gram never exists on any single
+            # device, for masked/padded configurations included (the masked
+            # Gram rewrite below is elementwise, so GSPMD keeps it
+            # row-sharded). exact_sharded_step therefore never gathers.
+            from ..parallel.chol import (distributed_lml,
+                                         distributed_lml_stochastic)
             mesh, axis = gram_mesh
             Kff = self._Kff(add_jitter=True)
-            val = distributed_lml(Kff, y, mesh, axis)
-            return val - self.log_marginal_likelihood_constant
+            const = self.log_marginal_likelihood_constant
+            if mask is not None:
+                Kff, y, const = self._masked_gram(Kff, y, mask)
+            if self.trace_probes:
+                val = distributed_lml_stochastic(
+                    Kff, y, mesh, axis, int(self.trace_probes), self.seed)
+            else:
+                val = distributed_lml(Kff, y, mesh, axis)
+            return val - const
         if mask is None:
             # the noise (+relative jitter) diagonal rides the factorization
             # as a vector diag_shift — the noisy Gram is never materialized,
@@ -625,21 +654,8 @@ class Exact(Model):
                 val = lml_quadform_logdet_shifted(Kff, diag, y)
             return val - self.log_marginal_likelihood_constant
         else:
-            Kff = self._Kff(add_jitter=True)
-            # padded rows become independent unit-variance zeros — a
-            # block-diagonal extension that adds exactly 0 to both the
-            # quadratic form and the log-determinant
-            m = mask.reshape(-1)
-            npad = Kff.shape[0]
-            r = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
-            c = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
-            # one fused sweep: scale out masked rows/cols and put 1 on the
-            # padded diagonal (scatter form costs ~22 ms at N=16k on TPU)
-            Kff = (Kff * (m[:, None] * m[None, :])
-                   + jnp.where(r == c, (1.0 - m).astype(Kff.dtype)[:, None],
-                               jnp.zeros((), Kff.dtype)))
-            y = y * m[:, None]
-            const = 0.5 * jnp.sum(m) * np.log(2.0 * np.pi)
+            Kff, y, const = self._masked_gram(
+                self._Kff(add_jitter=True), y, mask)
         if self.trace_probes:
             val = lml_quadform_logdet_stochastic(Kff, y, int(self.trace_probes), self.seed)
         else:

@@ -16,15 +16,22 @@ Per panel step k (one column block of width B = N/P):
      S_kk L_kk⁻ᵀ = L_kk makes the same formula produce the diagonal block;
   3. the panel column is all_gathered ((N, B) per step — Σ_k N·B = N²
      total ICI traffic) and each device applies the trailing update to its
-     slab's remaining columns with one MXU GEMM.
+     slab with one MXU GEMM.
 
-The Python loop over the P panels is a static unroll (P ≤ mesh size), so
-every slice is static-shaped and each step's GEMM is a single
-MXU-saturating dot, exactly like the single-chip blocked factorization.
+Every sweep in this module runs its P panel steps under `lax.fori_loop`,
+so the traced program is ONE panel body regardless of the mesh size — the
+r02 Python unrolls grew the program O(P) (and the LML backward O(P²)),
+which both hit the remote-compile wall at real N and forced trimming the
+CPU tests to a 4-device mesh. The price of the loop form is fixed-shape
+bodies: the trailing update and substitution prefix GEMMs run at the full
+slab width with a mask zeroing the already-finalized region (≤2× the
+triangular-flow flops on work that is a 1/P-fraction of the total).
 
 The reference is single-device only (SURVEY.md §2); this is the TPU-native
 mesh analog of its torch.linalg.cholesky call (mogptk/gpr/model.py:246).
 """
+import functools
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
@@ -51,14 +58,14 @@ def distributed_cholesky(K, mesh, axis="data", panel_precision="highest",
 
     def local(K_loc):
         d = jax.lax.axis_index(axis)
-        S = K_loc                                   # (B, N) row slab
-        L = jnp.zeros_like(K_loc)
         eye = jnp.eye(B, dtype=K_loc.dtype)
-        for k in range(n_dev):
-            c0 = k * B
-            diag = jax.lax.dynamic_slice(S, (0, c0), (B, B))
-            own = (d == k)
-            Skk = jax.lax.psum(jnp.where(own, diag, jnp.zeros_like(diag)),
+        col = jax.lax.iota(jnp.int32, n)
+
+        def panel_step(k, carry):
+            S, L = carry
+            c0 = jnp.asarray(k, jnp.int32) * B
+            diag = jax.lax.dynamic_slice(S, (jnp.int32(0), c0), (B, B))
+            Skk = jax.lax.psum(jnp.where(d == k, diag, jnp.zeros_like(diag)),
                                axis)
             with jax.default_matmul_precision(panel_precision):
                 Lkk = jnp.linalg.cholesky(Skk)
@@ -68,18 +75,20 @@ def distributed_cholesky(K, mesh, axis="data", panel_precision="highest",
             Ldk = jnp.where(d >= k,
                             jax.lax.dot(diag, invT, precision="high"),
                             jnp.zeros_like(diag))
-            L = jax.lax.dynamic_update_slice(L, Ldk, (0, c0))
-            if k == n_dev - 1:
-                break
-            panel = jax.lax.all_gather(Ldk, axis)   # (P, B, B)
-            trail = panel.reshape(n_dev * B, B)[c0 + B:]  # (N−(k+1)B, B)
+            L = jax.lax.dynamic_update_slice(L, Ldk, (jnp.int32(0), c0))
+            # trailing update over the full slab width (fixed shape for the
+            # fori_loop); the mask confines it to columns beyond the panel
+            # and to not-yet-finalized rows
+            panel = jax.lax.all_gather(Ldk, axis).reshape(n, B)   # (N, B)
             upd = jax.lax.dot_general(
-                Ldk, trail, (((1,), (1,)), ((), ())),
-                precision=update_precision)          # (B, N−(k+1)B)
-            upd = jnp.where(d > k, upd, jnp.zeros_like(upd))
-            S = jax.lax.dynamic_update_slice(
-                S, jax.lax.dynamic_slice(S, (0, c0 + B), upd.shape) - upd,
-                (0, c0 + B))
+                Ldk, panel, (((1,), (1,)), ((), ())),
+                precision=update_precision)                        # (B, N)
+            live = (d > k) & (col >= c0 + B)[None, :]
+            S = S - jnp.where(live, upd, jnp.zeros_like(upd))
+            return S, L
+
+        _, L = jax.lax.fori_loop(
+            0, n_dev, panel_step, (K_loc, jnp.zeros_like(K_loc)))
         return L
 
     f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None),),
@@ -112,60 +121,59 @@ def distributed_cho_solve(L, B, mesh, axis="data"):
 def _cho_solve_local(L_loc, rhs, axis, n_dev, Bn):
     """The per-device body of distributed_cho_solve — reusable inside other
     shard_map contexts (e.g. the distributed LML backward)."""
-    if True:
-        d = jax.lax.axis_index(axis)
+    d = jax.lax.axis_index(axis)
+    R = rhs.shape[1]
 
-        def true_diag(k):
-            # the owner's L_kk, broadcast: every device then solves against
-            # a valid triangular block (a non-owner's local slice would be
-            # off-diagonal — singular solves produce inf/NaN garbage that
-            # poisons autodiff even behind the masked select)
-            blk = jax.lax.dynamic_slice(L_loc, (0, k * Bn), (Bn, Bn))
-            return jax.lax.psum(jnp.where(d == k, blk, jnp.zeros_like(blk)),
-                                axis)
+    def true_diag(k):
+        # the owner's L_kk, broadcast: every device then solves against
+        # a valid triangular block (a non-owner's local slice would be
+        # off-diagonal — singular solves produce inf/NaN garbage that
+        # poisons autodiff even behind the masked select)
+        blk = jax.lax.dynamic_slice(
+            L_loc, (jnp.int32(0), jnp.asarray(k, jnp.int32) * Bn), (Bn, Bn))
+        return jax.lax.psum(jnp.where(d == k, blk, jnp.zeros_like(blk)),
+                            axis)
 
-        # forward: L z = rhs
-        z = jnp.zeros_like(rhs)
-        for k in range(n_dev):
-            c0 = k * Bn
-            Dk = true_diag(k)
-            # my slab's prefix product is only meaningful on the owner; the
-            # replicated z is zero beyond block k−1
-            pref = jax.lax.dot(L_loc[:, :c0], z[:c0],
-                               precision="high") if k else jnp.zeros(
-                                   (Bn, rhs.shape[1]), rhs.dtype)
-            bk = jax.lax.dynamic_slice(rhs, (c0, 0), (Bn, rhs.shape[1]))
-            zk = jsl.solve_triangular(Dk, bk - pref, lower=True)
-            zk = jax.lax.psum(jnp.where(d == k, zk, jnp.zeros_like(zk)),
-                              axis)
-            z = jax.lax.dynamic_update_slice(z, zk, (c0, 0))
-        # backward: Lᵀ x = z;  (Lᵀ x)_k = L_kkᵀ x_k + Σ_{m>k} L_mkᵀ x_m,
-        # where L_mk is row-owner m's column block k — computed locally and
-        # psum'd, so Lᵀ is never materialized across the mesh
-        x = jnp.zeros_like(rhs)
-        for k in range(n_dev - 1, -1, -1):
-            c0 = k * Bn
-            Dk = true_diag(k)
-            mine = jax.lax.dot_general(
-                jax.lax.dynamic_slice(L_loc, (0, c0), (Bn, Bn)),
-                jax.lax.dynamic_slice(x, (d * Bn, jnp.asarray(0, d.dtype)),
-                                      (Bn, rhs.shape[1])),
-                (((0,), (0,)), ((), ())), precision="high")   # L_dkᵀ x_d
-            off = jax.lax.psum(jnp.where(d > k, mine, jnp.zeros_like(mine)),
-                               axis)
-            zk = jax.lax.dynamic_slice(z, (c0, 0), (Bn, rhs.shape[1]))
-            xk = jsl.solve_triangular(Dk, zk - off, lower=True, trans="T")
-            xk = jax.lax.psum(jnp.where(d == k, xk, jnp.zeros_like(xk)),
-                              axis)
-            x = jax.lax.dynamic_update_slice(x, xk, (c0, 0))
-        return x
+    # forward: L z = rhs. The replicated z is zero at blocks ≥ k, so the
+    # owner's full-width slab product IS its block-prefix product (fixed
+    # shape for the fori_loop); non-owners' products are psum-masked away.
+    def fwd_step(k, z):
+        c0 = jnp.asarray(k, jnp.int32) * Bn
+        Dk = true_diag(k)
+        pref = jax.lax.dot(L_loc, z, precision="high")            # (Bn, R)
+        bk = jax.lax.dynamic_slice(rhs, (c0, jnp.int32(0)), (Bn, R))
+        zk = jsl.solve_triangular(Dk, bk - pref, lower=True)
+        zk = jax.lax.psum(jnp.where(d == k, zk, jnp.zeros_like(zk)), axis)
+        return jax.lax.dynamic_update_slice(z, zk, (c0, jnp.int32(0)))
+
+    z = jax.lax.fori_loop(0, n_dev, fwd_step, jnp.zeros_like(rhs))
+
+    # backward: Lᵀ x = z;  (Lᵀ x)_k = L_kkᵀ x_k + Σ_{m>k} L_mkᵀ x_m,
+    # where L_mk is row-owner m's column block k — computed locally and
+    # psum'd, so Lᵀ is never materialized across the mesh
+    def bwd_step(i, x):
+        k = n_dev - 1 - jnp.asarray(i, jnp.int32)
+        c0 = k * Bn
+        Dk = true_diag(k)
+        mine = jax.lax.dot_general(
+            jax.lax.dynamic_slice(L_loc, (jnp.int32(0), c0), (Bn, Bn)),
+            jax.lax.dynamic_slice(x, (d.astype(jnp.int32) * Bn,
+                                      jnp.int32(0)), (Bn, R)),
+            (((0,), (0,)), ((), ())), precision="high")   # L_dkᵀ x_d
+        off = jax.lax.psum(jnp.where(d > k, mine, jnp.zeros_like(mine)),
+                           axis)
+        zk = jax.lax.dynamic_slice(z, (c0, jnp.int32(0)), (Bn, R))
+        xk = jsl.solve_triangular(Dk, zk - off, lower=True, trans="T")
+        xk = jax.lax.psum(jnp.where(d == k, xk, jnp.zeros_like(xk)), axis)
+        return jax.lax.dynamic_update_slice(x, xk, (c0, jnp.int32(0)))
+
+    return jax.lax.fori_loop(0, n_dev, bwd_step, jnp.zeros_like(rhs))
 
 
-def _lml_value(K, y, mesh, axis):
-    L = distributed_cholesky(K, mesh, axis)
-    alpha = distributed_cho_solve(L, y, mesh, axis)
+def _logdet_from_factor(L, mesh, axis):
+    """Σ log diag(L) as a psum of each slab's local diagonal block."""
     n_dev = mesh.shape[axis]
-    Bn = K.shape[-1] // n_dev
+    Bn = L.shape[-1] // n_dev
 
     def local_logdet(L_loc):
         d = jax.lax.axis_index(axis)
@@ -173,8 +181,14 @@ def _lml_value(K, y, mesh, axis):
             L_loc, (jnp.asarray(0, d.dtype), d * Bn), (Bn, Bn)))
         return jax.lax.psum(jnp.sum(jnp.log(diag)), axis)
 
-    logdet = jax.shard_map(local_logdet, mesh=mesh, in_specs=(P(axis, None),),
-                           out_specs=P())(L)
+    return jax.shard_map(local_logdet, mesh=mesh, in_specs=(P(axis, None),),
+                         out_specs=P())(L)
+
+
+def _lml_value(K, y, mesh, axis):
+    L = distributed_cholesky(K, mesh, axis)
+    alpha = distributed_cho_solve(L, y, mesh, axis)
+    logdet = _logdet_from_factor(L, mesh, axis)
     return -logdet - 0.5 * jnp.sum(y * alpha), L, alpha
 
 
@@ -188,10 +202,9 @@ def distributed_lml(K, y, mesh, axis="data"):
     Gradients use the closed-form custom VJP dK = ½g(ααᵀ − K⁻¹), with each
     device computing only ITS ROW SLAB of K⁻¹ (P block-substitution solves
     against identity column blocks inside one shard_map) — autodiff through
-    the unrolled panel loop would otherwise keep O(P) slab residuals =
-    O(N²) per device in the backward. The dK cotangent comes back
-    row-sharded over the mesh."""
-    import functools
+    the panel loop would otherwise keep O(P) slab residuals = O(N²) per
+    device in the backward. The dK cotangent comes back row-sharded over
+    the mesh."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def _lml(K, y):
@@ -211,15 +224,22 @@ def distributed_lml(K, y, mesh, axis="data"):
             d = jax.lax.axis_index(axis)
             # my row slab of K⁻¹ (symmetric: rows d = (K⁻¹ E_d)ᵀ): run the
             # P identity-block solves; each device keeps only its own
-            inv_slab = jnp.zeros((Bn, n), L_loc.dtype)
             rows = jnp.arange(n)
-            for k in range(n_dev):
+
+            def inv_step(k, inv_slab):
+                k = jnp.asarray(k, jnp.int32)
                 Ek = (rows[:, None] == (k * Bn + jnp.arange(Bn))[None, :]
-                      ).astype(L_loc.dtype)                     # (N, Bn)
+                      ).astype(L_loc.dtype)                        # (N, Bn)
                 Xk = _cho_solve_local(L_loc, Ek, axis, n_dev, Bn)  # (N, Bn)
-                inv_slab = jnp.where(d == k, Xk.T, inv_slab)
+                return jnp.where(d == k, Xk.T, inv_slab)
+
+            # the slab is device-varying (each keeps only its own block
+            # rows), so the loop carry must start with that vma type
+            init = jax.lax.pcast(jnp.zeros((Bn, n), L_loc.dtype), (axis,),
+                                 to="varying")
+            inv_slab = jax.lax.fori_loop(0, n_dev, inv_step, init)
             a_slab = jax.lax.dynamic_slice(
-                alpha_rep, (d * Bn, jnp.asarray(0, d.dtype)),
+                alpha_rep, (d.astype(jnp.int32) * Bn, jnp.int32(0)),
                 (Bn, alpha_rep.shape[1]))
             dK_slab = 0.5 * (jax.lax.dot(a_slab, alpha_rep.T,
                                          precision="high")
@@ -229,6 +249,65 @@ def distributed_lml(K, y, mesh, axis="data"):
         dK = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None), P()),
                            out_specs=P(axis, None))(L, alpha)
         return g * dK, -g * alpha
+
+    _lml.defvjp(_fwd, _bwd)
+    return _lml(K, y)
+
+
+def distributed_lml_stochastic(K, y, mesh, axis="data", num_probes=16,
+                               seed=0):
+    """distributed_lml with Hutchinson probe-trace gradients — the mesh
+    counterpart of ops/linalg.lml_quadform_logdet_stochastic (same estimator
+    and probe stream: seed-fixed Rademacher Z solved WITH y in one batched
+    block-substitution sweep, so values AND gradients match the
+    single-device stochastic LML bit-for-bit at identical parameters).
+
+    The backward is dK = ½g(ααᵀ − R⁻¹ U Zᵀ) = A Bᵀ with A, B (N, R+1)
+    replicated; each device emits its row slab with ONE (N/P, R+1)×(R+1, N)
+    GEMM — no identity-block solves at all, so the probe path's backward is
+    ~N²R/P flops per device versus the deterministic path's N³/P. This is
+    what makes the headline probe-gradient configuration (trace_probes=16)
+    fully distributable with O(N²/P) per-device memory.
+    """
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def _lml(K, y):
+        return _stoch_value(K, y)[0]
+
+    def _stoch_value(K, y):
+        L = distributed_cholesky(K, mesh, axis)
+        n = K.shape[-1]
+        Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
+                                  dtype=L.dtype)
+        AU = distributed_cho_solve(L, jnp.concatenate([y, Z], axis=1),
+                                   mesh, axis)
+        alpha, U = AU[:, :y.shape[1]], AU[:, y.shape[1]:]
+        logdet = _logdet_from_factor(L, mesh, axis)
+        return -logdet - 0.5 * jnp.sum(y * alpha), alpha, U, Z
+
+    def _fwd(K, y):
+        val, alpha, U, Z = _stoch_value(K, y)
+        return val, (alpha, U, Z)
+
+    def _bwd(res, g):
+        alpha, U, Z = res
+        # same low-rank pair as ops/linalg._stoch_lowrank
+        A = (0.5 * g) * jnp.concatenate([alpha, -U / num_probes], axis=1)
+        Bm = jnp.concatenate([alpha, Z], axis=1)
+        n_dev = mesh.shape[axis]
+        Bn = alpha.shape[0] // n_dev
+
+        def local(A_rep, B_rep):
+            d = jax.lax.axis_index(axis)
+            A_slab = jax.lax.dynamic_slice(
+                A_rep, (d.astype(jnp.int32) * Bn, jnp.int32(0)),
+                (Bn, A_rep.shape[1]))
+            return jax.lax.dot_general(
+                A_slab, B_rep, (((1,), (1,)), ((), ())), precision="high")
+
+        dK = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=P(axis, None))(A, Bm)
+        return dK, -g * alpha
 
     _lml.defvjp(_fwd, _bwd)
     return _lml(K, y)

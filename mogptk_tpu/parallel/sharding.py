@@ -121,13 +121,13 @@ def exact_sharded_step(model, mesh, optimizer, axis="data"):
 
     X is row-sharded and the N×N Gram carries an explicit row-block sharding
     constraint (each device assembles and back-propagates through only its
-    N/devices × N rows). For the deterministic (trace_probes=None) unmasked
-    LML the factorization, solves, and closed-form backward also run
-    distributed (parallel.chol.distributed_lml) — per-device memory is
-    O(N²/P) throughout, nothing gathers the full Gram. Probe-gradient and
-    masked configurations fall back to the single-device factorization
-    (which gathers); for fully-distributed O(N/P)-memory inference use
-    `iterative_ring_step`.
+    N/devices × N rows). The factorization, solves, and backward also run
+    distributed — parallel.chol.distributed_lml for the deterministic
+    gradient, distributed_lml_stochastic for probe gradients, with
+    masked/padded (non-divisible N) configurations handled by an
+    elementwise Gram rewrite that GSPMD keeps row-sharded — so per-device
+    memory is O(N²/P) throughout and nothing ever gathers the full Gram.
+    For fully-distributed O(N/P)-memory inference use `iterative_ring_step`.
     """
     from ..gpr.model import Exact
     if isinstance(model, Exact):

@@ -356,15 +356,14 @@ def test_distributed_cholesky_matches_dense():
     n = 64
     A = rng.randn(n, n)
     K = jnp.asarray(A @ A.T + n * np.eye(n))
-    # 4-device mesh: the unrolled panel loops make these tests trace-heavy
-    # on CPU (coverage is identical; 8-device composition is exercised by
-    # dryrun_multichip)
-    mesh = make_mesh(4)
+    # full 8-device mesh: the panel sweeps run under lax.fori_loop, so the
+    # traced program no longer grows with the device count
+    mesh = make_mesh(8)
     L = jax.jit(lambda K: distributed_cholesky(K, mesh))(K)
     np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(K)),
                                rtol=1e-9, atol=1e-10)
     shapes = sorted(s.data.shape for s in L.addressable_shards)
-    assert shapes == [(16, 64)] * 4
+    assert shapes == [(8, 64)] * 8
 
     # differentiable (standard chol/solve/dot VJPs through shard_map); the
     # two factorizations read the symmetric input differently, so compare
@@ -402,7 +401,7 @@ def test_distributed_cho_solve_and_lml():
     A = rng.randn(n, n)
     K = jnp.asarray(A @ A.T + n * np.eye(n))
     Bm = jnp.asarray(rng.randn(n, 3))
-    mesh = make_mesh(4)   # trace-heavy unrolled sweeps; see note above
+    mesh = make_mesh(8)   # fori_loop sweeps: trace cost is mesh-independent
     L = distributed_cholesky(K, mesh)
     X = jax.jit(lambda L, B: distributed_cho_solve(L, B, mesh))(L, Bm)
     X_ref = jsl.cho_solve((jnp.linalg.cholesky(K), True), Bm)
@@ -418,3 +417,78 @@ def test_distributed_cho_solve_and_lml():
     g_ref = jax.grad(lambda K: lml_quadform_logdet(K, y))(K)
     sym = lambda A: 0.5 * (np.asarray(A) + np.asarray(A).T)
     np.testing.assert_allclose(sym(g), sym(g_ref), rtol=1e-7, atol=1e-9)
+
+
+def test_distributed_lml_stochastic_matches_single_device():
+    """The probe-gradient distributed LML: same seed-fixed Rademacher stream
+    as ops/linalg.lml_quadform_logdet_stochastic, so value AND gradient
+    match the single-device stochastic form bit-for-bit; the backward is
+    one low-rank slab GEMM per device (no identity-block solves)."""
+    from mogptk_tpu.parallel import distributed_lml_stochastic
+    from mogptk_tpu.ops.linalg import lml_quadform_logdet_stochastic
+    import jax.numpy as jnp
+    rng = np.random.RandomState(2)
+    n = 64
+    A = rng.randn(n, n)
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    y = jnp.asarray(rng.randn(n, 1))
+    mesh = make_mesh(8)
+
+    val = jax.jit(lambda K, y: distributed_lml_stochastic(
+        K, y, mesh, num_probes=8, seed=3))(K, y)
+    ref = lml_quadform_logdet_stochastic(K, y, 8, 3)
+    np.testing.assert_allclose(float(val), float(ref), rtol=1e-12)
+
+    g = jax.grad(lambda K: distributed_lml_stochastic(
+        K, y, mesh, num_probes=8, seed=3))(K)
+    g_ref = jax.grad(lambda K: lml_quadform_logdet_stochastic(K, y, 8, 3))(K)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_exact_sharded_probe_gradient_step():
+    """Exact(trace_probes=R) through exact_sharded_step: the headline
+    probe-gradient configuration now runs fully distributed — loss and
+    parameter updates must match the single-device stochastic step."""
+    X, Y, kernel = _mosm_setup(32)
+    exact = gpr.Exact(kernel, X, Y, variance=0.1, trace_probes=8, seed=5)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(8)
+    step, params, opt_state, X_sh, Y_sh = exact_sharded_step(exact, mesh, opt)
+    params1, _, loss_sharded = step(params, opt_state, X_sh, Y_sh)
+    np.testing.assert_allclose(float(loss_sharded), exact.loss(), rtol=1e-8)
+
+    exact.use_gram_sharding(None)
+    loss_fn = exact.make_loss_fn()
+    train0, fixed = exact._split_raws()
+    _, g = jax.value_and_grad(loss_fn)(train0, fixed)
+    updates, _ = opt.update(g, opt.init(train0), train0)
+    expected = jax.tree.map(lambda p, u: p + u, train0, updates)
+    for a, b in zip(params1, expected):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_exact_sharded_masked_probe_gradient():
+    """Masked/padded rows (N=67 over 8 devices) with probe gradients route
+    through the distributed stochastic LML: finite loss, finite updated
+    parameters, and the value matches the single-device masked stochastic
+    form at the padded shape (same probe stream)."""
+    x0 = np.linspace(0, 5, 34).reshape(-1, 1)
+    x1 = np.linspace(0, 5, 33).reshape(-1, 1)
+    _, X, Y = gpr.merge_data([x0, x1], [np.sin(x0), np.cos(x1)])
+    assert X.shape[0] == 67
+    exact = gpr.Exact(gpr.MultiOutputSpectralKernel(output_dims=2), X, Y,
+                      variance=0.1, trace_probes=8, seed=7)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(8)
+    step, params, opt_state, X_sh, Y_sh = exact_sharded_step(exact, mesh, opt)
+    params1, _, loss_sharded = step(params, opt_state, X_sh, Y_sh)
+    assert np.isfinite(float(loss_sharded))
+    assert all(bool(np.all(np.isfinite(np.asarray(p)))) for p in params1)
+    # deterministic masked LML as ground truth: the stochastic FORWARD value
+    # is exact (probes only enter the backward), so the values agree up to
+    # the jitter-scale difference of the padded diagonal
+    dense = gpr.Exact(gpr.MultiOutputSpectralKernel(output_dims=2), X, Y,
+                      variance=0.1)
+    np.testing.assert_allclose(float(loss_sharded), dense.loss(), rtol=1e-6)
