@@ -423,6 +423,62 @@ class ExactIterative(Model):
             const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
         return val - const
 
+    def log_marginal_likelihood_readout(self, max_cg_iters=None, cg_tol=None,
+                                        num_probes=None, lanczos_iters=None,
+                                        precond_rank=None, seeds=1):
+        """Converged evaluation-time LML (ROADMAP #7).
+
+        Training steps keep the cheap per-step budget — the probe-trace
+        gradients are unbiased at ANY budget, so optimization converges
+        regardless — but `log_marginal_likelihood()` then reports a
+        budget-limited VALUE (measured a few % off at N=65k with the
+        default rank-64/15-iter step, benchmarks/iter_tune.py). This method
+        re-evaluates the CURRENT parameters with an evaluation-grade
+        budget: ≥250 CG iterations (the iter_tune tight-reference budget),
+        tol tightened to 1e-10 (so CG runs until true convergence or the
+        budget), ≥64 probes, a preconditioner rank of ≥64 — the dominant
+        accuracy lever (benchmarks/iter_tune.py): the quadrature estimates
+        tr log(P⁻¹K) + the EXACT logdet P, and its Hutchinson variance
+        scales with ‖log(P⁻¹K)‖_F², which the pivoted-Cholesky P crushes —
+        and optional averaging over `seeds` independent probe streams
+        (residual stochastic error shrinks ∝ 1/√(seeds·probes)).
+
+        Use for model selection (BIC/AIC), convergence reporting, or any
+        place the LML value itself matters. Gradients are not needed here,
+        so each call is forward-only (no low-rank backward)."""
+        max_cg = int(max_cg_iters if max_cg_iters is not None
+                     else max(250, self.max_cg_iters))
+        tol = float(cg_tol if cg_tol is not None else min(self.cg_tol, 1e-10))
+        probes = int(num_probes if num_probes is not None
+                     else max(64, self.num_probes))
+        lanczos = int(lanczos_iters if lanczos_iters is not None
+                      else max(64, self.lanczos_iters))
+        rank = int(precond_rank if precond_rank is not None
+                   else max(64, self.precond_rank))
+        rank = min(rank, self.X.shape[0])
+
+        base = self._static()
+        c = self.X[:, 0].astype(jnp.int32)
+        x = self.X[:, 1:]
+        y = self._residual_y()
+        mask = getattr(self, "_row_mask", None)
+        params = self._kernel_params()
+        noise = self._noise_diag()
+        vals = []
+        for s in range(int(seeds)):
+            static = (base[0], base[1], max_cg, tol, probes, lanczos,
+                      self.seed + 7919 * s, base[7], rank, base[9],
+                      base[10])
+            fn = jax.jit(lambda x_, c_, nd, y_, p, static=static:
+                         _lml_iter(static, x_, c_, nd, y_, mask, p))
+            vals.append(fn(x, c, noise, y, params))
+        val = jnp.mean(jnp.stack(vals))
+        if mask is None:
+            const = self.log_marginal_likelihood_constant
+        else:
+            const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
+        return val - const
+
     def predict_f(self, X, full=False, block_size=1024):
         """Posterior via CG solves, blocked over the prediction grid.
 

@@ -371,7 +371,18 @@ class Model:
                 raise ValueError("parameter shape mismatch for %s: %s != %s" % (p._name, arr.shape, tuple(p.shape)))
             p._raw = jnp.asarray(arr, dtype=p._raw.dtype)
 
-    def log_marginal_likelihood(self):
+    def log_marginal_likelihood(self, readout=True):
+        """The model's log marginal likelihood.
+
+        For the `Iterative` inference engine the training-step LML is a
+        budget-limited stochastic estimate (gradients are unbiased, the
+        VALUE is a few % off at large N); by default this method re-reads
+        it at an evaluation-grade solver budget
+        (gpr.ExactIterative.log_marginal_likelihood_readout) so BIC/AIC and
+        model comparison use a converged value. Pass readout=False for the
+        raw training-budget estimate."""
+        if readout and hasattr(self.gpr, "log_marginal_likelihood_readout"):
+            return float(self.gpr.log_marginal_likelihood_readout())
         return float(self.gpr.log_marginal_likelihood())
 
     def BIC(self):

@@ -97,6 +97,32 @@ def test_iterative_lml_matches_cholesky():
     assert abs(lml_iter - lml_chol) / abs(lml_chol) < 0.05, (lml_iter, lml_chol)
 
 
+def test_readout_lml_recovers_underbudgeted_value():
+    """log_marginal_likelihood_readout (ROADMAP #7): a deliberately
+    starved per-step budget gives a biased LML value, but the
+    evaluation-grade readout recovers the dense ground truth to <0.5%
+    (and strictly improves on the training estimate)."""
+    exact = _mosm_model(gpr.Exact)
+    starved = _mosm_model(gpr.ExactIterative, max_cg_iters=4, cg_tol=1e-10,
+                          num_probes=4, lanczos_iters=4, precond_rank=0)
+    truth = float(exact.log_marginal_likelihood())
+    budget = float(starved.log_marginal_likelihood())
+    readout = float(starved.log_marginal_likelihood_readout(seeds=2))
+    assert abs(readout - truth) <= abs(budget - truth)
+    assert abs(readout - truth) / abs(truth) < 0.005, (readout, truth, budget)
+
+    # the top-level trainer API reads the converged value by default
+    # (readout=False returns the raw budget-limited estimate)
+    import mogptk_tpu as mogptk
+    t = np.linspace(0, 6, 24)
+    ds = mogptk.DataSet(t, [np.sin(1.2 * t), np.cos(1.2 * t)])
+    m = mogptk.Model(ds, mogptk.gpr.MultiOutputSpectralMixtureKernel(
+        2, output_dims=2), inference=mogptk.Iterative(
+            max_cg_iters=4, num_probes=4, lanczos_iters=4, precond_rank=0))
+    assert np.isfinite(m.log_marginal_likelihood())
+    assert np.isfinite(m.log_marginal_likelihood(readout=False))
+
+
 def test_iterative_gradients_match_cholesky():
     exact = _mosm_model(gpr.Exact)
     iterative = _mosm_model(gpr.ExactIterative, max_cg_iters=300, cg_tol=1e-12,
