@@ -434,10 +434,18 @@ class UncoupledMultiOutputSpectralKernel(MultiOutputKernel):
 
 class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
     """MOHSM: nonstationary harmonizable spectral kernel, Altamirano 2021
-    (reference: mogptk/gpr/multioutput.py:295-395)."""
+    (reference: mogptk/gpr/multioutput.py:295-395).
 
-    def __init__(self, output_dims, input_dims=1, active_dims=None):
+    `psd_safe=True` (off by default — the default keeps exact formula
+    parity with the reference) caps the envelope precision at the
+    locally-stationary PSD bound, making the kernel usable for narrow
+    spectral variances over wide X ranges where the reference formula
+    produces an indefinite Gram (see _effective_l2)."""
+
+    def __init__(self, output_dims, input_dims=1, active_dims=None,
+                 psd_safe=False):
         super().__init__(output_dims, input_dims, active_dims)
+        self.psd_safe = bool(psd_safe)
         self.weight = Parameter(jnp.ones(output_dims), lower=config.positive_minimum)
         self.mean = Parameter(jnp.zeros((output_dims, input_dims)), lower=config.positive_minimum)
         self.variance = Parameter(jnp.ones((output_dims, input_dims)), lower=config.positive_minimum)
@@ -455,9 +463,35 @@ class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
                 self.variance()[:, None, :], self.delay()[:, None, :],
                 self.phase()[:, None])
 
+    def _effective_l2(self):
+        """Envelope precision l² per channel, under the opt-in PSD-safe cap.
+
+        A MOHSM channel block is a locally-stationary (Silverman 1957)
+        product exp(−½l²s²)·exp(−½Σ_d τ_d²)·cos(·) per input dim, with
+        s = (x+x')/2 − c and τ = x−x'. In (x, x') coordinates the cross
+        factor is exp(2C·xx') with 2C = Σ_d − l²/4, which is a PSD kernel
+        iff C ≥ 0 — so the block is PSD iff l² ≤ 4Σ_d for every dim (the
+        cosine is a unitary modulation and cannot rescue it). Cross-channel
+        blocks substitute the pair scalars l_nm = 2l_i²l_j²/(l_i²+l_j²)
+        ≤ 2·min(l_i², l_j²) and Σ_nm = 2Σ_iΣ_j/(Σ_i+Σ_j) ≥ min(Σ_i, Σ_j),
+        so capping each channel at l_i² ≤ 2·min_d Σ_id keeps every pair
+        block inside its own bound.
+
+        psd_safe applies the cap as the smooth saturation c·tanh(l²/c):
+        ≈ l² (to second order) while the constraint is slack, asymptotically
+        c when it binds — differentiable everywhere, so training simply
+        slides along the boundary instead of NaN-ing the Cholesky the way
+        the reference formula does (mogptk/gpr/multioutput.py:295-395 has
+        no equivalent)."""
+        l2 = self.lengthscale() ** 2
+        if not getattr(self, "psd_safe", False):
+            return l2
+        cap = 2.0 * jnp.min(self.variance(), axis=-1)
+        return cap * jnp.tanh(l2 / cap)
+
     def _fused_params(self):
         """Pure-function parameter tuple for _mohsm_K / the fused engines."""
-        return self._params() + (self.lengthscale().reshape(-1, 1),
+        return self._params() + (jnp.sqrt(self._effective_l2()).reshape(-1, 1),
                                  self.center().reshape(1, -1))
 
     def K_sorted(self, X, counts):
@@ -476,7 +510,7 @@ class MultiOutputHarmonizableSpectralKernel(MultiOutputKernel):
 
     def K_mo_diag(self, c1, x1):
         variance = self.variance()
-        l2 = self.lengthscale() ** 2  # O
+        l2 = self._effective_l2()  # O
         alpha = (self.weight() ** 2 * self.twopi * jnp.sqrt(jnp.prod(variance, axis=-1))
                  * jnp.power(jnp.sqrt(l2), float(self.input_dims)))
         dist2 = jnp.sum((x1 - self.center()) ** 2, axis=-1)

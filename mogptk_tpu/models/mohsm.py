@@ -14,7 +14,8 @@ class MOHSM(Model):
     """Nonstationary multi-output model with P components × Q subcomponents
     (reference: mogptk/models/mohsm.py:8-62)."""
 
-    def __init__(self, dataset, P=1, Q=1, inference=None, mean=None, name="MOHSM", **kwargs):
+    def __init__(self, dataset, P=1, Q=1, inference=None, mean=None, name="MOHSM",
+                 psd_safe=False, **kwargs):
         if inference is None:
             inference = Exact()
         if not isinstance(dataset, DataSet):
@@ -26,7 +27,12 @@ class MOHSM(Model):
             if input_dim != input_dims:
                 raise ValueError("input dimensions for all channels must match")
 
-        spectral = MultiOutputHarmonizableSpectralKernel(output_dims=output_dims, input_dims=input_dims)
+        # psd_safe: cap the envelope precision at the locally-stationary PSD
+        # bound (gpr.MultiOutputHarmonizableSpectralKernel._effective_l2) —
+        # trainable where the reference formula NaNs (narrow LS-estimated
+        # spectral variances over wide X ranges)
+        spectral = MultiOutputHarmonizableSpectralKernel(
+            output_dims=output_dims, input_dims=input_dims, psd_safe=psd_safe)
         kernel = MixtureKernel(spectral, P * Q)
         rng = gpr_config.numpy_rng()
         for p in range(P):

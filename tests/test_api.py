@@ -206,6 +206,43 @@ def test_mohsm_model():
     assert losses[-1] < loss0
 
 
+def test_mohsm_psd_safe_trains_where_default_is_non_psd():
+    """psd_safe=True caps the envelope precision at the locally-stationary
+    PSD bound (gpr/multioutput._effective_l2): on the long-range LS-init
+    config where the reference-parity formula is indefinite (loss NaN →
+    CholeskyException), the safe kernel has a PSD Gram and trains."""
+    xs, ys = _huge_axis_dataset()
+
+    mogptk.gpr.config.set_seed(11)
+    m_default = mogptk.MOHSM(mogptk.DataSet(xs, ys, names=["A", "B"]), P=1,
+                             Q=2, rescale_x="normalize")
+    m_default.init_parameters("LS")
+    with pytest.raises(Exception):
+        m_default.train(method="Adam", lr=0.01, iters=3)
+
+    mogptk.gpr.config.set_seed(11)
+    m_safe = mogptk.MOHSM(mogptk.DataSet(xs, ys, names=["A", "B"]), P=1,
+                          Q=2, rescale_x="normalize", psd_safe=True)
+    m_safe.init_parameters("LS")
+    # the Gram itself is PSD up to jitter scale
+    K = np.asarray(m_safe.gpr.kernel(m_safe.gpr.X))
+    eig = np.linalg.eigvalsh(0.5 * (K + K.T))
+    assert eig.min() >= -1e-8 * max(eig.max(), 1.0), eig.min()
+    losses, _ = m_safe.train(method="Adam", lr=0.01, iters=10)
+    assert np.all(np.isfinite(losses))
+
+    # in the well-conditioned regime the cap is slack: psd_safe matches the
+    # default formula to the tanh saturation's second-order error
+    k_def = mogptk.gpr.MultiOutputHarmonizableSpectralKernel(output_dims=2)
+    k_safe = mogptk.gpr.MultiOutputHarmonizableSpectralKernel(
+        output_dims=2, psd_safe=True)
+    for k in (k_def, k_safe):
+        k.lengthscale.assign(0.2 * np.ones(2))     # l² = 0.04 « 2·min Σ = 2
+    X = np.concatenate([np.zeros((20, 1)), np.linspace(0, 3, 20).reshape(-1, 1)], axis=1)
+    np.testing.assert_allclose(np.asarray(k_safe(X)), np.asarray(k_def(X)),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_mohsm_init_parameters_assigns():
     t = np.linspace(0, 3, 40)
     y1 = np.sin(2.0 * t)
