@@ -23,3 +23,30 @@ def test_docs_generate(tmp_path):
     assert "log_marginal_likelihood" in gprm and "class" in gprm
     index = open(os.path.join(outdir, "index.html")).read()
     assert "mogptk_tpu.models.mosm" in index
+
+
+def test_notebook_generation(tmp_path):
+    """docs/make_notebooks.py converts every example script into a valid
+    nbformat-4 notebook whose code cells parse (the notebook-format
+    distribution matching the reference's examples/*.ipynb)."""
+    import ast
+    import json
+    import subprocess
+
+    here = os.path.join(os.path.dirname(__file__), "..")
+    outdir = str(tmp_path / "nb")
+    subprocess.run([sys.executable,
+                    os.path.join(here, "docs", "make_notebooks.py"), outdir],
+                   check=True)
+    examples = [f for f in os.listdir(os.path.join(here, "examples"))
+                if f.endswith(".py")]
+    made = [f for f in os.listdir(outdir) if f.endswith(".ipynb")]
+    assert len(made) == len(examples) >= 11
+    for f in made:
+        nb = json.load(open(os.path.join(outdir, f)))
+        assert nb["nbformat"] == 4
+        assert nb["cells"][0]["cell_type"] == "markdown"
+        assert any(c["cell_type"] == "code" for c in nb["cells"])
+        for c in nb["cells"]:
+            if c["cell_type"] == "code":
+                ast.parse("".join(c["source"]))
