@@ -41,4 +41,4 @@ from .model import (Model, Exact, Snelson, OpperArchambeau, Titsias,
                     init_inducing_points)
 from .iterative import ExactIterative
 from .util import merge_data, split_data
-from .training import train
+from .training import train, precompile

@@ -32,6 +32,93 @@ def _make_optimizer(method, lr, **kwargs):
     raise ValueError("optimizer method %s unknown; use Adam, SGD, AdaGrad, or LBFGS" % method)
 
 
+def _default_chunk(iters, verbose, has_callback):
+    return max(1, min(iters, 100 if not verbose and not has_callback else 10))
+
+
+def _build_lbfgs_step(model, optimizer):
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+
+    def fun(params):
+        return loss_fn(params, fixed)
+
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    @jax.jit
+    def step(params, opt_state):
+        value, grad = value_and_grad(params, state=opt_state)
+        updates, opt_state = optimizer.update(
+            grad, opt_state, params, value=value, grad=grad, value_fn=fun)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, value
+
+    return step, train0
+
+
+def _build_chunk_runner(model, optimizer):
+    """Returns (train0, make_chunk) where make_chunk(length) is the jitted
+    length-step scan program. train() and precompile() both build through
+    here so the primed program is IDENTICAL to the one training runs (the
+    persistent compilation cache keys on the lowered HLO)."""
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+    vg = jax.value_and_grad(loss_fn, argnums=0)
+
+    def one_step(carry, _):
+        params, opt_state = carry
+        value, grads = vg(params, fixed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), value
+
+    def make_chunk(length):
+        @jax.jit
+        def run_chunk(params, opt_state):
+            (params, opt_state), values = jax.lax.scan(
+                one_step, (params, opt_state), None, length=length)
+            return params, opt_state, values
+        return run_chunk
+
+    return train0, make_chunk
+
+
+def precompile(model, method="Adam", lr=None, iters=500, verbose=False,
+               has_callback=True, chunk=None, cache_dir=None, **kwargs):
+    """Compile the training-step program `train()` would run — without
+    executing a single step — so the one-time XLA compile lands in the
+    persistent compilation cache and every later `train()` (any process)
+    starts in seconds.
+
+    The full N=16k exact training step takes tens of minutes to compile
+    through this image's remote-compile path (ROADMAP #4); priming moves
+    that wait into a disposable warm-up run. Pass the SAME method/lr/
+    chunk/verbose arguments the later train() will use (the cache keys on
+    the exact program). `has_callback` mirrors whether train() will be
+    called with a callback (the top-level Model.train always does — it
+    changes the default chunk). `cache_dir` configures
+    jax_compilation_cache_dir when given.
+
+    Returns seconds spent compiling (≈0 when already cached)."""
+    if cache_dir is not None:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    optimizer, is_lbfgs = _make_optimizer(method, lr, **kwargs)
+    t0 = time.time()
+    if is_lbfgs:
+        step, train0 = _build_lbfgs_step(model, optimizer)
+        step.lower(train0, optimizer.init(train0)).compile()
+    else:
+        if chunk is None:
+            chunk = _default_chunk(int(iters), verbose, has_callback)
+        train0, make_chunk = _build_chunk_runner(model, optimizer)
+        if len(train0) == 0:
+            return 0.0
+        make_chunk(int(chunk)).lower(train0, optimizer.init(train0)).compile()
+    return time.time() - t0
+
+
 def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None,
           chunk=None, **kwargs):
     """Train a gpr model in place; returns (losses, elapsed_seconds).
@@ -50,31 +137,18 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
         raise ValueError("iters must be non-negative")
     optimizer, is_lbfgs = _make_optimizer(method, lr, **kwargs)
 
-    loss_fn = model.make_loss_fn()
-    train0, fixed = model._split_raws()
+    train0, _ = model._split_raws()
     if len(train0) == 0 or iters == 0:
         return np.zeros(0), 0.0
 
     if chunk is None:
-        chunk = max(1, min(iters, 100 if not verbose and callback is None else 10))
+        chunk = _default_chunk(iters, verbose, callback is not None)
     chunk = int(chunk)
     if chunk < 1:
         raise ValueError("chunk must be >= 1")
 
     if is_lbfgs:
-        def fun(params):
-            return loss_fn(params, fixed)
-
-        value_and_grad = optax.value_and_grad_from_state(fun)
-
-        @jax.jit
-        def step(params, opt_state):
-            value, grad = value_and_grad(params, state=opt_state)
-            updates, opt_state = optimizer.update(
-                grad, opt_state, params, value=value, grad=grad, value_fn=fun)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, value
-
+        step, train0 = _build_lbfgs_step(model, optimizer)
         params = train0
         opt_state = optimizer.init(params)
         losses = []
@@ -94,20 +168,8 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
         model.check_numerics(losses[-1])
         return np.asarray(losses), elapsed
 
-    vg = jax.value_and_grad(loss_fn, argnums=0)
-
-    def one_step(carry, _):
-        params, opt_state = carry
-        value, grads = vg(params, fixed)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), value
-
-    @jax.jit
-    def run_chunk(params, opt_state, n_steps_dummy):
-        (params, opt_state), values = jax.lax.scan(
-            one_step, (params, opt_state), None, length=chunk)
-        return params, opt_state, values
+    train0, make_chunk = _build_chunk_runner(model, optimizer)
+    run_chunk = make_chunk(chunk)
 
     params = train0
     opt_state = optimizer.init(params)
@@ -117,15 +179,10 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
     while done < iters:
         n = min(chunk, iters - done)
         if n < chunk:
-            # tail smaller than chunk: run single steps jitted
-            @jax.jit
-            def run_tail(params, opt_state):
-                (params, opt_state), values = jax.lax.scan(
-                    one_step, (params, opt_state), None, length=n)
-                return params, opt_state, values
-            params, opt_state, values = run_tail(params, opt_state)
+            # tail smaller than chunk: a shorter scan of the same step
+            params, opt_state, values = make_chunk(n)(params, opt_state)
         else:
-            params, opt_state, values = run_chunk(params, opt_state, None)
+            params, opt_state, values = run_chunk(params, opt_state)
         values = np.asarray(values)
         losses.extend(values.tolist())
         done += n

@@ -396,6 +396,25 @@ class Model:
     def loss(self):
         return float(self.gpr.loss())
 
+    def precompile(self, method="Adam", error=None, cache_dir="/tmp/jax_cache",
+                   **kwargs):
+        """One-time compile of this model's training step into the
+        persistent compilation cache — without running a step.
+
+        The full exact training step at large N takes tens of minutes to
+        compile through a remote-compile TPU path; priming in a disposable
+        warm-up run (same method/lr/error arguments as the later train())
+        makes every subsequent train() in any process sharing `cache_dir`
+        start in seconds. Returns seconds spent compiling (≈0 when the
+        cache already holds the program)."""
+        from .gpr import precompile as gpr_precompile
+        # mirror train()'s chunk selection: per-iteration error tracking
+        # forces chunk=1, otherwise the callback default (10)
+        chunk = 1 if error is not None else None
+        return gpr_precompile(self.gpr, method=method,
+                              lr=kwargs.pop("lr", None), has_callback=True,
+                              chunk=chunk, cache_dir=cache_dir, **kwargs)
+
     def error(self, method="MAE", use_all_data=False):
         """Prediction error on the removed (test) points
         (reference: mogptk/model.py:386-439)."""

@@ -256,6 +256,31 @@ def test_mohsm_init_parameters_assigns():
     assert not np.allclose(c0, c1)
 
 
+def test_precompile_primes_cache_and_train_matches():
+    """Model.precompile compiles the EXACT chunked training-step program
+    train() runs (shared builder) into the persistent cache — training
+    afterwards produces identical results to an unprimed run."""
+    import tempfile
+    dataset = _two_channel_dataset(n=30)
+    mogptk.gpr.config.set_seed(3)
+    m1 = mogptk.MOSM(dataset, Q=1)
+    cache = tempfile.mkdtemp()
+    secs = m1.precompile(method="Adam", lr=0.02, cache_dir=cache)
+    assert secs >= 0.0
+    assert len(os.listdir(cache)) > 0  # program landed in the cache
+    losses1, _ = m1.train(method="Adam", lr=0.02, iters=20)
+
+    mogptk.gpr.config.set_seed(3)
+    m2 = mogptk.MOSM(dataset, Q=1)
+    losses2, _ = m2.train(method="Adam", lr=0.02, iters=20)
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-12)
+
+    # LBFGS path compiles too
+    mogptk.gpr.config.set_seed(3)
+    m3 = mogptk.MOSM(dataset, Q=1)
+    assert m3.precompile(method="LBFGS", cache_dir=cache) >= 0.0
+
+
 def test_model_with_titsias_inference():
     dataset = _two_channel_dataset(n=40)
     model = mogptk.MOSM(dataset, Q=1, inference=mogptk.Titsias(inducing_points=10))
