@@ -142,6 +142,143 @@ def _dot_t(a, b, precision):
                                precision=precision)
 
 
+def _panel_write_kernel(l_in_ref, s_ref, invt_ref, ljj_ref, l_ref, *,
+                        tiles_diag):
+    """Write one finished block column of L IN PLACE (aliased output):
+    tiles inside the diagonal block copy Ljj; tiles below it compute the
+    TRSM-via-inverse GEMM  S_tile @ L_jj⁻ᵀ  as manual bf16x3 (matching the
+    S-panel kernel's "high" recipe). The aliased-but-unread l_in_ref is what
+    makes the update in place — the rest of L is never copied (the
+    dynamic_update_slice form cost one full-buffer copy per block column,
+    ~16 GB of HBM traffic at N=16k)."""
+    i = pl.program_id(0)
+
+    @pl.when(i < tiles_diag)
+    def _():
+        l_ref[:, :] = ljj_ref[:, :]
+
+    @pl.when(i >= tiles_diag)
+    def _():
+        s = s_ref[:, :]
+        v = invt_ref[:, :]
+        sh = s.astype(jnp.bfloat16)
+        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _panel_write(L, S, invT, Ljj, j, B, T):
+    """L with block column j finalized: the (B, B) diagonal block set to
+    Ljj and the rows below set to S[B:] @ invT — written in place through
+    an aliased Pallas call (no full-buffer copy). custom_vjp because
+    pallas_call has no transpose rule (cf. _s_panel_pallas)."""
+    return _panel_write_impl(L, S, invT, Ljj, j, B, T)
+
+
+def _panel_write_impl(L, S, invT, Ljj, j, B, T):
+    npad = L.shape[0]
+    r0 = j * B
+    m = npad - r0
+    tiles_diag = B // T
+    grid = (m // T,)
+    return pl.pallas_call(
+        functools.partial(_panel_write_kernel, tiles_diag=tiles_diag),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=grid,
+        in_specs=[
+            # the aliased L itself — never read in-kernel; block-mapped to
+            # the same tiles the kernel writes so no foreign DMA happens
+            pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
+            # S tile (rows of the panel accumulation, diagonal rows first)
+            pl.BlockSpec((T, B), lambda i: (i, 0)),
+            # the explicit B×B panel inverse transposed (L_jj⁻ᵀ)
+            pl.BlockSpec((B, B), lambda i: (0, 0)),
+            # Ljj rows for the diagonal tiles (index clamped for i beyond)
+            pl.BlockSpec((T, B),
+                         lambda i, td=tiles_diag: (jnp.minimum(i, td - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
+        input_output_aliases={0: 0},
+        interpret=jax.default_backend() == "cpu",
+    )(L, S, invT, Ljj)
+
+
+def _panel_write_fwd(L, S, invT, Ljj, j, B, T):
+    return _panel_write_impl(L, S, invT, Ljj, j, B, T), (S, invT)
+
+
+def _panel_write_bwd(j, B, T, res, g):
+    S, invT = res
+    r0 = j * B
+    npad = g.shape[0]
+    # the written region's cotangent flows to (Ljj, S, invT); the rest to L
+    g_col = g[r0:, r0:r0 + B].astype(jnp.float32)
+    dLjj = g_col[:B].astype(S.dtype)
+    g_below = g_col[B:]
+    Sb = S[B:].astype(jnp.float32)
+    dS = jnp.zeros(S.shape, S.dtype)
+    dS = jax.lax.dynamic_update_slice(
+        dS, jnp.matmul(g_below, invT.T.astype(jnp.float32),
+                       precision="high").astype(S.dtype), (B, 0))
+    dinvT = jnp.matmul(Sb.T, g_below, precision="high").astype(invT.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    written = (rows >= r0) & (cols >= r0) & (cols < r0 + B)
+    dL = jnp.where(written, jnp.zeros((), g.dtype), g)
+    return dL, dS, dinvT, dLjj
+
+
+_panel_write.defvjp(_panel_write_fwd, _panel_write_bwd)
+
+
+def _zero_kernel(l_in_ref, l_ref):
+    l_ref[:, :] = jnp.zeros_like(l_ref[:, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _upper_zero(L, j, B, T):
+    """Zero row block j's strict-upper strip (rows jB:(j+1)B, cols (j+1)B:)
+    in place. Only used by the in-place factorization, where L's buffer IS
+    the Gram's: the factorization never READS the upper triangle, but L's
+    contract says it is zero."""
+    return _upper_zero_impl(L, j, B, T)
+
+
+def _upper_zero_impl(L, j, B, T):
+    npad = L.shape[0]
+    c0 = (j + 1) * B
+    w = npad - c0
+    return pl.pallas_call(
+        _zero_kernel,
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=(w // T,),
+        in_specs=[pl.BlockSpec((B, T), lambda i, j=j, cT=c0 // T: (j, cT + i))],
+        out_specs=pl.BlockSpec((B, T), lambda i, j=j, cT=c0 // T: (j, cT + i)),
+        input_output_aliases={0: 0},
+        interpret=jax.default_backend() == "cpu",
+    )(L)
+
+
+def _upper_zero_fwd(L, j, B, T):
+    return _upper_zero_impl(L, j, B, T), None
+
+
+def _upper_zero_bwd(j, B, T, res, g):
+    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    strip = ((rows >= j * B) & (rows < (j + 1) * B) & (cols >= (j + 1) * B))
+    return (jnp.where(strip, jnp.zeros((), g.dtype), g),)
+
+
+_upper_zero.defvjp(_upper_zero_fwd, _upper_zero_bwd)
+
+
 def _panel_factor(S, update_precision, panel_precision):
     """Factor a B×B diagonal block. XLA's expander is slow on 1024² blocks
     (~1.5 ms each, ~25 ms of pure panel time at N=16k); recurse with
@@ -215,6 +352,16 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     # (no slice copies at all; manual bf16x3 passes).
     pallas_update = (ldtype == jnp.float32 and update_precision == "high"
                      and B % 512 == 0 and npad % 512 == 0)
+    # in-place factorization: L's buffer IS K's (every write goes through
+    # aliased Pallas calls, so XLA can assign them one buffer when K is a
+    # dead temp — exactly the LML path, where the Gram engine's output has
+    # no other consumer). Peak HBM drops from 8 bytes/entry (Gram + factor)
+    # to 4, raising the max single-chip exact-Cholesky N by ~40% with NO
+    # accuracy change — strictly dominating the bf16-Gram mode's 6 B/entry
+    # (which shifts the LML; ROADMAP #2). When K has other uses (jitter
+    # ladders retrying the factorization, user-held arrays), XLA inserts a
+    # copy: still correct, just no peak win.
+    pallas_inplace = pallas_update and npad == n and K.dtype == jnp.float32
     shift = None if diag_shift is None else jnp.asarray(diag_shift, ldtype)
     if shift is not None and shift.ndim == 1:
         if shift.shape[0] != n:
@@ -222,24 +369,44 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                              % (shift.shape,))
         if npad != n:
             shift = jnp.pad(shift, (0, npad - n))   # padded diagonal stays 1
-    L = jnp.zeros(K.shape, ldtype)
+    L = K if pallas_inplace else jnp.zeros(K.shape, ldtype)
     for j in range(nb):
         r0 = j * B
         if j > 0 and pallas_update:
-            S = _s_panel_pallas(K, L, j, B)
+            # in place, unwritten regions of L still hold K: the S kernel
+            # reads the not-yet-finalized panel (rows ≥ r0 of column j) and
+            # the finalized left columns from the same buffer
+            S = _s_panel_pallas(L if pallas_inplace else K, L, j, B)
         elif j > 0:
             Kj = K[r0:, r0:r0 + B].astype(ldtype)   # (npad − jB, B)
             # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
             Lleft = L[r0:, :r0]
             S = Kj - _dot_t(Lleft, Lleft[:B], update_precision)
         else:
-            S = K[r0:, r0:r0 + B].astype(ldtype)
+            S = (L if pallas_inplace else K)[r0:, r0:r0 + B].astype(ldtype)
         Sjj = S[:B]
         if shift is not None:
             sj = shift[r0:r0 + B, None] if shift.ndim == 1 else shift
             Sjj = Sjj + sj * jnp.eye(B, dtype=ldtype)
         with jax.default_matmul_precision(panel_precision):
             Ljj = _panel_factor(Sjj, update_precision, panel_precision)
+            if pallas_update:
+                # finalize the block column IN PLACE: the aliased Pallas
+                # write computes the TRSM-via-inverse GEMM per tile (manual
+                # bf16x3 — the same "high" recipe as the XLA path below)
+                # and copies Ljj, touching ONLY the column — the
+                # concatenate + dynamic_update_slice form re-copied the
+                # whole 1 GB L buffer every block column (~16 GB of HBM
+                # traffic at N=16k, the bulk of the measured 12 ms
+                # copy/scheduling overhead above the GEMM+TRSM+panel floor)
+                invT = (_tri_inverse(Ljj).T if j < nb - 1
+                        else jnp.eye(B, dtype=ldtype))
+                L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
+                if pallas_inplace and j < nb - 1:
+                    # the buffer's upper strip still holds K values that the
+                    # factorization never reads; L's contract zeroes them
+                    L = _upper_zero(L, j, B, min(512, B))
+                continue
             if j < nb - 1:
                 # X · Ljjᵀ = S_below  ⇔  X = S_below · Ljj⁻ᵀ — one GEMM
                 # against the explicit B×B triangular inverse (MAGMA-style
