@@ -53,6 +53,14 @@ class Config:
         # (Gram assembly, optimizer) keeps full-speed default matmuls.
         # None = follow the global default.
         self.sensitive_matmul_precision = "highest"
+        # Gram STORAGE format, orthogonal to the compute dtype. None =
+        # store in config.dtype. "bf16x2" = error-compensated two-term
+        # split (hi + lo bfloat16, ops/linalg.split_bf16): the Exact Gram
+        # round-trips through the split form before factorization, so the
+        # LML matches the f32 Gram to the ~17-bit reconstruction floor
+        # instead of bf16's 8-bit shift. See use_half_precision(
+        # compensated=True) for when this is (and is not) worth it.
+        self.gram_storage = None
 
     @property
     def dtype(self):
@@ -102,7 +110,7 @@ class Config:
 config = Config()
 
 
-def use_half_precision():
+def use_half_precision(compensated=False):
     """Use bfloat16 (TPU-native half precision) for parameters and Gram
     STORAGE — half the HBM, so the largest single-chip exact-Cholesky N
     grows ~15% (peak 6 bytes/entry instead of 8). The numerics are NOT
@@ -111,9 +119,32 @@ def use_half_precision():
     the cosine phase), the blocked Cholesky consumes bf16 tiles with
     in-VMEM upcast and returns an f32 factor, jitter rides the factor-
     dtype diag_shift (a 1e-8 bump would round away in bf16), and every
-    solve/matvec runs f32 (ops/linalg._solve_dtype)."""
+    solve/matvec runs f32 (ops/linalg._solve_dtype).
+
+    compensated=True instead keeps f32 parameters/compute and stores the
+    Gram as an error-compensated two-term bfloat16 split (hi + lo;
+    ops/linalg.split_bf16): the LML lands at the ~17-bit reconstruction
+    floor instead of shifting by bf16's 8-bit Gram rounding (measured
+    925 → 311 at N=16k in plain bf16 mode; see ROADMAP #2).
+
+    Honest accounting before choosing either mode: the split form costs
+    4 bytes/entry — the same as f32 with *less* precision (8+8 explicit
+    mantissa bits vs 24) — and the in-place blocked Cholesky
+    (ops/blocked_cholesky.py) already factorizes a dead-temp f32 Gram at
+    4 bytes/entry peak with NO accuracy loss, strictly dominating both
+    bf16 modes for the LML/training path. Plain bf16 (2 bytes/entry)
+    remains useful only where the raw Gram must PERSIST (checkpointed or
+    user-held Grams, halved ICI bytes when shipping Gram shards) and a
+    shifted LML is acceptable; compensated mode is for the same
+    persistence cases when it is not. benchmarks/half_precision.py
+    measures all three."""
     jax.config.update("jax_enable_x64", False)
-    config.dtype = jnp.bfloat16
+    if compensated:
+        config.dtype = jnp.float32
+        config.gram_storage = "bf16x2"
+    else:
+        config.dtype = jnp.bfloat16
+        config.gram_storage = None
     config.bump()
 
 
@@ -121,6 +152,7 @@ def use_single_precision():
     """Use float32 data type for computations (TPU MXU native)."""
     jax.config.update("jax_enable_x64", False)
     config.dtype = jnp.float32
+    config.gram_storage = None
     config.bump()
 
 
@@ -132,6 +164,7 @@ def use_double_precision():
     """
     jax.config.update("jax_enable_x64", True)
     config.dtype = jnp.float64
+    config.gram_storage = None
     config.bump()
 
 

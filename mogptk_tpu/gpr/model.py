@@ -475,11 +475,14 @@ class Exact(Model):
         (ops/linalg.lml_chol_fused), or None when any precondition fails:
         channel-sorted data with a block-engine family, Pallas on, probe
         gradients, no row mask / Gram sharding constraint / jitter ladder
-        (the ladder retries factorizations of a materialized Gram)."""
+        (the ladder retries factorizations of a materialized Gram) / Gram
+        storage format (the format only means anything for a materialized
+        Gram, so the round-trip in _Kff must see it)."""
         counts = getattr(self, "_channel_counts", None)
         if (not self.trace_probes or counts is None or not pallas_enabled()
                 or getattr(self, "_gram_sharding", None) is not None
-                or config.jitter_ladder > 0):
+                or config.jitter_ladder > 0
+                or config.gram_storage is not None):
             return None
         from .iterative import _family_of
         from ..ops.block_families import has_block_family
@@ -539,6 +542,14 @@ class Exact(Model):
             checkpoint = not (pallas_enabled()
                               and getattr(self.kernel, "gram_has_custom_vjp", False))
         Kff = jax.checkpoint(kern_K)(self.X) if checkpoint else kern_K(self.X)
+        if config.gram_storage == "bf16x2" and Kff.dtype == jnp.float32:
+            # error-compensated half-precision storage (use_half_precision(
+            # compensated=True)): the Gram round-trips through the two-term
+            # bf16 split it would be held in between uses, so the LML
+            # reflects the storage format's actual (~17-bit) floor rather
+            # than silently reading a never-stored f32 Gram
+            from ..ops.linalg import split_bf16, merge_bf16
+            Kff = merge_bf16(*split_bf16(Kff))
         gram_sharding = getattr(self, "_gram_sharding", None)
         if gram_sharding is not None:
             # row-block the assembly (and, by propagation, its VJP) over the

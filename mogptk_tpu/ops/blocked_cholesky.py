@@ -401,7 +401,11 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                 # copy/scheduling overhead above the GEMM+TRSM+panel floor)
                 invT = (_tri_inverse(Ljj).T if j < nb - 1
                         else jnp.eye(B, dtype=ldtype))
-                L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
+                # T=256: the four row-varying (T, B) blocks double-buffer in
+                # VMEM alongside the constant (B, B) invT — at T=512 that is
+                # ~18 MB, over the 16 MB scoped limit once the kernel runs
+                # inside the full fused training step (bench r3 crash)
+                L = _panel_write(L, S, invT, Ljj, j, B, min(256, B))
                 if pallas_inplace and j < nb - 1:
                     # the buffer's upper strip still holds K values that the
                     # factorization never reads; L's contract zeroes them

@@ -50,6 +50,25 @@ def cholesky(K, diag_shift=None):
     return jnp.linalg.cholesky(K)
 
 
+def split_bf16(K):
+    """Error-compensated two-term bfloat16 split of an f32 array:
+    hi = bf16(K), lo = bf16(K − hi). merge_bf16 reconstructs ~17 explicit
+    mantissa bits (vs plain bf16's 8) — enough that the Exact LML lands at
+    the reconstruction noise floor instead of bf16's Gram-rounding shift
+    (ROADMAP #2). Same 4 bytes/entry as f32, so use it only where a Gram
+    must PERSIST in a bf16 pipeline (checkpointed/user-held Grams);
+    the in-place blocked Cholesky factorizes a dead-temp f32 Gram at the
+    same 4 bytes/entry peak with full f32 accuracy."""
+    hi = K.astype(jnp.bfloat16)
+    lo = (K - hi.astype(K.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def merge_bf16(hi, lo, dtype=jnp.float32):
+    """Reconstruct the f32 array from a split_bf16 (hi, lo) pair."""
+    return hi.astype(dtype) + lo.astype(dtype)
+
+
 def _sensitive(fn):
     """Run fn's matmuls at the scoped sensitive-product precision
     (gpr.config.sensitive_matmul_precision): factorizations and triangular
