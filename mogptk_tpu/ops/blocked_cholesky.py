@@ -92,6 +92,16 @@ def _s_panel_impl(K, L, j, B, T, TK):
     m = npad - r0
     n_k = r0 // TK
     grid = (m // T, n_k)
+    # HBM traffic is dominated by the (B, TK) diagonal-block reads, which
+    # re-fetch for EVERY row tile: bytes ≈ (m/T)·r0·B·4 per column — ~11 GB
+    # (~13 ms) at N=16k with T=256. Larger T divides that traffic down; the
+    # VMEM cost (double-buffered blocks + the f32 accumulator) exceeds the
+    # 16 MB default scoped limit, so the kernel states its own budget.
+    vmem = 4 * (2 * T * B      # K tile, double-buffered
+                + 2 * T * TK   # L row chunk
+                + 2 * B * TK   # L diagonal-block chunk
+                + 2 * T * B    # out
+                + T * B)       # accumulator scratch
     return pl.pallas_call(
         functools.partial(_s_panel_kernel, n_k=n_k),
         out_shape=jax.ShapeDtypeStruct((m, B), jnp.float32),
@@ -106,6 +116,8 @@ def _s_panel_impl(K, L, j, B, T, TK):
         ],
         out_specs=pl.BlockSpec((T, B), lambda i, k: (i, 0)),
         scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 * 1024 * 1024, vmem + (vmem >> 2))),
         interpret=jax.default_backend() == "cpu",
     )(K, L, L)
 
@@ -205,6 +217,11 @@ def _panel_write_impl(L, S, invT, Ljj, j, B, T):
         ],
         out_specs=pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
         input_output_aliases={0: 0},
+        # four double-buffered row-varying (T, B) blocks + the constant
+        # (B, B) panel inverse: ~18 MB at T=512 — state the budget instead
+        # of shrinking the tile (the 16 MB default crashed the full step)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=4 * (8 * T * B + 2 * B * B) + (4 << 20)),
         interpret=jax.default_backend() == "cpu",
     )(L, S, invT, Ljj)
 
@@ -300,7 +317,8 @@ def _tri_inverse(Ljj):
 
 
 def blocked_cholesky(K, block_size=1024, update_precision="high",
-                     panel_precision="highest", diag_shift=None):
+                     panel_precision="highest", diag_shift=None,
+                     s_tile=None, return_panel_invs=False):
     """Lower-Cholesky factor of a symmetric PSD matrix, blocked for the MXU.
 
     Args:
@@ -326,7 +344,10 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
 
     Returns:
         (n, n) lower-triangular L with K = L @ L.T (upper half zero), in
-        f32 for sub-f32 input, else K's dtype.
+        f32 for sub-f32 input, else K's dtype. With return_panel_invs=True,
+        returns (L, invs): the B×B lower diagonal-panel inverses in solve
+        order (the TRSM derives them anyway), for blocked_trisolve/
+        blocked_cho_solve reuse — or (L, None) when n needed padding.
     """
     n = K.shape[-1]
     if K.ndim != 2:
@@ -352,6 +373,12 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     # (no slice copies at all; manual bf16x3 passes).
     pallas_update = (ldtype == jnp.float32 and update_precision == "high"
                      and B % 512 == 0 and npad % 512 == 0)
+    if s_tile is None:
+        from ..gpr.config import config as _cfg
+        s_tile = getattr(_cfg, "blocked_cholesky_s_tile", (512, 256))
+    # row tiles must divide every panel height (multiples of B) and k-chunks
+    # every finished-column width (multiples of B)
+    s_tile = (min(s_tile[0], B), min(s_tile[1], B))
     # in-place factorization: L's buffer IS K's (every write goes through
     # aliased Pallas calls, so XLA can assign them one buffer when K is a
     # dead temp — exactly the LML path, where the Gram engine's output has
@@ -370,13 +397,20 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
         if npad != n:
             shift = jnp.pad(shift, (0, npad - n))   # padded diagonal stays 1
     L = K if pallas_inplace else jnp.zeros(K.shape, ldtype)
+    # collect the B×B lower panel inverses the TRSM already derives: a
+    # downstream blocked_cho_solve can then skip its own panel_inverses
+    # pass (16 sequential "highest" triangular inversions, ~4.5 ms at
+    # N=16k — most of the measured 5.8 ms 17-RHS cho_solve). Only exact
+    # when nothing was padded; callers get None otherwise.
+    invs = [] if (return_panel_invs and npad == n) else None
     for j in range(nb):
         r0 = j * B
         if j > 0 and pallas_update:
             # in place, unwritten regions of L still hold K: the S kernel
             # reads the not-yet-finalized panel (rows ≥ r0 of column j) and
             # the finalized left columns from the same buffer
-            S = _s_panel_pallas(L if pallas_inplace else K, L, j, B)
+            S = _s_panel_pallas(L if pallas_inplace else K, L, j, B,
+                                s_tile[0], s_tile[1])
         elif j > 0:
             Kj = K[r0:, r0:r0 + B].astype(ldtype)   # (npad − jB, B)
             # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
@@ -399,13 +433,12 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                 # whole 1 GB L buffer every block column (~16 GB of HBM
                 # traffic at N=16k, the bulk of the measured 12 ms
                 # copy/scheduling overhead above the GEMM+TRSM+panel floor)
-                invT = (_tri_inverse(Ljj).T if j < nb - 1
-                        else jnp.eye(B, dtype=ldtype))
-                # T=256: the four row-varying (T, B) blocks double-buffer in
-                # VMEM alongside the constant (B, B) invT — at T=512 that is
-                # ~18 MB, over the 16 MB scoped limit once the kernel runs
-                # inside the full fused training step (bench r3 crash)
-                L = _panel_write(L, S, invT, Ljj, j, B, min(256, B))
+                inv = (_tri_inverse(Ljj)
+                       if j < nb - 1 or invs is not None else None)
+                if invs is not None:
+                    invs.append(inv)
+                invT = inv.T if j < nb - 1 else jnp.eye(B, dtype=ldtype)
+                L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
                 if pallas_inplace and j < nb - 1:
                     # the buffer's upper strip still holds K values that the
                     # factorization never reads; L's contract zeroes them
@@ -423,9 +456,14 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                 # too (the full-accuracy debugging mode must mean it).
                 trsm_prec = ("highest" if update_precision == "highest"
                              else "high")
-                below = _dot_t(S[B:], _tri_inverse(Ljj), trsm_prec)
+                inv = _tri_inverse(Ljj)
+                below = _dot_t(S[B:], inv, trsm_prec)
                 colj = jnp.concatenate([Ljj, below], axis=0)
             else:
+                inv = _tri_inverse(Ljj) if invs is not None else None
                 colj = Ljj
+            if invs is not None:
+                invs.append(inv)
         L = jax.lax.dynamic_update_slice(L, colj, (r0, r0))
-    return L[:n, :n]
+    L = L[:n, :n]
+    return (L, invs) if return_panel_invs else L

@@ -16,7 +16,7 @@ import jax.scipy.linalg as jsl
 from .blocked_cholesky import blocked_cholesky
 
 
-def cholesky(K, diag_shift=None):
+def cholesky(K, diag_shift=None, return_panel_invs=False):
     """Lower-Cholesky factor, routed to the MXU-blocked implementation when
     the policy says so (gpr.config.blocked_cholesky_enabled: auto = TPU,
     2-D, n ≥ 4096 — where it measures ~3× XLA's expander), else
@@ -27,16 +27,22 @@ def cholesky(K, diag_shift=None):
     it per diagonal panel in the factor dtype, so jitter survives even a
     bf16 Gram — and a vector shift carries the GP noise diagonal into the
     factorization without an N² HBM pass over the Gram. Sub-f32 K returns
-    an f32 factor (ops/blocked_cholesky docstring; _solve_dtype)."""
+    an f32 factor (ops/blocked_cholesky docstring; _solve_dtype).
+
+    return_panel_invs=True returns (L, invs): the blocked factorization's
+    diagonal-panel inverses for reuse in cholesky_solve(invs=...) — None
+    whenever the blocked path didn't run or padded."""
     from ..gpr.config import config, blocked_cholesky_enabled
     vector_shift = (diag_shift is not None
                     and jnp.ndim(diag_shift) == 1 and K.ndim == 2)
     if blocked_cholesky_enabled(K.shape[-1], K.ndim, K.dtype):
-        return blocked_cholesky(
+        out = blocked_cholesky(
             K, block_size=config.blocked_cholesky_block,
             update_precision=config.blocked_cholesky_update_precision,
             diag_shift=(None if diag_shift is None else diag_shift
-                        if vector_shift else jnp.reshape(diag_shift, ())))
+                        if vector_shift else jnp.reshape(diag_shift, ())),
+            return_panel_invs=return_panel_invs)
+        return out
     K = K.astype(_solve_dtype(K.dtype))
     if vector_shift:
         n = K.shape[-1]
@@ -47,7 +53,8 @@ def cholesky(K, diag_shift=None):
     elif diag_shift is not None:
         K = K + jnp.asarray(diag_shift, K.dtype) * jnp.eye(K.shape[-1],
                                                            dtype=K.dtype)
-    return jnp.linalg.cholesky(K)
+    L = jnp.linalg.cholesky(K)
+    return (L, None) if return_panel_invs else L
 
 
 def split_bf16(K):
@@ -282,8 +289,18 @@ def trisolve_lower(L, B):
 
 
 @_sensitive
-def cholesky_solve(L, B):
-    """Solve K x = B given the lower Cholesky factor L of K."""
+def cholesky_solve(L, B, invs=None):
+    """Solve K x = B given the lower Cholesky factor L of K.
+
+    invs: diagonal-panel inverses from cholesky(return_panel_invs=True).
+    With them the blocked substitution sweep is worthwhile at ANY RHS width
+    (its usual cost is the 2·nb sequential panel inversions, ~4.5 ms at
+    N=16k — already paid by the factorization), so narrow solves like the
+    LML's (1+R)-column batch skip XLA's expander (5.8 → ~2 ms)."""
+    if invs is not None and L.ndim == 2 and B.ndim == 2:
+        from .blocked_trisolve import blocked_cho_solve
+        return blocked_cho_solve(L, B, invs=invs,
+                                 block_size=invs[0].shape[-1])
     if _blocked_trisolve_worthwhile(L, B):
         from .blocked_trisolve import blocked_cho_solve
         return blocked_cho_solve(L, B)
@@ -306,8 +323,8 @@ def _chol_lml(K, diag, y):
     applied inside the factorization), solve y. Returns (val, L, alpha, yc)."""
     yc = y.astype(_solve_dtype(y.dtype))
     shift = None if diag is None else diag.astype(_solve_dtype(K.dtype))
-    L = cholesky(K, diag_shift=shift)
-    alpha = jsl.cho_solve((L, True), yc)
+    L, invs = cholesky(K, diag_shift=shift, return_panel_invs=True)
+    alpha = cholesky_solve(L, yc, invs=invs)
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     return val, L, alpha, yc
 
@@ -322,11 +339,11 @@ def _chol_lml_probes(K, diag, y, num_probes, seed):
     Returns (val, alpha, U, Z)."""
     yc = y.astype(_solve_dtype(y.dtype))
     shift = None if diag is None else diag.astype(_solve_dtype(K.dtype))
-    L = cholesky(K, diag_shift=shift)
+    L, invs = cholesky(K, diag_shift=shift, return_panel_invs=True)
     n = K.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
                               dtype=L.dtype)
-    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
+    AU = cholesky_solve(L, jnp.concatenate([yc, Z], axis=1), invs=invs)
     alpha, U = AU[:, :1], AU[:, 1:]
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     return val, alpha, U, Z
@@ -589,12 +606,12 @@ def _lml_chol_fused_fwd(static, x, diag, y, params):
     family, counts, num_probes, seed = static
     K = _sorted_gram(family, x, counts, params)
     sd = _solve_dtype(K.dtype)
-    L = cholesky(K, diag_shift=diag.astype(sd))
+    L, invs = cholesky(K, diag_shift=diag.astype(sd), return_panel_invs=True)
     yc = y.astype(sd)
     n = x.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
                               dtype=L.dtype)
-    AU = jsl.cho_solve((L, True), jnp.concatenate([yc, Z], axis=1))
+    AU = cholesky_solve(L, jnp.concatenate([yc, Z], axis=1), invs=invs)
     alpha, U = AU[:, :1], AU[:, 1:]
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     return val, (x, diag, y, params, alpha, U, Z)
