@@ -30,7 +30,12 @@ def main():
     K = A @ A.T + 10.0 * jnp.eye(N, dtype=jnp.float32)
     Lref = None
     out = {}
-    for T, TK in [(256, 512), (512, 512), (512, 256), (1024, 256), (1024, 512)]:
+    import os
+    configs = [(256, 512), (512, 512), (512, 256), (1024, 256), (1024, 512)]
+    if os.environ.get("STILE_DEEP"):
+        # deeper K chunks: fewer grid steps, less accumulator VMEM traffic
+        configs = [(512, 512), (512, 1024), (256, 1024)]
+    for T, TK in configs:
         label = "T%d_TK%d" % (T, TK)
         try:
             L = blocked_cholesky(K, B, s_tile=(T, TK))
