@@ -41,12 +41,13 @@ class Config:
         self.blocked_cholesky = None
         self.blocked_cholesky_block = 1024
         self.blocked_cholesky_min_n = 4096
-        # (row tile, k chunk) of the S-panel accumulation kernel. The
-        # diagonal-block operand re-fetches from HBM once per row tile, so
-        # larger row tiles divide the dominant HBM traffic down (~11 GB at
-        # N=16k with T=256); the kernel raises its own Mosaic VMEM budget
-        # accordingly (ops/blocked_cholesky._s_panel_impl).
-        self.blocked_cholesky_s_tile = (512, 256)
+        # (row tile, k chunk) of the S-panel accumulation kernel. Hardware
+        # sweeps (benchmarks/chol_stile.py) measure the N=16k factor flat
+        # in both dims (44.9-47.3 ms: the kernel is MXU-bound at ~80% of
+        # the bf16x3 bound and the block re-fetch DMA hides under it);
+        # (512, 512) was the repeatable best. The kernel states its own
+        # Mosaic VMEM budget (ops/blocked_cholesky._s_panel_impl).
+        self.blocked_cholesky_s_tile = (512, 512)
         # Precision of the blocked Cholesky's trailing accumulation GEMM
         # (the N³/3 bulk). "high" = bf16x3 passes, ~f32-quality
         # accumulation at ~2.7× the speed of "highest".
