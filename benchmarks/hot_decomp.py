@@ -1,0 +1,141 @@
+"""Per-component timings of the headline step's hot pieces.
+
+One CELL per subprocess (pass the cell name as argv[1]): the tunneled TPU
+worker dies after a few large distinct programs in one process, so sweeps
+must not share a client (cf. benchmarks/iter_tune.py).
+
+Cells:
+  bwd      — the production probe backward `_lml_chol_fused_bwd` at the
+             headline shapes (low-rank Gram VJP + diag/y cotangents).
+  solvei   — the forward's 17-RHS cho_solve WITH reused panel inverses
+             (the path the fused step actually takes; step_decomp.py's
+             cho_solve_17rhs measures the no-reuse fallback).
+  writes   — the 16 aliased panel-write + upper-zero kernels.
+  panelinv — 16 sequential 1024-panel factor+inverse chains
+             (_panel_factor_inv: recursive factor + composed inverse).
+
+Run:  python benchmarks/hot_decomp.py <cell>
+"""
+import sys
+import json
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def headline_model():
+    import numpy as np
+    import bench
+    import mogptk_tpu.gpr as gpr
+    gpr.use_pallas(True)
+    xs, ys = bench.make_data()
+    N, X, Y = gpr.merge_data(xs, ys)
+    kernel = gpr.MultiOutputSpectralMixtureKernel(bench.Q,
+                                                  output_dims=bench.CHANNELS)
+    rng = np.random.RandomState(1)
+    kernel.mean.assign(0.05 + 0.3 * rng.rand(bench.CHANNELS, bench.Q, 1))
+    kernel.variance.assign(0.2 + 0.3 * rng.rand(bench.CHANNELS, bench.Q, 1))
+    return gpr.Exact(kernel, X, Y, variance=0.1, trace_probes=16)
+
+
+def main():
+    cell = sys.argv[1]
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    from benchmarks._timing import device_ms
+    out = {}
+
+    def probe(body, x0, label, target=10.0):
+        t = device_ms(body, x0, target_sec=target)
+        out[label + "_ms"] = round(t, 2)
+        print(f"{label:16s}: {t:9.2f} ms", flush=True)
+
+    if cell in ("bwd", "solvei"):
+        model = headline_model()
+        train0, fixed = model._split_raws()
+        from mogptk_tpu.gpr.iterative import _fused_kernel_params
+        with model.bind(model._merge_raws(train0, fixed)):
+            params = _fused_kernel_params(model.kernel)
+            diag = model._noise_diag(add_jitter=True)
+            y = model._residual_y()
+            _, x = model.kernel._split(model.X)
+        static = model._fused_static()
+        assert static is not None
+        n = x.shape[0]
+        R = int(model.trace_probes)
+        key = jax.random.PRNGKey(0)
+
+        if cell == "bwd":
+            from mogptk_tpu.ops.linalg import _lml_chol_fused_bwd
+            alpha = jax.random.normal(key, (n, 1), jnp.float32)
+            U = jax.random.normal(jax.random.PRNGKey(1), (n, R), jnp.float32)
+            Z = jax.random.rademacher(jax.random.PRNGKey(2), (n, R),
+                                      dtype=jnp.float32)
+
+            def bwd(carry):
+                ps, al = carry
+                res = (x, diag, y, ps, al, U, Z)
+                _, _, _, dparams = _lml_chol_fused_bwd(static, res,
+                                                       jnp.float32(1.0))
+                ps = tuple(p + 1e-30 * dp for p, dp in zip(ps, dparams))
+                return ps, al
+            probe(bwd, (tuple(params), alpha), "bwd", target=12.0)
+
+        else:
+            from mogptk_tpu.ops.linalg import cholesky_solve, _sorted_gram
+            from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+            K = jax.jit(lambda ps: _sorted_gram(static[0], x, static[1],
+                                                ps))(params)
+            L, invs = jax.jit(lambda K: blocked_cholesky(
+                K, diag_shift=diag, return_panel_invs=True))(K)
+            B0 = jax.random.normal(key, (n, R + 1), jnp.float32)
+
+            def chs(carry):
+                Lv, ivs, Bv = carry
+                Yv = cholesky_solve(Lv, Bv, invs=list(ivs))
+                return Lv, ivs, Yv / jnp.maximum(jnp.max(jnp.abs(Yv)), 1e-30)
+            probe(chs, (L, tuple(invs), B0), "solvei", target=8.0)
+
+    elif cell in ("writes", "panelinv"):
+        from mogptk_tpu.ops.blocked_cholesky import (
+            _panel_write, _upper_zero, _panel_factor_inv, _tri_inverse)
+        N, B = 16384, 1024
+        nb = N // B
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (N, N), dtype=jnp.float32) / (N ** 0.5)
+        K = A @ A.T + 10.0 * jnp.eye(N, dtype=jnp.float32)
+        L0 = jnp.linalg.cholesky(K)
+
+        if cell == "writes":
+            Sfull = jax.random.normal(key, (N, B), jnp.float32)
+            inv0 = _tri_inverse(L0[:B, :B])
+
+            def writes(Lv):
+                for j in range(nb):
+                    m = N - j * B
+                    L_ = _panel_write(Lv, Sfull[:m], inv0, L0[:B, :B],
+                                      j, B, 512)
+                    if j < nb - 1:
+                        L_ = _upper_zero(L_, j, B, 512)
+                    Lv = L_
+                return Lv
+            probe(writes, L0, "writes", target=8.0)
+
+        else:
+            def panelinv(Pv):
+                with jax.default_matmul_precision("highest"):
+                    for _ in range(nb):
+                        Lp, inv = _panel_factor_inv(Pv, "high", "highest")
+                        Pv = Pv + 1e-20 * jnp.abs(Lp) + 1e-20 * jnp.abs(inv)
+                return Pv
+            probe(panelinv, K[:B, :B], "panelinv", target=8.0)
+
+    else:
+        raise SystemExit("unknown cell %r" % cell)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
