@@ -131,6 +131,78 @@ def main():
                 return Pv
             probe(panelinv, K[:B, :B], "panelinv", target=8.0)
 
+    elif cell.startswith("vjp"):
+        # low-rank Gram-VJP variants at the headline block shapes: is the
+        # 12 ms backward kernel-bound or glue-bound (stats vjp + 10 calls'
+        # scalar stacking)?  vjp1b = ONE diagonal-block kernel (x10 ≈ the
+        # kernel-bound total), vjpT<k> = full VJP with BWD_TILE=k.
+        import numpy as np
+        import mogptk_tpu.ops.block_mosm as bm
+        model = headline_model()
+        train0, fixed = model._split_raws()
+        from mogptk_tpu.gpr.iterative import _fused_kernel_params
+        with model.bind(model._merge_raws(train0, fixed)):
+            params = _fused_kernel_params(model.kernel)
+            _, x = model.kernel._split(model.X)
+        counts = model._channel_counts
+        n = x.shape[0]
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (n, 17), jnp.float32)
+        Bm = jax.random.normal(jax.random.PRNGKey(1), (n, 17), jnp.float32)
+        twopi = model.kernel.twopi
+
+        if cell == "vjp1b":
+            import functools as ft
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            O, Q = params[0].shape
+            D = params[1].shape[-1]
+            st3, st2 = bm.mosm_pair_stats(*params, twopi)
+            st3f = st3.reshape(O, O, Q * D, 3)[0, 0]
+            st20 = st2[0, 0]
+            T = bm.BWD_TILE
+            n_outs = 3 * Q * D + 2 * Q
+            ni = counts[0]
+            xi, ai, bi = x[:ni], A[:ni], Bm[:ni]
+            scalar_spec = pl.BlockSpec((1, 1), lambda i_, j_: (0, 0))
+
+            def one_block(carry):
+                xi_, ai_, bi_, acc = carry
+                douts = pl.pallas_call(
+                    ft.partial(bm._lowrank_bwd_kernel, Q=Q, D=D,
+                               phase_inside=True, sym=False),
+                    out_shape=tuple(jax.ShapeDtypeStruct((1, 1), jnp.float32)
+                                    for _ in range(n_outs)),
+                    grid=(ni // T, ni // T),
+                    in_specs=[
+                        pl.BlockSpec((T, D), lambda i_, j_: (i_, 0)),
+                        pl.BlockSpec((T, D), lambda i_, j_: (j_, 0)),
+                        bm._smem_spec(st3f.shape),
+                        bm._smem_spec(st20.shape),
+                        pl.BlockSpec((T, 17), lambda i_, j_: (i_, 0)),
+                        pl.BlockSpec((T, 17), lambda i_, j_: (i_, 0)),
+                        pl.BlockSpec((T, 17), lambda i_, j_: (j_, 0)),
+                        pl.BlockSpec((T, 17), lambda i_, j_: (j_, 0)),
+                    ],
+                    out_specs=tuple(scalar_spec for _ in range(n_outs)),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                )(xi_, xi_, st3f, st20, ai_, bi_, ai_, bi_)
+                return xi_, ai_, bi_, acc + douts[0][0, 0]
+            probe(one_block, (xi, ai, bi, jnp.float32(0.0)), "vjp1b",
+                  target=8.0)
+
+        else:
+            bm.BWD_TILE = int(cell[4:])
+
+            def vjp_full(carry):
+                ps, acc = carry
+                d = bm.mosm_lowrank_vjp_sorted(x, counts, ps, twopi, A, Bm)
+                ps = tuple(p + 1e-30 * dp for p, dp in zip(ps, d))
+                return ps, acc
+            probe(vjp_full, (tuple(params), jnp.float32(0.0)),
+                  "vjpT%d" % bm.BWD_TILE, target=10.0)
+
     else:
         raise SystemExit("unknown cell %r" % cell)
 
