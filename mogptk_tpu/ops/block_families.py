@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .block_mosm import _pad_rows, _interpret, _split_counts, _compute_dtype
+from .block_mosm import (_pad_rows, _interpret, _split_counts, _compute_dtype,
+                         _batched_pair_layout)
 
 _pi = np.pi
 
@@ -272,11 +273,16 @@ def _fwd_kernel(x1_ref, x2_ref, s_ref, out_ref, *, tile, S):
                          _read_svals(s_ref, S)).astype(out_ref.dtype)
 
 
-def _vjp_to_scalars(tile, x1_ref, x2_ref, s_ref, S, g, dout_refs):
-    svals = _read_svals(s_ref, S)
+def _vjp_scalars(tile, x1_ref, x2_ref, svals, g):
     x1t, x2t = x1_ref[:, :], x2_ref[:, :]
     _, vjp = jax.vjp(lambda *s: tile(x1t, x2t, list(s)), *svals)
-    for dref, d in zip(dout_refs, vjp(g)):
+    return vjp(g)
+
+
+def _vjp_to_scalars(tile, x1_ref, x2_ref, s_ref, S, g, dout_refs):
+    for dref, d in zip(dout_refs,
+                       _vjp_scalars(tile, x1_ref, x2_ref,
+                                    _read_svals(s_ref, S), g)):
         dref[...] += d
 
 
@@ -308,6 +314,32 @@ def _lowrank_bwd_kernel(x1_ref, x2_ref, s_ref, a1_ref, b1_ref, a2_ref, b2_ref,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=a1_ref.dtype)
     _vjp_to_scalars(tile, x1_ref, x2_ref, s_ref, S, g, dout_refs)
+
+
+def _lowrank_bwd_batched_kernel(idx_ref, x1_ref, x2_ref, s_ref, a1_ref, b1_ref,
+                                a2_ref, b2_ref, out_ref, *, tile, S):
+    """ALL channel pairs' low-rank cotangents in ONE grid (the family-generic
+    twin of block_mosm._lowrank_bwd_batched_kernel): s_ref holds the (O², S)
+    scalar packs, idx_ref the pair-grouped tile list."""
+    s = pl.program_id(0)
+    pair = idx_ref[2, s]
+
+    @pl.when(idx_ref[3, s] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = jax.lax.dot_general(a1_ref[:, :], b2_ref[:, :],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=a1_ref.dtype)
+    gt = jax.lax.dot_general(b1_ref[:, :], a2_ref[:, :],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=a1_ref.dtype)
+    g = g + jnp.where(idx_ref[0, s] != idx_ref[1, s],
+                      jnp.ones((), g.dtype), jnp.zeros((), g.dtype)) * gt
+    svals = [s_ref[pair, k] for k in range(S)]
+    ds = _vjp_scalars(tile, x1_ref, x2_ref, svals, g)
+    row = jnp.concatenate([d.reshape(1, 1, 1) for d in ds], axis=2)
+    out_ref[...] += row.astype(out_ref.dtype)
 
 
 def _matvec_diag_kernel(x1_ref, x2_ref, s_ref, v_ref, out_ref, *, tile, S):
@@ -515,14 +547,16 @@ def family_matvec_sorted(name, statics, x, counts, params, V):
 
 def family_lowrank_vjp_sorted(name, statics, x, counts, params, A, B):
     """Parameter cotangents for dK = A Bᵀ without materializing dK: scalar
-    cotangents per block, chained through the pack by XLA autodiff."""
+    cotangents per block, chained through the pack by XLA autodiff. All
+    channel pairs run as ONE pallas_call over a prefetched pair-grouped tile
+    list (cf. block_mosm.mosm_lowrank_vjp_sorted — the call-per-pair layout
+    paid ~3× the kernels' own time in launch + scalar-stacking glue)."""
     counts = tuple(int(n) for n in counts)
     pack_fn, tile = _resolve(name, statics)
     packs, vjp_pack = jax.vjp(lambda ps: pack_fn(ps), tuple(params))
     O, _, S = packs.shape
     pack_dtype = packs.dtype
-    packs = packs.astype(_compute_dtype(pack_dtype))
-    dtype = packs.dtype
+    dtype = _compute_dtype(pack_dtype)
     R = A.shape[1]
     D = x.shape[1]
     T = BWD_TILE
@@ -530,43 +564,37 @@ def family_lowrank_vjp_sorted(name, statics, x, counts, params, A, B):
     As, _ = _split_counts(A, counts)
     Bs_, _ = _split_counts(B, counts)
 
-    scalar_spec = pl.BlockSpec((1, 1), lambda i_, j_: (0, 0))
-    dpacks = jnp.zeros_like(packs)
-    for i in range(O):
-        if counts[i] == 0:
-            continue
-        xi = _pad_rows(xs[i].astype(dtype), T)
-        ai = _pad_rows(As[i].astype(dtype), T)
-        bi = _pad_rows(Bs_[i].astype(dtype), T)
-        for j in range(i, O):
-            if counts[j] == 0:
-                continue
-            if j == i:
-                xj, aj, bj, sym = xi, ai, bi, False
-            else:
-                xj = _pad_rows(xs[j].astype(dtype), T)
-                aj = _pad_rows(As[j].astype(dtype), T)
-                bj = _pad_rows(Bs_[j].astype(dtype), T)
-                sym = True
-            douts = pl.pallas_call(
-                functools.partial(_lowrank_bwd_kernel, tile=tile, S=S, sym=sym),
-                out_shape=tuple(jax.ShapeDtypeStruct((1, 1), dtype)
-                                for _ in range(S)),
-                grid=(xi.shape[0] // T, xj.shape[0] // T),
-                in_specs=[
-                    pl.BlockSpec((T, D), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((T, D), lambda i_, j_: (j_, 0)),
-                    _smem_spec((S, 1)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (j_, 0)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (j_, 0)),
-                ],
-                out_specs=tuple(scalar_spec for _ in range(S)),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
-                interpret=_interpret(),
-            )(xi, xj, packs[i, j].reshape(S, 1), ai, bi, aj, bj)
-            dpacks = dpacks.at[i, j].add(jnp.stack([d[0, 0] for d in douts]))
-    (dparams,) = vjp_pack(dpacks.astype(pack_dtype))
+    layout = _batched_pair_layout(xs, As, Bs_, counts, dtype, T, O)
+    if layout is None:
+        (dparams,) = vjp_pack(jnp.zeros_like(packs))
+        return dparams
+    xp, ap, bp, idx, mask = layout
+
+    ss = packs.reshape(O * O, S).astype(dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(idx.shape[1],),
+        in_specs=[
+            pl.BlockSpec((T, D), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((T, D), lambda s, ix: (ix[1, s], 0)),
+            pl.BlockSpec(ss.shape, lambda s, ix: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[1, s], 0)),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[1, s], 0)),
+        ],
+        # 3-D: trailing block dims must equal the array's (cf. block_mosm)
+        out_specs=pl.BlockSpec((1, 1, S), lambda s, ix: (ix[2, s], 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_lowrank_bwd_batched_kernel, tile=tile, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((O * O, 1, S), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(idx, xp, xp, ss, ap, bp, ap, bp)
+    dpacks = jnp.where(mask, out[:, 0, :], jnp.zeros((), out.dtype))
+    (dparams,) = vjp_pack(dpacks.reshape(O, O, S).astype(pack_dtype))
     return dparams

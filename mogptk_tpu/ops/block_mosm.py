@@ -114,14 +114,14 @@ def _fwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, out_ref, *, Q, D,
                                      Q, D, phase_inside).astype(out_ref.dtype)
 
 
-def _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g, dout_refs, Q, D,
-                    phase_inside):
+def _bwd_scalars(x1_ref, x2_ref, st3_ref, st2_ref, g, Q, D, phase_inside):
     """Hand-derived cotangents of the scalar pair statistics for one tile.
 
-    dout_refs: 3·Q·D refs [dV, dM, dθ-offset per (q,d)] then 2·Q refs
-    [dα, dφ-offset per q], each a (1,1) accumulator. Recomputes the forward
-    chain, reduces (T,T)→scalar, accumulates across the (sequential) grid.
+    Returns 3·Q·D scalars [dV, dM, dθ-offset per (q,d)] then 2·Q scalars
+    [dα, dφ-offset per q]: the forward chain recomputed, each cotangent
+    reduced (T,T)→scalar. Callers accumulate across the (sequential) grid.
     """
+    outs = [None] * (3 * Q * D + 2 * Q)
     for q in range(Q):
         e_acc, a_acc, tds = _tau_chain(x1_ref, x2_ref, st3_ref, q, D,
                                        keep_tds=True)
@@ -137,18 +137,18 @@ def _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g, dout_refs, Q, D,
         dang = -P * S                       # cotangent of ang
         de = -0.5 * P * C                   # cotangent of e_acc
         da = 2.0 * _pi * dang               # cotangent of a_acc
-        dalpha_ref = dout_refs[3 * Q * D + 2 * q]
-        ddp_ref = dout_refs[3 * Q * D + 2 * q + 1]
-        dalpha_ref[...] += jnp.sum(gE * C)
-        ddp_ref[...] += jnp.sum(dang) * (2.0 * _pi if phase_inside else 1.0)
+        outs[3 * Q * D + 2 * q] = jnp.sum(gE * C)
+        outs[3 * Q * D + 2 * q + 1] = (jnp.sum(dang)
+                                       * (2.0 * _pi if phase_inside else 1.0))
         for d in range(D):
             V = st3_ref[q * D + d, 0]
             M = st3_ref[q * D + d, 1]
             td = tds[d]
             base = 3 * (q * D + d)
-            dout_refs[base + 0][...] += jnp.sum(de * td * td)
-            dout_refs[base + 1][...] += jnp.sum(da * td)
-            dout_refs[base + 2][...] += jnp.sum(de * (2.0 * V) * td + da * M)
+            outs[base + 0] = jnp.sum(de * td * td)
+            outs[base + 1] = jnp.sum(da * td)
+            outs[base + 2] = jnp.sum(de * (2.0 * V) * td + da * M)
+    return outs
 
 
 def _bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, g_ref, *dout_refs, Q, D,
@@ -163,8 +163,10 @@ def _bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, g_ref, *dout_refs, Q, D,
         for dref in dout_refs:
             dref[...] = jnp.zeros_like(dref)
 
-    _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g_ref[:, :], dout_refs,
-                    Q, D, phase_inside)
+    vals = _bwd_scalars(x1_ref, x2_ref, st3_ref, st2_ref, g_ref[:, :],
+                        Q, D, phase_inside)
+    for dref, v in zip(dout_refs, vals):
+        dref[...] += v
 
 
 def _lowrank_bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, a1_ref, b1_ref,
@@ -187,8 +189,54 @@ def _lowrank_bwd_kernel(x1_ref, x2_ref, st3_ref, st2_ref, a1_ref, b1_ref,
         g = g + jax.lax.dot_general(b1_ref[:, :], a2_ref[:, :],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=a1_ref.dtype)
-    _bwd_accumulate(x1_ref, x2_ref, st3_ref, st2_ref, g, dout_refs,
-                    Q, D, phase_inside)
+    vals = _bwd_scalars(x1_ref, x2_ref, st3_ref, st2_ref, g,
+                        Q, D, phase_inside)
+    for dref, v in zip(dout_refs, vals):
+        dref[...] += v
+
+
+class _PairRow:
+    """Trace-time view of one pair's row of a flattened (O², k·w) SMEM stats
+    ref: view[(r, c)] == ref[pair, r*w + c]. Lets `_bwd_scalars`/`_tau_chain`
+    read per-pair scalars from the BATCHED all-pairs layout through the same
+    2-D indexing they use on a per-pair (k, w) ref."""
+
+    def __init__(self, ref, pair, w):
+        self._ref, self._pair, self._w = ref, pair, w
+
+    def __getitem__(self, idx):
+        r, c = idx
+        return self._ref[self._pair, r * self._w + c]
+
+
+def _lowrank_bwd_batched_kernel(idx_ref, x1_ref, x2_ref, st3_ref, st2_ref,
+                                a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
+                                Q, D, phase_inside):
+    """ALL channel pairs' low-rank cotangents in ONE grid: step s processes
+    tile (idx[s,0], idx[s,1]) of pair idx[s,2] (tiles grouped by pair, so
+    the (1, n_outs) output row accumulates in VMEM and writes back once per
+    pair). idx[s,3]=1 marks a pair's first tile (zero-init). Off-diagonal
+    TILES fold their transposed appearance in via the second dot; diagonal
+    tiles (idx[s,0]==idx[s,1]) mask it out."""
+    s = pl.program_id(0)
+    pair = idx_ref[2, s]
+
+    @pl.when(idx_ref[3, s] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = jax.lax.dot_general(a1_ref[:, :], b2_ref[:, :],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=a1_ref.dtype)
+    gt = jax.lax.dot_general(b1_ref[:, :], a2_ref[:, :],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=a1_ref.dtype)
+    g = g + jnp.where(idx_ref[0, s] != idx_ref[1, s],
+                      jnp.ones((), g.dtype), jnp.zeros((), g.dtype)) * gt
+    vals = _bwd_scalars(x1_ref, x2_ref, _PairRow(st3_ref, pair, 3),
+                        _PairRow(st2_ref, pair, 2), g, Q, D, phase_inside)
+    row = jnp.concatenate([v.reshape(1, 1, 1) for v in vals], axis=2)
+    out_ref[...] += row.astype(out_ref.dtype)
 
 
 def _matvec_diag_kernel(x1_ref, x2_ref, st3_ref, st2_ref, v_ref, out_ref, *,
@@ -427,12 +475,57 @@ def mosm_matvec_sorted(x, counts, w, mu, var, theta, phi, twopi, V,
     return jnp.concatenate(outs, axis=0) if O > 1 else outs[0]
 
 
+def _batched_pair_layout(xs, As, Bs_, counts, dtype, T, O):
+    """Padded concatenated operands + tile list for the single-call batched
+    low-rank VJP (shared with ops/block_families.py).
+
+    Returns (xp, ap, bp, idx, mask) — idx is the (4, S) int32 tile list
+    [row tile; col tile; pair id i·O+j; first-tile-of-pair flag], grouped by
+    pair so each pair's (1, 1, n_outs) output row accumulates in VMEM and
+    writes back once; mask is the (O², 1) present-upper-pair bool used to
+    zero never-written output rows. None when all channels are empty.
+    TRANSPOSED so S rides the SMEM lane dim: a (S, 4) prefetch array would
+    lane-pad each row to 128 (4.2 MB > the 1 MB SMEM at N=65k shapes)."""
+    pres = [i for i in range(O) if counts[i] > 0]
+    if not pres:
+        return None
+    xp, ap, bp = [], [], []
+    start, ntiles = {}, {}
+    for i in pres:
+        xi = _pad_rows(xs[i].astype(dtype), T)
+        start[i] = sum(ntiles.values())
+        ntiles[i] = xi.shape[0] // T
+        xp.append(xi)
+        ap.append(_pad_rows(As[i].astype(dtype), T))
+        bp.append(_pad_rows(Bs_[i].astype(dtype), T))
+    cat = (lambda l: l[0] if len(l) == 1 else jnp.concatenate(l, axis=0))
+    idx = []
+    mask = np.zeros((O * O, 1), np.bool_)
+    for a_i, i in enumerate(pres):
+        for j in pres[a_i:]:
+            mask[i * O + j] = True
+            first = 1
+            for ti in range(start[i], start[i] + ntiles[i]):
+                tj0 = ti if j == i else start[j]
+                for tj in range(tj0, start[j] + ntiles[j]):
+                    idx.append((ti, tj, i * O + j, first))
+                    first = 0
+    return (cat(xp), cat(ap), cat(bp),
+            jnp.asarray(np.asarray(idx, np.int32).T), jnp.asarray(mask))
+
+
 def mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
                             phase_inside=True):
     """Parameter cotangents for dK = A Bᵀ without materializing dK, for
     channel-sorted x: per-block scalar-stat cotangents (hand-derived
-    kernel), chained through mosm_pair_stats by XLA autodiff. Off-diagonal
-    pairs run ONE kernel handling both (i,j) and its transpose."""
+    kernel), chained through mosm_pair_stats by XLA autodiff.
+
+    ALL O(O+1)/2 channel pairs run as ONE pallas_call over a prefetched
+    tile list (upper-triangle tiles only, grouped by pair): the per-pair
+    launch + 10-scalar stacking + at[].add glue of a call-per-pair layout
+    measured ~3× the kernels' own time at the headline shapes. A tile at
+    (ti, tj), ti<tj, also serves its transpose through the second dot
+    (g = A_i B_jᵀ + B_i A_jᵀ), masked off on diagonal tiles."""
     counts = tuple(int(n) for n in counts)
     w = params[0]
     O, Q = w.shape
@@ -445,60 +538,54 @@ def mosm_lowrank_vjp_sorted(x, counts, params, twopi, A, B,
         return st3.reshape(O, O, Q * D, 3), st2
 
     (st3f, st2), vjp_stats = jax.vjp(stats_fn, tuple(params))
-    pack_dtype = st3f.dtype
-    st3f = st3f.astype(dtype)
-    st2 = st2.astype(dtype)
+    T = BWD_TILE
+    n_outs = 3 * Q * D + 2 * Q
     xs, _ = _split_counts(x, counts)
     As, _ = _split_counts(A, counts)
     Bs_, _ = _split_counts(B, counts)
 
-    T = BWD_TILE
-    n_outs = 3 * Q * D + 2 * Q
-    scalar_spec = pl.BlockSpec((1, 1), lambda i_, j_: (0, 0))
-    dst3f = jnp.zeros_like(st3f)
-    dst2 = jnp.zeros_like(st2)
-    for i in range(O):
-        if counts[i] == 0:
-            continue
-        xi = _pad_rows(xs[i].astype(dtype), T)
-        ai = _pad_rows(As[i].astype(dtype), T)
-        bi = _pad_rows(Bs_[i].astype(dtype), T)
-        for j in range(i, O):
-            if counts[j] == 0:
-                continue
-            if j == i:
-                xj, aj, bj, sym = xi, ai, bi, False
-            else:
-                xj = _pad_rows(xs[j].astype(dtype), T)
-                aj = _pad_rows(As[j].astype(dtype), T)
-                bj = _pad_rows(Bs_[j].astype(dtype), T)
-                sym = True
-            douts = pl.pallas_call(
-                functools.partial(_lowrank_bwd_kernel, Q=Q, D=D,
-                                  phase_inside=phase_inside, sym=sym),
-                out_shape=tuple(jax.ShapeDtypeStruct((1, 1), dtype)
-                                for _ in range(n_outs)),
-                grid=(xi.shape[0] // T, xj.shape[0] // T),
-                in_specs=[
-                    pl.BlockSpec((T, D), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((T, D), lambda i_, j_: (j_, 0)),
-                    _smem_spec(st3f.shape[2:]),
-                    _smem_spec(st2.shape[2:]),
-                    pl.BlockSpec((T, R), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (i_, 0)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (j_, 0)),
-                    pl.BlockSpec((T, R), lambda i_, j_: (j_, 0)),
-                ],
-                out_specs=tuple(scalar_spec for _ in range(n_outs)),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
-                interpret=_interpret(),
-            )(xi, xj, st3f[i, j], st2[i, j], ai, bi, aj, bj)
-            d3 = jnp.stack([d[0, 0] for d in douts[:3 * Q * D]]).reshape(Q * D, 3)
-            d2 = jnp.stack([d[0, 0] for d in douts[3 * Q * D:]]).reshape(Q, 2)
-            dst3f = dst3f.at[i, j].add(d3)
-            dst2 = dst2.at[i, j].add(d2)
-    (dparams,) = vjp_stats((dst3f.astype(pack_dtype), dst2.astype(pack_dtype)))
+    layout = _batched_pair_layout(xs, As, Bs_, counts, dtype, T, O)
+    if layout is None:
+        (dparams,) = vjp_stats((jnp.zeros_like(st3f), jnp.zeros_like(st2)))
+        return dparams
+    xp, ap, bp, idx, mask = layout
+
+    st3s = st3f.reshape(O * O, 3 * Q * D).astype(dtype)
+    st2s = st2.reshape(O * O, 2 * Q).astype(dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(idx.shape[1],),
+        in_specs=[
+            pl.BlockSpec((T, D), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((T, D), lambda s, ix: (ix[1, s], 0)),
+            pl.BlockSpec(st3s.shape, lambda s, ix: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(st2s.shape, lambda s, ix: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[1, s], 0)),
+            pl.BlockSpec((T, R), lambda s, ix: (ix[1, s], 0)),
+        ],
+        # 3-D so the block's LAST TWO dims equal the array's (the TPU
+        # lowering requires (8,128)-divisible or dim-equal trailing dims;
+        # a (1, n_outs) block of a (O², n_outs) array violates the row rule)
+        out_specs=pl.BlockSpec((1, 1, n_outs), lambda s, ix: (ix[2, s], 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_lowrank_bwd_batched_kernel, Q=Q, D=D,
+                          phase_inside=phase_inside),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((O * O, 1, n_outs), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(idx, xp, xp, st3s, st2s, ap, bp, ap, bp)
+    out = out[:, 0, :]
+    douts = jnp.where(mask, out, jnp.zeros((), out.dtype))
+    dst3f = douts[:, :3 * Q * D].reshape(O, O, Q * D, 3).astype(st3f.dtype)
+    dst2 = douts[:, 3 * Q * D:].reshape(O, O, Q, 2).astype(st2.dtype)
+    (dparams,) = vjp_stats((dst3f, dst2))
     return dparams
 
 
