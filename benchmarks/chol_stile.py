@@ -32,7 +32,10 @@ def main():
     out = {}
     import os
     configs = [(256, 512), (512, 512), (512, 256), (1024, 256), (1024, 512)]
-    if os.environ.get("STILE_DEEP"):
+    if os.environ.get("STILE_ONE"):
+        # single default-tile run: factor time + residual sanity check
+        configs = [(512, 512)]
+    elif os.environ.get("STILE_DEEP"):
         # deeper K chunks: fewer grid steps, less accumulator VMEM traffic
         configs = [(512, 512), (512, 1024), (256, 1024)]
     for T, TK in configs:

@@ -97,7 +97,7 @@ def main():
                 return Lv, ivs, Yv / jnp.maximum(jnp.max(jnp.abs(Yv)), 1e-30)
             probe(chs, (L, tuple(invs), B0), "solvei", target=8.0)
 
-    elif cell in ("writes", "panelinv"):
+    elif cell in ("writes", "panelinv", "panelinv_high"):
         from mogptk_tpu.ops.blocked_cholesky import (
             _panel_write, _upper_zero, _panel_factor_inv, _tri_inverse)
         N, B = 16384, 1024
@@ -123,13 +123,15 @@ def main():
             probe(writes, L0, "writes", target=8.0)
 
         else:
+            prec = "high" if cell == "panelinv_high" else "highest"
+
             def panelinv(Pv):
-                with jax.default_matmul_precision("highest"):
+                with jax.default_matmul_precision(prec):
                     for _ in range(nb):
-                        Lp, inv = _panel_factor_inv(Pv, "high", "highest")
+                        Lp, inv = _panel_factor_inv(Pv, "high", prec)
                         Pv = Pv + 1e-20 * jnp.abs(Lp) + 1e-20 * jnp.abs(inv)
                 return Pv
-            probe(panelinv, K[:B, :B], "panelinv", target=8.0)
+            probe(panelinv, K[:B, :B], cell, target=8.0)
 
     elif cell.startswith("vjp"):
         # low-rank Gram-VJP variants at the headline block shapes: is the
@@ -168,6 +170,9 @@ def main():
 
             def one_block(carry):
                 xi_, ai_, bi_, acc = carry
+                # iteration-dependent input: without it XLA hoists the whole
+                # (loop-invariant) pallas_call out of the timing loop
+                ai_ = ai_ + 1e-30 * acc
                 douts = pl.pallas_call(
                     ft.partial(bm._lowrank_bwd_kernel, Q=Q, D=D,
                                phase_inside=True, sym=False),
@@ -202,6 +207,45 @@ def main():
                 return ps, acc
             probe(vjp_full, (tuple(params), jnp.float32(0.0)),
                   "vjpT%d" % bm.BWD_TILE, target=10.0)
+
+    elif cell.startswith("chol"):
+        # Attribution by ablation: the SAME in-place N=16k factorization with
+        # one piece stubbed to a no-op (results are numerically wrong but the
+        # remaining pieces' work is unchanged, so the time DELTA vs cholfull
+        # is that piece's cost inside the real schedule).
+        # ops/__init__ re-exports the function under the module's name, so a
+        # plain `import ... as bc` would bind the FUNCTION; take the module
+        import mogptk_tpu.ops.blocked_cholesky  # noqa: F401
+        bc = sys.modules["mogptk_tpu.ops.blocked_cholesky"]
+        N, B = 16384, 1024
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (N, N), dtype=jnp.float32) / (N ** 0.5)
+        K = A @ A.T + 10.0 * jnp.eye(N, dtype=jnp.float32)
+        if cell == "cholnofused":
+            # drop the fused S-below+TRSM+write kernel (the N³/3 bulk)
+            bc._s_trsm_write = lambda L, invT, j, B_, T, TK: L
+        elif cell == "cholnodiag":
+            bc._diag_zero_write = lambda L, Ljj, j, B_, T: L
+        elif cell == "cholnopanel":
+            # decaying outputs keep the chained values bounded
+            bc._panel_factor_inv = lambda S, u, p: (
+                jnp.tril(S) * 1e-3,
+                jnp.eye(S.shape[0], dtype=S.dtype) * 1e-3)
+        elif cell == "cholnosdiag":
+            bc._s_panel_pallas = (
+                lambda K_, L, j, B_, T=512, TK=512, nrows=None:
+                jax.lax.dynamic_slice(
+                    K_, (j * B_, j * B_),
+                    (K_.shape[0] - j * B_ if nrows is None else nrows, B_)))
+        elif cell != "cholfull":
+            raise SystemExit("unknown cell %r" % cell)
+
+        def chol(Kv):
+            L = bc.blocked_cholesky(Kv, diag_shift=0.1)
+            # stubbed variants can produce non-PSD panels -> NaN factors;
+            # keep the timing chain finite (NaN arithmetic is full-speed)
+            return Kv + 1e-25 * jnp.nan_to_num(L)
+        probe(chol, K, cell, target=10.0)
 
     else:
         raise SystemExit("unknown cell %r" % cell)

@@ -74,22 +74,25 @@ def _s_panel_kernel(k_ref, lrow_ref, ljrow_ref, s_ref, acc_ref, *, n_k):
         s_ref[:, :] = acc_ref[:, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _s_panel_pallas(K, L, j, B, T=256, TK=512):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _s_panel_pallas(K, L, j, B, T=256, TK=512, nrows=None):
     """The left-looking accumulation S = K[r0:, r0:r0+B] − Lleft·Lleft[:B]ᵀ
-    for block column j as one streamed Pallas GEMM over K-chunks.
+    for block column j as one streamed Pallas GEMM over K-chunks. With
+    `nrows` only the panel's first nrows rows are produced (the fused
+    factorization computes just the (B, B) diagonal rows this way — the
+    rows below accumulate inside _s_trsm_write and never touch HBM).
 
     custom_vjp: pallas_call has no transpose rule, so reverse-mode through
     the factorization (e.g. Titsias/SVGP differentiating through
     cholesky(Kuu) at M ≥ the blocked threshold) would otherwise crash at
     trace time; the backward is the hand-written bilinear-map VJP."""
-    return _s_panel_impl(K, L, j, B, T, TK)
+    return _s_panel_impl(K, L, j, B, T, TK, nrows)
 
 
-def _s_panel_impl(K, L, j, B, T, TK):
+def _s_panel_impl(K, L, j, B, T, TK, nrows=None):
     npad = K.shape[0]
     r0 = j * B
-    m = npad - r0
+    m = npad - r0 if nrows is None else nrows
     n_k = r0 // TK
     grid = (m // T, n_k)
     # HBM traffic is dominated by the (B, TK) diagonal-block reads, which
@@ -122,25 +125,26 @@ def _s_panel_impl(K, L, j, B, T, TK):
     )(K, L, L)
 
 
-def _s_panel_fwd(K, L, j, B, T, TK):
-    return _s_panel_impl(K, L, j, B, T, TK), (K, L)
+def _s_panel_fwd(K, L, j, B, T, TK, nrows):
+    return _s_panel_impl(K, L, j, B, T, TK, nrows), (K, L)
 
 
-def _s_panel_bwd(j, B, T, TK, res, g):
-    # S = K[r0:, r0:r0+B] − A Cᵀ with A = L[r0:, :r0], C = L[r0:r0+B, :r0]
-    # (C is also the first B rows of A): dK places g on the panel, dL gets
-    # −g·C on A's rows and −gᵀ·A on C's rows. bf16x3 matches the forward.
+def _s_panel_bwd(j, B, T, TK, nrows, res, g):
+    # S = K[r0:r0+m, r0:r0+B] − A Cᵀ with A = L[r0:r0+m, :r0],
+    # C = L[r0:r0+B, :r0]: dK places g on the panel, dL gets −g·C on A's
+    # rows and −gᵀ·A on C's rows. bf16x3 matches the forward.
     K, L = res
     r0 = j * B
+    m = K.shape[0] - r0 if nrows is None else nrows
     dK = jnp.zeros(K.shape, K.dtype)
     dK = jax.lax.dynamic_update_slice(dK, g.astype(K.dtype), (r0, r0))
-    A = L[r0:, :r0].astype(jnp.float32)
+    A = L[r0:r0 + m, :r0].astype(jnp.float32)
     C = L[r0:r0 + B, :r0].astype(jnp.float32)
     gf = g.astype(jnp.float32)
     dL = jnp.zeros(L.shape, L.dtype)
     dA = -jnp.matmul(gf, C, precision="high")
     dC = -jnp.matmul(gf.T, A, precision="high")
-    dL = dL.at[r0:, :r0].add(dA.astype(L.dtype))
+    dL = dL.at[r0:r0 + m, :r0].add(dA.astype(L.dtype))
     dL = dL.at[r0:r0 + B, :r0].add(dC.astype(L.dtype))
     return dK, dL
 
@@ -252,6 +256,201 @@ def _panel_write_bwd(j, B, T, res, g):
 
 
 _panel_write.defvjp(_panel_write_fwd, _panel_write_bwd)
+
+
+def _bf16x3_dot_t(a, b):
+    """a @ bᵀ as three bf16 MXU passes with f32 accumulation (the "high"
+    recipe, written out because Mosaic rejects multi-pass on explicit bf16
+    operands under an ambient "highest" scope)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot_t = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    return dot_t(ah, bh) + dot_t(ah, bl) + dot_t(al, bh)
+
+
+def _s_trsm_kernel(l_in_ref, lrow_ref, ljrow_ref, invt_ref, l_ref, acc_ref,
+                   *, n_k, k_last):
+    """FUSED below-diagonal block column: accumulate this row tile's
+    S = K − Σ_k L[rows,k]·L[diag,k]ᵀ across the k grid (bf16x3, matching
+    _s_panel_kernel), then apply the TRSM-via-inverse GEMM S·L_jj⁻ᵀ in the
+    SAME kernel and write the finished L tile in place (aliased). S never
+    exists in HBM — the separate S-panel + panel-write pipeline paid its
+    (m−B)×B round trip every block column. The K tile is read through the
+    ALIASED ref (l_in_ref): in the in-place factorization the unwritten
+    region of L's buffer still holds K, and the epilogue write only lands
+    after the tile's last k step."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, :] = l_in_ref[:, :].astype(jnp.float32)
+
+    if n_k > 0:
+        a = lrow_ref[:, :].astype(jnp.float32)
+        b = ljrow_ref[:, :].astype(jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] - _bf16x3_dot_t(a, b)
+
+    @pl.when(k == k_last)
+    def _():
+        s = acc_ref[:, :]
+        v = invt_ref[:, :]
+        sh = s.astype(jnp.bfloat16)
+        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _s_trsm_write(L, invT, j, B, T, TK):
+    """L with block column j's BELOW-DIAGONAL rows finalized in place:
+    rows r0+B: of columns r0:r0+B set to (K_panel − A·Cᵀ)·invT, where the
+    K panel and the finished left columns A, C all live in L's buffer (the
+    in-place factorization). One aliased Pallas call; S never reaches HBM.
+    custom_vjp: no transpose rule for pallas_call (cf. _s_panel_pallas);
+    the backward recomputes S (one GEMM) instead of saving an (m−B, B)
+    residual."""
+    return _s_trsm_write_impl(L, invT, j, B, T, TK)
+
+
+def _s_trsm_write_impl(L, invT, j, B, T, TK):
+    npad = L.shape[0]
+    r0 = j * B
+    mb = npad - r0 - B                     # rows below the diagonal block
+    n_k = r0 // TK
+    rT = (r0 + B) // T                     # first written row tile
+    grid = (mb // T, max(n_k, 1))
+    vmem = 4 * (2 * T * B      # aliased K/L tile, double-buffered
+                + 2 * T * TK   # L row chunk
+                + 2 * B * TK   # L diagonal-block chunk
+                + B * B        # panel inverse (constant)
+                + 2 * T * B    # out
+                + T * B)       # accumulator scratch
+    return pl.pallas_call(
+        functools.partial(_s_trsm_kernel, n_k=n_k, k_last=max(n_k, 1) - 1),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=grid,
+        in_specs=[
+            # the aliased L: block-mapped to the written tiles, read once
+            # per row tile for the original K panel values
+            pl.BlockSpec((T, B), lambda i, k, rT=rT, j=j: (rT + i, j)),
+            # L rows of the current tile over k-chunk
+            pl.BlockSpec((T, TK), lambda i, k, rT=rT: (rT + i, k)),
+            # L rows of the diagonal block over k-chunk
+            pl.BlockSpec((B, TK), lambda i, k, j=j: (j, k)),
+            # the explicit B×B panel inverse transposed (L_jj⁻ᵀ)
+            pl.BlockSpec((B, B), lambda i, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i, k, rT=rT, j=j: (rT + i, j)),
+        input_output_aliases={0: 0},
+        scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 * 1024 * 1024, vmem + (vmem >> 2))),
+        interpret=jax.default_backend() == "cpu",
+    )(L, L, L, invT)
+
+
+def _s_trsm_write_fwd(L, invT, j, B, T, TK):
+    return _s_trsm_write_impl(L, invT, j, B, T, TK), (L, invT)
+
+
+def _s_trsm_write_bwd(j, B, T, TK, res, g):
+    # out rows = S·invT with S = K_panel − A·Cᵀ; A = L[r0+B:, :r0],
+    # C = L[r0:r0+B, :r0], K panel = L[r0+B:, r0:r0+B] (pre-call buffer).
+    L, invT = res
+    r0 = j * B
+    npad = g.shape[0]
+    Lf = L.astype(jnp.float32)
+    A = Lf[r0 + B:, :r0]
+    C = Lf[r0:r0 + B, :r0]
+    Kp = Lf[r0 + B:, r0:r0 + B]
+    S = Kp - jnp.matmul(A, C.T, precision="high")
+    g_col = g[r0 + B:, r0:r0 + B].astype(jnp.float32)
+    dS = jnp.matmul(g_col, invT.T.astype(jnp.float32), precision="high")
+    dinvT = jnp.matmul(S.T, g_col, precision="high").astype(invT.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    written = (rows >= r0 + B) & (cols >= r0) & (cols < r0 + B)
+    dL = jnp.where(written, jnp.zeros((), g.dtype), g)
+    dL = dL.at[r0 + B:, r0:r0 + B].add(dS.astype(L.dtype))
+    dL = dL.at[r0 + B:, :r0].add(
+        (-jnp.matmul(dS, C, precision="high")).astype(L.dtype))
+    dL = dL.at[r0:r0 + B, :r0].add(
+        (-jnp.matmul(dS.T, A, precision="high")).astype(L.dtype))
+    return dL, dinvT
+
+
+_s_trsm_write.defvjp(_s_trsm_write_fwd, _s_trsm_write_bwd)
+
+
+def _diag_zero_kernel(l_in_ref, ljj_ref, l_ref, *, tiles_diag):
+    """Row strip r0:r0+B of the factor, from column r0 rightwards: the first
+    B/T column tiles copy Ljj, the rest zero the strip (L's upper-triangle
+    contract; the in-place buffer still holds K there)."""
+    i = pl.program_id(0)
+
+    @pl.when(i < tiles_diag)
+    def _():
+        l_ref[:, :] = ljj_ref[:, :]
+
+    @pl.when(i >= tiles_diag)
+    def _():
+        l_ref[:, :] = jnp.zeros_like(l_ref[:, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _diag_zero_write(L, Ljj, j, B, T):
+    """L with the diagonal block of column j set to Ljj AND the strict-upper
+    strip of row block j zeroed — one aliased Pallas call covering rows
+    r0:r0+B, columns r0:. Replaces the separate diagonal copy and
+    _upper_zero launches of the unfused pipeline."""
+    return _diag_zero_write_impl(L, Ljj, j, B, T)
+
+
+def _diag_zero_write_impl(L, Ljj, j, B, T):
+    npad = L.shape[0]
+    r0 = j * B
+    w = npad - r0
+    tiles_diag = B // T
+    return pl.pallas_call(
+        functools.partial(_diag_zero_kernel, tiles_diag=tiles_diag),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=(w // T,),
+        in_specs=[
+            pl.BlockSpec((B, T), lambda i, j=j, cT=r0 // T: (j, cT + i)),
+            pl.BlockSpec((B, T),
+                         lambda i, td=tiles_diag: (0, jnp.minimum(i, td - 1))),
+        ],
+        out_specs=pl.BlockSpec((B, T), lambda i, j=j, cT=r0 // T: (j, cT + i)),
+        input_output_aliases={0: 0},
+        interpret=jax.default_backend() == "cpu",
+    )(L, Ljj)
+
+
+def _diag_zero_write_fwd(L, Ljj, j, B, T):
+    return _diag_zero_write_impl(L, Ljj, j, B, T), None
+
+
+def _diag_zero_write_bwd(j, B, T, res, g):
+    r0 = j * B
+    dLjj = g[r0:r0 + B, r0:r0 + B]
+    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    strip = (rows >= r0) & (rows < r0 + B) & (cols >= r0)
+    dL = jnp.where(strip, jnp.zeros((), g.dtype), g)
+    return dL, dLjj
+
+
+_diag_zero_write.defvjp(_diag_zero_write_fwd, _diag_zero_write_bwd)
 
 
 def _zero_kernel(l_in_ref, l_ref):
@@ -444,19 +643,44 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     invs = [] if (return_panel_invs and npad == n) else None
     for j in range(nb):
         r0 = j * B
+        if pallas_inplace:
+            # FUSED pipeline: only the (B, B) diagonal rows of S are ever
+            # materialized (for the panel factorization); the rows below
+            # accumulate inside _s_trsm_write's tiles, which apply the
+            # TRSM-via-inverse GEMM and write L in place in the same kernel
+            if j > 0:
+                Sjj = _s_panel_pallas(L, L, j, B, s_tile[0], s_tile[1], B)
+            else:
+                Sjj = jax.lax.dynamic_slice(L, (0, 0), (B, B))
+            if shift is not None:
+                sj = shift[r0:r0 + B, None] if shift.ndim == 1 else shift
+                Sjj = Sjj + sj * jnp.eye(B, dtype=ldtype)
+            with jax.default_matmul_precision(panel_precision):
+                need_inv = j < nb - 1 or invs is not None
+                if need_inv:
+                    Ljj, inv = _panel_factor_inv(Sjj, update_precision,
+                                                 panel_precision)
+                else:
+                    Ljj = _panel_factor(Sjj, update_precision,
+                                        panel_precision)
+                    inv = None
+            if invs is not None:
+                invs.append(inv)
+            if j < nb - 1:
+                L = _s_trsm_write(L, inv.T, j, B, min(512, B), s_tile[1])
+            L = _diag_zero_write(L, Ljj, j, B, min(512, B))
+            continue
         if j > 0 and pallas_update:
-            # in place, unwritten regions of L still hold K: the S kernel
-            # reads the not-yet-finalized panel (rows ≥ r0 of column j) and
-            # the finalized left columns from the same buffer
-            S = _s_panel_pallas(L if pallas_inplace else K, L, j, B,
-                                s_tile[0], s_tile[1])
+            # unfused Pallas path (separate K buffer, e.g. bf16 Grams): the
+            # S kernel reads K and the finalized left columns of L
+            S = _s_panel_pallas(K, L, j, B, s_tile[0], s_tile[1])
         elif j > 0:
             Kj = K[r0:, r0:r0 + B].astype(ldtype)   # (npad − jB, B)
             # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
             Lleft = L[r0:, :r0]
             S = Kj - _dot_t(Lleft, Lleft[:B], update_precision)
         else:
-            S = (L if pallas_inplace else K)[r0:, r0:r0 + B].astype(ldtype)
+            S = K[r0:, r0:r0 + B].astype(ldtype)
         Sjj = S[:B]
         if shift is not None:
             sj = shift[r0:r0 + B, None] if shift.ndim == 1 else shift
@@ -485,10 +709,6 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                     invs.append(inv)
                 invT = inv.T if j < nb - 1 else jnp.eye(B, dtype=ldtype)
                 L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
-                if pallas_inplace and j < nb - 1:
-                    # the buffer's upper strip still holds K values that the
-                    # factorization never reads; L's contract zeroes them
-                    L = _upper_zero(L, j, B, min(512, B))
                 continue
             if j < nb - 1:
                 # X · Ljjᵀ = S_below  ⇔  X = S_below · Ljj⁻ᵀ — one GEMM
