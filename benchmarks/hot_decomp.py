@@ -221,7 +221,14 @@ def main():
         key = jax.random.PRNGKey(0)
         A = jax.random.normal(key, (N, N), dtype=jnp.float32) / (N ** 0.5)
         K = A @ A.T + 10.0 * jnp.eye(N, dtype=jnp.float32)
-        if cell == "cholnofused":
+        if cell == "cholfused":
+            # the manual-DMA fused pipeline (S never reaches HBM)
+            bc.FUSED_INPLACE = True
+        elif cell == "cholnowrite":
+            # drop the aliased panel-write + upper-zero (unfused pipeline)
+            bc._panel_write = lambda L, S, invT, Ljj, j, B_, T: L
+            bc._upper_zero = lambda L, j, B_, T: L
+        elif cell == "cholnofused":
             # drop the fused S-below+TRSM+write kernel (the N³/3 bulk)
             bc._s_trsm_write = lambda L, invT, j, B_, T, TK: L
         elif cell == "cholnodiag":

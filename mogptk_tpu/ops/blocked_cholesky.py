@@ -310,6 +310,94 @@ def _s_trsm_kernel(l_in_ref, lrow_ref, ljrow_ref, invt_ref, l_ref, acc_ref,
         l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
 
 
+def _s_trsm_dma_kernel(l_any, invt_ref, out_ref, acc_ref, ktile, abuf, bbuf,
+                       ksem, asem, bsem, *, j, B, T, TK, n_k):
+    """Manual-DMA variant of _s_trsm_kernel: the factor buffer appears as
+    ONE untiled ANY-space operand (aliased to the output), and the kernel
+    issues its own async copies for the K tile, the row chunks, and the
+    diagonal-block chunks. The blocked form passed the same buffer as three
+    read operands plus the alias, and XLA protected each read with a
+    full-buffer copy per block column (~45 ms of pure copies at N=16k)."""
+    i = pl.program_id(0)
+    r0 = j * B
+    rt0 = r0 + B + i * T
+
+    def k_dma():
+        return pltpu.make_async_copy(
+            l_any.at[pl.ds(rt0, T), pl.ds(r0, B)], ktile, ksem)
+
+    def a_dma(slot, k):
+        return pltpu.make_async_copy(
+            l_any.at[pl.ds(rt0, T), pl.ds(k * TK, TK)], abuf.at[slot],
+            asem.at[slot])
+
+    def b_dma(slot, k):
+        return pltpu.make_async_copy(
+            l_any.at[pl.ds(r0, B), pl.ds(k * TK, TK)], bbuf.at[slot],
+            bsem.at[slot])
+
+    k_dma().start()
+    if n_k > 0:
+        a_dma(0, 0).start()
+        b_dma(0, 0).start()
+    k_dma().wait()
+    acc_ref[:, :] = ktile[:, :].astype(jnp.float32)
+    for k in range(n_k):              # static unroll: n_k ≤ r0/TK per call
+        slot = k % 2
+        if k + 1 < n_k:
+            a_dma(1 - slot, k + 1).start()
+            b_dma(1 - slot, k + 1).start()
+        a_dma(slot, k).wait()
+        b_dma(slot, k).wait()
+        acc_ref[:, :] = acc_ref[:, :] - _bf16x3_dot_t(abuf[slot], bbuf[slot])
+    s = acc_ref[:, :]
+    v = invt_ref[:, :]
+    sh = s.astype(jnp.bfloat16)
+    sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+    vh = v.astype(jnp.bfloat16)
+    vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    out_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+
+
+def _s_trsm_write_dma_impl(L, invT, j, B, T, TK):
+    npad = L.shape[0]
+    r0 = j * B
+    mb = npad - r0 - B                     # rows below the diagonal block
+    n_k = r0 // TK
+    rT = (r0 + B) // T                     # first written row tile
+    vmem = 4 * (2 * T * B      # acc + ktile
+                + 2 * T * TK   # row-chunk double buffer
+                + 2 * B * TK   # diag-chunk double buffer
+                + 2 * B * B    # panel inverse (double-buffered operand)
+                + 2 * T * B)   # out block, double-buffered
+    return pl.pallas_call(
+        functools.partial(_s_trsm_dma_kernel, j=j, B=B, T=T, TK=TK, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=(mb // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # the aliased factor buffer
+            pl.BlockSpec((B, B), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i, rT=rT, j=j: (rT + i, j)),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((T, B), jnp.float32),       # accumulator
+            pltpu.VMEM((T, B), jnp.float32),       # K tile
+            pltpu.VMEM((2, T, TK), jnp.float32),   # row chunks
+            pltpu.VMEM((2, B, TK), jnp.float32),   # diag-block chunks
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem + (vmem >> 2)),
+    )(L, invT)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _s_trsm_write(L, invT, j, B, T, TK):
     """L with block column j's BELOW-DIAGONAL rows finalized in place:
@@ -323,6 +411,10 @@ def _s_trsm_write(L, invT, j, B, T, TK):
 
 
 def _s_trsm_write_impl(L, invT, j, B, T, TK):
+    if jax.default_backend() != "cpu":
+        # the manual-DMA form is TPU-only (interpret mode keeps the
+        # blocked form below, whose copies don't matter off-TPU)
+        return _s_trsm_write_dma_impl(L, invT, j, B, T, TK)
     npad = L.shape[0]
     r0 = j * B
     mb = npad - r0 - B                     # rows below the diagonal block
@@ -554,6 +646,15 @@ def _tri_inverse(Ljj):
     return jsl.solve_triangular(Ljj, jnp.eye(B, dtype=Ljj.dtype), lower=True)
 
 
+# The fused below-diagonal kernel (_s_trsm_write) passes L's buffer as
+# THREE pallas operands plus the output alias; XLA then protects the read
+# operands with a full-buffer copy per block column (~3 ms × 15 at N=16k —
+# measured 90 ms total vs ~45 for the unfused in-place pipeline, whose
+# aliased buffer appears exactly once per call). Off until the kernel is
+# reworked to a single ANY-memory-space operand with in-kernel DMAs.
+FUSED_INPLACE = False
+
+
 def blocked_cholesky(K, block_size=1024, update_precision="high",
                      panel_precision="highest", diag_shift=None,
                      s_tile=None, return_panel_invs=False):
@@ -643,7 +744,7 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     invs = [] if (return_panel_invs and npad == n) else None
     for j in range(nb):
         r0 = j * B
-        if pallas_inplace:
+        if pallas_inplace and FUSED_INPLACE:
             # FUSED pipeline: only the (B, B) diagonal rows of S are ever
             # materialized (for the panel factorization); the rows below
             # accumulate inside _s_trsm_write's tiles, which apply the
@@ -671,9 +772,11 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
             L = _diag_zero_write(L, Ljj, j, B, min(512, B))
             continue
         if j > 0 and pallas_update:
-            # unfused Pallas path (separate K buffer, e.g. bf16 Grams): the
-            # S kernel reads K and the finalized left columns of L
-            S = _s_panel_pallas(K, L, j, B, s_tile[0], s_tile[1])
+            # in place, unwritten regions of L still hold K: the S kernel
+            # reads the not-yet-finalized panel (rows ≥ r0 of column j) and
+            # the finalized left columns from the same buffer
+            S = _s_panel_pallas(L if pallas_inplace else K, L, j, B,
+                                s_tile[0], s_tile[1])
         elif j > 0:
             Kj = K[r0:, r0:r0 + B].astype(ldtype)   # (npad − jB, B)
             # S = K_panel − L[jB:, :jB] @ L[jB:(j+1)B, :jB]ᵀ — one MXU GEMM
@@ -709,6 +812,10 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                     invs.append(inv)
                 invT = inv.T if j < nb - 1 else jnp.eye(B, dtype=ldtype)
                 L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
+                if pallas_inplace and j < nb - 1:
+                    # the buffer's upper strip still holds K values that the
+                    # factorization never reads; L's contract zeroes them
+                    L = _upper_zero(L, j, B, min(512, B))
                 continue
             if j < nb - 1:
                 # X · Ljjᵀ = S_below  ⇔  X = S_below · Ljj⁻ᵀ — one GEMM
