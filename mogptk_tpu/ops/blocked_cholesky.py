@@ -258,6 +258,111 @@ def _panel_write_bwd(j, B, T, res, g):
 _panel_write.defvjp(_panel_write_fwd, _panel_write_bwd)
 
 
+def _col_strip_kernel(l_in_ref, s_ref, invt_ref, ljj_ref, l_ref, *,
+                      tiles_col):
+    """One finished block column of L PLUS its upper strip, one launch.
+    Grid steps < tiles_col walk the column (block 0 copies Ljj, the rest
+    compute the TRSM-via-inverse GEMM, bf16x3); steps ≥ tiles_col zero the
+    (B, B) blocks of row strip j right of the diagonal (the in-place
+    buffer still holds K there; L's contract zeroes it). Uses B×B blocks
+    (T == B), halving the grid and doubling the GEMM row count vs the
+    split _panel_write + _upper_zero pipeline."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        l_ref[:, :] = ljj_ref[:, :]
+
+    @pl.when((0 < i) & (i < tiles_col))
+    def _():
+        s = s_ref[:, :]
+        v = invt_ref[:, :]
+        sh = s.astype(jnp.bfloat16)
+        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+
+    @pl.when(i >= tiles_col)
+    def _():
+        l_ref[:, :] = jnp.zeros_like(l_ref[:, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _col_strip_write(L, S, invT, Ljj, j, B):
+    """L with block column j finalized AND row strip j's strict upper
+    zeroed, in ONE aliased Pallas call (cf. _panel_write + _upper_zero,
+    which pay two launches per block column). Requires npad % B == 0 and
+    uses (B, B) blocks. custom_vjp: no transpose rule for pallas_call."""
+    return _col_strip_write_impl(L, S, invT, Ljj, j, B)
+
+
+def _col_strip_write_impl(L, S, invT, Ljj, j, B):
+    npad = L.shape[0]
+    r0 = j * B
+    tiles_col = (npad - r0) // B          # column blocks (diag + below)
+    tiles_strip = npad // B - (j + 1)     # strip blocks right of diagonal
+    grid = (tiles_col + tiles_strip,)
+
+    def idx(i, j=j, tc=tiles_col):
+        # column blocks walk down column j; strip blocks walk row j
+        col_step = i < tc
+        return (jnp.where(col_step, j + i, j),
+                jnp.where(col_step, j, i - tc + j + 1))
+
+    vmem = 4 * B * B * (2 + 2 + 2 + 2 + 2)   # five double-buffered blocks
+    return pl.pallas_call(
+        functools.partial(_col_strip_kernel, tiles_col=tiles_col),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, B), idx),    # aliased L, never read in-kernel
+            pl.BlockSpec((B, B),
+                         lambda i, tc=tiles_col: (jnp.minimum(i, tc - 1), 0)),
+            pl.BlockSpec((B, B), lambda i: (0, 0)),
+            pl.BlockSpec((B, B), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, B), idx),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem + (vmem >> 2)),
+        interpret=jax.default_backend() == "cpu",
+    )(L, S, invT, Ljj)
+
+
+def _col_strip_write_fwd(L, S, invT, Ljj, j, B):
+    return _col_strip_write_impl(L, S, invT, Ljj, j, B), (S, invT)
+
+
+def _col_strip_write_bwd(j, B, res, g):
+    S, invT = res
+    r0 = j * B
+    # cotangents: the column below the diagonal flows to (S, invT), the
+    # diagonal block to Ljj, the zeroed strip to nothing; the rest to L
+    g_col = g[r0:, r0:r0 + B].astype(jnp.float32)
+    dLjj = g_col[:B].astype(S.dtype)
+    g_below = g_col[B:]
+    Sb = S[B:].astype(jnp.float32)
+    dS = jnp.zeros(S.shape, S.dtype)
+    dS = jax.lax.dynamic_update_slice(
+        dS, jnp.matmul(g_below, invT.T.astype(jnp.float32),
+                       precision="high").astype(S.dtype), (B, 0))
+    dinvT = jnp.matmul(Sb.T, g_below, precision="high").astype(invT.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    written = (((rows >= r0) & (cols >= r0) & (cols < r0 + B))
+               | ((rows >= r0) & (rows < r0 + B) & (cols >= r0 + B)))
+    dL = jnp.where(written, jnp.zeros((), g.dtype), g)
+    return dL, dS, dinvT, dLjj
+
+
+_col_strip_write.defvjp(_col_strip_write_fwd, _col_strip_write_bwd)
+
+
 def _bf16x3_dot_t(a, b):
     """a @ bᵀ as three bf16 MXU passes with f32 accumulation (the "high"
     recipe, written out because Mosaic rejects multi-pass on explicit bf16
@@ -811,11 +916,13 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                 if invs is not None:
                     invs.append(inv)
                 invT = inv.T if j < nb - 1 else jnp.eye(B, dtype=ldtype)
-                L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
-                if pallas_inplace and j < nb - 1:
-                    # the buffer's upper strip still holds K values that the
-                    # factorization never reads; L's contract zeroes them
-                    L = _upper_zero(L, j, B, min(512, B))
+                if pallas_inplace:
+                    # the buffer's upper strip still holds K values that
+                    # the factorization never reads; one launch writes the
+                    # column AND zeroes the strip (L's contract)
+                    L = _col_strip_write(L, S, invT, Ljj, j, B)
+                else:
+                    L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
                 continue
             if j < nb - 1:
                 # X · Ljjᵀ = S_below  ⇔  X = S_below · Ljj⁻ᵀ — one GEMM
