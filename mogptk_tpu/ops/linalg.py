@@ -298,9 +298,19 @@ def cholesky_solve(L, B, invs=None):
     N=16k — already paid by the factorization), so narrow solves like the
     LML's (1+R)-column batch skip XLA's expander (5.8 → ~2 ms)."""
     if invs is not None and L.ndim == 2 and B.ndim == 2:
+        bs = invs[0].shape[-1]
+        if jax.default_backend() != "cpu":
+            # TPU: the LML's narrow solve runs both substitution sweeps as
+            # ONE pallas kernel (RHS resident in VMEM, L streamed by DMA,
+            # no Lᵀ materialization). Only reached from custom-VJP LML
+            # forwards, which never differentiate through the solve (the
+            # kernel has no transpose rule); CPU keeps the blocked path so
+            # generic autodiff through cholesky_solve stays available.
+            from .pallas_solve import fused_cho_solve, fused_solve_applicable
+            if fused_solve_applicable(L, B, invs, block_size=bs):
+                return fused_cho_solve(L, invs, B, block_size=bs)
         from .blocked_trisolve import blocked_cho_solve
-        return blocked_cho_solve(L, B, invs=invs,
-                                 block_size=invs[0].shape[-1])
+        return blocked_cho_solve(L, B, invs=invs, block_size=bs)
     if _blocked_trisolve_worthwhile(L, B):
         from .blocked_trisolve import blocked_cho_solve
         return blocked_cho_solve(L, B)
