@@ -100,7 +100,22 @@ def time_training_steps(model, target_sec=20.0, t_lo=3, reps=3, max_t=600):
     return 1.0 / per_step
 
 
-def bench_ours(xs, ys):
+def _guard(errors, key, fn, *args, **kwargs):
+    """Fail-soft engine wrapper: a broken kernel must cost one metric (null
+    + first error line in the JSON's "errors" map), never the whole bench
+    line (round 3 shipped zero numbers because one Mosaic failure aborted
+    the process before the JSON printed)."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        first = str(e).strip().splitlines()
+        errors[key] = "%s: %s" % (type(e).__name__, first[0] if first else "")
+        return None
+
+
+def bench_ours(xs, ys, errors):
     import jax
     # persist compiled programs: remote TPU compilation of the full training
     # step takes minutes; the cache makes repeat runs start instantly
@@ -121,13 +136,15 @@ def bench_ours(xs, ys):
 
     # headline: Hutchinson probe-trace gradients (the backward becomes two
     # 17-column triangular solves batched into the forward cho_solve)
-    probe_sps = time_training_steps(_build_model(xs, ys, trace_probes=16))
+    probe_sps = _guard(errors, "headline",
+                       lambda: time_training_steps(_build_model(xs, ys, trace_probes=16)))
     # deterministic closed-form-gradient number (apples-to-apples with the
     # torch baseline's exact gradients)
     exact_sps = None
     if not os.environ.get("BENCH_SKIP_EXACT_GRAD"):
-        exact_sps = time_training_steps(_build_model(xs, ys, trace_probes=None),
-                                        target_sec=25.0)
+        exact_sps = _guard(errors, "exact_grad",
+                           lambda: time_training_steps(_build_model(xs, ys, trace_probes=None),
+                                                       target_sec=25.0))
     return probe_sps, exact_sps
 
 
@@ -268,20 +285,17 @@ def bench_bignum(n_total=65536, timeout_sec=2400):
 
 def main():
     xs, ys = make_data()
+    errors = {}
 
     # bignum runs FIRST: its subprocess must claim the chip while this
     # process has not yet initialized JAX (two concurrent clients deadlock)
     bignum = None
     if not os.environ.get("BENCH_SKIP_BIGN"):
-        bignum = bench_bignum()
+        bignum = _guard(errors, "iterative_N65536", bench_bignum)
 
-    probe_sps, exact_sps = bench_ours(xs, ys)
+    probe_sps, exact_sps = bench_ours(xs, ys, errors)
 
-    try:
-        svgp = bench_svgp(xs, ys)
-    except Exception as e:
-        print("svgp bench failed: %r" % (e,), file=sys.stderr)
-        svgp = None
+    svgp = _guard(errors, "svgp", bench_svgp, xs, ys)
 
     if os.environ.get("BENCH_SKIP_BASELINE"):
         ref = ref_svgp = None
@@ -291,29 +305,23 @@ def main():
             ref = cache.get("steps_per_sec")
             ref_svgp = cache.get("svgp_steps_per_sec")
     else:
-        try:
-            ref = bench_reference(xs, ys)
-        except Exception as e:
-            print("baseline measurement failed: %r" % (e,), file=sys.stderr)
-            ref = None
-        try:
-            ref_svgp = bench_reference_svgp(xs, ys)
-        except Exception as e:
-            print("svgp baseline measurement failed: %r" % (e,), file=sys.stderr)
-            ref_svgp = None
+        ref = _guard(errors, "baseline", bench_reference, xs, ys)
+        ref_svgp = _guard(errors, "svgp_baseline", bench_reference_svgp, xs, ys)
 
     result = {
         "metric": "exact GP LML+grad steps/sec (MOSM Q=%d, %d channels x %d points, f32 TPU)"
                   % (Q, CHANNELS, N_PER_CHANNEL),
-        "value": round(probe_sps, 4),
+        "value": round(probe_sps, 4) if probe_sps else None,
         "unit": "steps/sec",
-        "vs_baseline": round(probe_sps / ref, 2) if ref else None,
+        "vs_baseline": round(probe_sps / ref, 2) if (probe_sps and ref) else None,
         "exact_grad_steps_per_sec": round(exact_sps, 4) if exact_sps else None,
         "exact_grad_vs_baseline": round(exact_sps / ref, 2) if (exact_sps and ref) else None,
         "svgp_elbo_steps_per_sec_M1024": round(svgp, 4) if svgp else None,
         "svgp_vs_baseline": round(svgp / ref_svgp, 2) if (svgp and ref_svgp) else None,
         "iterative_exact_N65536_sec_per_step": bignum,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 

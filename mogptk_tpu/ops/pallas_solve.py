@@ -48,7 +48,12 @@ def _solve_kernel(l_any, invs_any, b_ref, x_ref, inv_v, c0, c1, sem_i, sem_c,
     step = pl.program_id(0)
     fwd = step < nb
     i = jnp.where(fwd, step, 2 * nb - 1 - step)
-    r0 = i * B
+    # Every dynamic start below is (block index) * B — but Mosaic's
+    # divisibility analysis cannot see through a jnp.where, so each start is
+    # (a) built by selecting the INDEX first and multiplying by B after, and
+    # (b) annotated with pl.multiple_of. Without these the kernel fails to
+    # lower ("Failed to prove that a tile index ... is divisible by 8").
+    r0 = pl.multiple_of(i * B, B)
 
     pltpu.make_async_copy(invs_any.at[i], inv_v, sem_i).start()
 
@@ -58,8 +63,8 @@ def _solve_kernel(l_any, invs_any, b_ref, x_ref, inv_v, c0, c1, sem_i, sem_c,
 
     def src(t):
         k = jnp.where(fwd, t, i + 1 + t)
-        rb = jnp.where(fwd, r0, k * B)
-        cb = jnp.where(fwd, k * B, r0)
+        rb = pl.multiple_of(jnp.where(fwd, i, k) * B, B)
+        cb = pl.multiple_of(jnp.where(fwd, k, i) * B, B)
         return l_any.at[pl.ds(rb, B), pl.ds(cb, B)], k
 
     def start(t, buf, slot):
@@ -72,7 +77,7 @@ def _solve_kernel(l_any, invs_any, b_ref, x_ref, inv_v, c0, c1, sem_i, sem_c,
 
     def part(t, buf):
         _, k = src(t)
-        xk = x_ref[pl.ds(k * B, B), :]
+        xk = x_ref[pl.ds(pl.multiple_of(k * B, B), B), :]
         return jnp.where(fwd, _bf16x3(buf[:, :], xk, (((1,), (0,)))),
                          _bf16x3(buf[:, :], xk, (((0,), (0,)))))
 
@@ -156,11 +161,19 @@ def fused_cho_solve(L, invs, B_rhs, block_size=1024):
 
 def fused_solve_applicable(L, B_rhs, invs, block_size=1024):
     """Gate: f32 square factor, panel-aligned N, narrow 2-D RHS, inverses
-    available with matching panel size."""
-    return (invs is not None and L.ndim == 2 and B_rhs.ndim == 2
+    available with matching panel size, and the resident RHS+output fit in
+    VMEM (they are lane-padded to 128 columns, so the budget grows ~2 KB per
+    row; past ~40k rows the kernel could not compile — fall back to the
+    blocked substitution instead)."""
+    if not (invs is not None and L.ndim == 2 and B_rhs.ndim == 2
             and L.dtype == jnp.float32
             and L.shape[0] == L.shape[1]
             and L.shape[0] % block_size == 0
             and L.shape[0] // block_size == len(invs)
             and invs[0].shape[-1] == block_size
-            and B_rhs.shape[1] <= 64)
+            and B_rhs.shape[1] <= 64):
+        return False
+    n = L.shape[0]
+    vmem = 4 * (3 * block_size * block_size
+                + 2 * 2 * n * max(B_rhs.shape[1], 128))
+    return vmem <= 96 * 1024 * 1024

@@ -940,3 +940,58 @@ class TestLmlCholFused:
             gpr.config.jitter_ladder = old
             gpr.config.bump()
             gpr.use_pallas(None)
+
+
+class TestFusedCholeskySolve:
+    """Direct interpret-mode coverage of ops/pallas_solve.fused_cho_solve —
+    the kernel every TPU blocked-path LML solve routes through
+    (ops/linalg.cholesky_solve invs= gate). The CPU-forced suite otherwise
+    never reaches it (the gate requires a non-CPU backend), so this calls it
+    directly and checks against jsl.cho_solve. Capability reference:
+    torch.cholesky_solve at mogptk/gpr/model.py:452."""
+
+    def _case(self, n, Bs, r, seed):
+        from mogptk_tpu.ops.pallas_solve import (fused_cho_solve,
+                                                 fused_solve_applicable)
+        K = jnp.asarray(_spd(n, seed=seed), jnp.float32)
+        L = jnp.linalg.cholesky(K)
+        B = jnp.asarray(np.random.RandomState(seed + 1).randn(n, r),
+                        jnp.float32)
+        nb = n // Bs
+        invs = [jnp.linalg.inv(L[i * Bs:(i + 1) * Bs, i * Bs:(i + 1) * Bs])
+                for i in range(nb)]
+        assert fused_solve_applicable(L, B, invs, block_size=Bs)
+        X = np.asarray(fused_cho_solve(L, invs, B, block_size=Bs))
+        X_ref = np.asarray(jsl.cho_solve((L, True), B))
+        scale = np.abs(X_ref).max()
+        np.testing.assert_allclose(X, X_ref, atol=3e-5 * max(scale, 1.0),
+                                   err_msg="n=%d Bs=%d r=%d" % (n, Bs, r))
+
+    def test_single_panel(self):
+        # nb=1: both sweeps are pure diagonal applies (nk=0 everywhere)
+        self._case(128, 128, 3, seed=21)
+
+    def test_multi_panel_even_chunks(self):
+        # nb=4: panels see nk in {0,1,2,3} — exercises the odd-tail guard
+        self._case(512, 128, 17, seed=22)
+
+    def test_multi_panel_odd_chunks(self):
+        # nb=3 with a single RHS column (the plain-LML alpha solve shape)
+        self._case(384, 128, 1, seed=23)
+
+    def test_gate_rejects_oversized_and_wide(self):
+        from mogptk_tpu.ops.pallas_solve import fused_solve_applicable
+        L = jnp.zeros((256, 256), jnp.float32)
+        invs = [jnp.zeros((128, 128), jnp.float32)] * 2
+        assert fused_solve_applicable(L, jnp.zeros((256, 64), jnp.float32),
+                                      invs, block_size=128)
+        # wide RHS falls through to the blocked substitution
+        assert not fused_solve_applicable(
+            L, jnp.zeros((256, 65), jnp.float32), invs, block_size=128)
+        # resident-RHS VMEM cap: a huge N must be rejected, not compiled
+        n_big = 64 * 1024
+        L_big = jax.ShapeDtypeStruct((n_big, n_big), jnp.float32)
+        invs_big = [jnp.zeros((1024, 1024), jnp.float32)] * (n_big // 1024)
+        assert not fused_solve_applicable(
+            L_big, jnp.zeros((n_big, 1), jnp.float32), invs_big,
+            block_size=1024)
