@@ -74,25 +74,22 @@ def _s_panel_kernel(k_ref, lrow_ref, ljrow_ref, s_ref, acc_ref, *, n_k):
         s_ref[:, :] = acc_ref[:, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _s_panel_pallas(K, L, j, B, T=256, TK=512, nrows=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _s_panel_pallas(K, L, j, B, T=256, TK=512):
     """The left-looking accumulation S = K[r0:, r0:r0+B] − Lleft·Lleft[:B]ᵀ
-    for block column j as one streamed Pallas GEMM over K-chunks. With
-    `nrows` only the panel's first nrows rows are produced (the fused
-    factorization computes just the (B, B) diagonal rows this way — the
-    rows below accumulate inside _s_trsm_write and never touch HBM).
+    for block column j as one streamed Pallas GEMM over K-chunks.
 
     custom_vjp: pallas_call has no transpose rule, so reverse-mode through
     the factorization (e.g. Titsias/SVGP differentiating through
     cholesky(Kuu) at M ≥ the blocked threshold) would otherwise crash at
     trace time; the backward is the hand-written bilinear-map VJP."""
-    return _s_panel_impl(K, L, j, B, T, TK, nrows)
+    return _s_panel_impl(K, L, j, B, T, TK)
 
 
-def _s_panel_impl(K, L, j, B, T, TK, nrows=None):
+def _s_panel_impl(K, L, j, B, T, TK):
     npad = K.shape[0]
     r0 = j * B
-    m = npad - r0 if nrows is None else nrows
+    m = npad - r0
     n_k = r0 // TK
     grid = (m // T, n_k)
     # HBM traffic is dominated by the (B, TK) diagonal-block reads, which
@@ -125,17 +122,17 @@ def _s_panel_impl(K, L, j, B, T, TK, nrows=None):
     )(K, L, L)
 
 
-def _s_panel_fwd(K, L, j, B, T, TK, nrows):
-    return _s_panel_impl(K, L, j, B, T, TK, nrows), (K, L)
+def _s_panel_fwd(K, L, j, B, T, TK):
+    return _s_panel_impl(K, L, j, B, T, TK), (K, L)
 
 
-def _s_panel_bwd(j, B, T, TK, nrows, res, g):
+def _s_panel_bwd(j, B, T, TK, res, g):
     # S = K[r0:r0+m, r0:r0+B] − A Cᵀ with A = L[r0:r0+m, :r0],
     # C = L[r0:r0+B, :r0]: dK places g on the panel, dL gets −g·C on A's
     # rows and −gᵀ·A on C's rows. bf16x3 matches the forward.
     K, L = res
     r0 = j * B
-    m = K.shape[0] - r0 if nrows is None else nrows
+    m = K.shape[0] - r0
     dK = jnp.zeros(K.shape, K.dtype)
     dK = jax.lax.dynamic_update_slice(dK, g.astype(K.dtype), (r0, r0))
     A = L[r0:r0 + m, :r0].astype(jnp.float32)
@@ -363,293 +360,6 @@ def _col_strip_write_bwd(j, B, res, g):
 _col_strip_write.defvjp(_col_strip_write_fwd, _col_strip_write_bwd)
 
 
-def _bf16x3_dot_t(a, b):
-    """a @ bᵀ as three bf16 MXU passes with f32 accumulation (the "high"
-    recipe, written out because Mosaic rejects multi-pass on explicit bf16
-    operands under an ambient "highest" scope)."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    dot_t = functools.partial(jax.lax.dot_general,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.DEFAULT)
-    return dot_t(ah, bh) + dot_t(ah, bl) + dot_t(al, bh)
-
-
-def _s_trsm_kernel(l_in_ref, lrow_ref, ljrow_ref, invt_ref, l_ref, acc_ref,
-                   *, n_k, k_last):
-    """FUSED below-diagonal block column: accumulate this row tile's
-    S = K − Σ_k L[rows,k]·L[diag,k]ᵀ across the k grid (bf16x3, matching
-    _s_panel_kernel), then apply the TRSM-via-inverse GEMM S·L_jj⁻ᵀ in the
-    SAME kernel and write the finished L tile in place (aliased). S never
-    exists in HBM — the separate S-panel + panel-write pipeline paid its
-    (m−B)×B round trip every block column. The K tile is read through the
-    ALIASED ref (l_in_ref): in the in-place factorization the unwritten
-    region of L's buffer still holds K, and the epilogue write only lands
-    after the tile's last k step."""
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:, :] = l_in_ref[:, :].astype(jnp.float32)
-
-    if n_k > 0:
-        a = lrow_ref[:, :].astype(jnp.float32)
-        b = ljrow_ref[:, :].astype(jnp.float32)
-        acc_ref[:, :] = acc_ref[:, :] - _bf16x3_dot_t(a, b)
-
-    @pl.when(k == k_last)
-    def _():
-        s = acc_ref[:, :]
-        v = invt_ref[:, :]
-        sh = s.astype(jnp.bfloat16)
-        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
-        vh = v.astype(jnp.bfloat16)
-        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = functools.partial(jax.lax.dot_general,
-                                dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
-
-
-def _s_trsm_dma_kernel(l_any, invt_ref, out_ref, acc_ref, ktile, abuf, bbuf,
-                       ksem, asem, bsem, *, j, B, T, TK, n_k):
-    """Manual-DMA variant of _s_trsm_kernel: the factor buffer appears as
-    ONE untiled ANY-space operand (aliased to the output), and the kernel
-    issues its own async copies for the K tile, the row chunks, and the
-    diagonal-block chunks. The blocked form passed the same buffer as three
-    read operands plus the alias, and XLA protected each read with a
-    full-buffer copy per block column (~45 ms of pure copies at N=16k)."""
-    i = pl.program_id(0)
-    r0 = j * B
-    rt0 = r0 + B + i * T
-
-    def k_dma():
-        return pltpu.make_async_copy(
-            l_any.at[pl.ds(rt0, T), pl.ds(r0, B)], ktile, ksem)
-
-    def a_dma(slot, k):
-        return pltpu.make_async_copy(
-            l_any.at[pl.ds(rt0, T), pl.ds(k * TK, TK)], abuf.at[slot],
-            asem.at[slot])
-
-    def b_dma(slot, k):
-        return pltpu.make_async_copy(
-            l_any.at[pl.ds(r0, B), pl.ds(k * TK, TK)], bbuf.at[slot],
-            bsem.at[slot])
-
-    k_dma().start()
-    if n_k > 0:
-        a_dma(0, 0).start()
-        b_dma(0, 0).start()
-    k_dma().wait()
-    acc_ref[:, :] = ktile[:, :].astype(jnp.float32)
-    for k in range(n_k):              # static unroll: n_k ≤ r0/TK per call
-        slot = k % 2
-        if k + 1 < n_k:
-            a_dma(1 - slot, k + 1).start()
-            b_dma(1 - slot, k + 1).start()
-        a_dma(slot, k).wait()
-        b_dma(slot, k).wait()
-        acc_ref[:, :] = acc_ref[:, :] - _bf16x3_dot_t(abuf[slot], bbuf[slot])
-    s = acc_ref[:, :]
-    v = invt_ref[:, :]
-    sh = s.astype(jnp.bfloat16)
-    sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
-    vh = v.astype(jnp.bfloat16)
-    vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-    dot = functools.partial(jax.lax.dot_general,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)
-    out_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
-
-
-def _s_trsm_write_dma_impl(L, invT, j, B, T, TK):
-    npad = L.shape[0]
-    r0 = j * B
-    mb = npad - r0 - B                     # rows below the diagonal block
-    n_k = r0 // TK
-    rT = (r0 + B) // T                     # first written row tile
-    vmem = 4 * (2 * T * B      # acc + ktile
-                + 2 * T * TK   # row-chunk double buffer
-                + 2 * B * TK   # diag-chunk double buffer
-                + 2 * B * B    # panel inverse (double-buffered operand)
-                + 2 * T * B)   # out block, double-buffered
-    return pl.pallas_call(
-        functools.partial(_s_trsm_dma_kernel, j=j, B=B, T=T, TK=TK, n_k=n_k),
-        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
-        grid=(mb // T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # the aliased factor buffer
-            pl.BlockSpec((B, B), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((T, B), lambda i, rT=rT, j=j: (rT + i, j)),
-        input_output_aliases={0: 0},
-        scratch_shapes=[
-            pltpu.VMEM((T, B), jnp.float32),       # accumulator
-            pltpu.VMEM((T, B), jnp.float32),       # K tile
-            pltpu.VMEM((2, T, TK), jnp.float32),   # row chunks
-            pltpu.VMEM((2, B, TK), jnp.float32),   # diag-block chunks
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem + (vmem >> 2)),
-    )(L, invT)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _s_trsm_write(L, invT, j, B, T, TK):
-    """L with block column j's BELOW-DIAGONAL rows finalized in place:
-    rows r0+B: of columns r0:r0+B set to (K_panel − A·Cᵀ)·invT, where the
-    K panel and the finished left columns A, C all live in L's buffer (the
-    in-place factorization). One aliased Pallas call; S never reaches HBM.
-    custom_vjp: no transpose rule for pallas_call (cf. _s_panel_pallas);
-    the backward recomputes S (one GEMM) instead of saving an (m−B, B)
-    residual."""
-    return _s_trsm_write_impl(L, invT, j, B, T, TK)
-
-
-def _s_trsm_write_impl(L, invT, j, B, T, TK):
-    if jax.default_backend() != "cpu":
-        # the manual-DMA form is TPU-only (interpret mode keeps the
-        # blocked form below, whose copies don't matter off-TPU)
-        return _s_trsm_write_dma_impl(L, invT, j, B, T, TK)
-    npad = L.shape[0]
-    r0 = j * B
-    mb = npad - r0 - B                     # rows below the diagonal block
-    n_k = r0 // TK
-    rT = (r0 + B) // T                     # first written row tile
-    grid = (mb // T, max(n_k, 1))
-    vmem = 4 * (2 * T * B      # aliased K/L tile, double-buffered
-                + 2 * T * TK   # L row chunk
-                + 2 * B * TK   # L diagonal-block chunk
-                + B * B        # panel inverse (constant)
-                + 2 * T * B    # out
-                + T * B)       # accumulator scratch
-    return pl.pallas_call(
-        functools.partial(_s_trsm_kernel, n_k=n_k, k_last=max(n_k, 1) - 1),
-        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
-        grid=grid,
-        in_specs=[
-            # the aliased L: block-mapped to the written tiles, read once
-            # per row tile for the original K panel values
-            pl.BlockSpec((T, B), lambda i, k, rT=rT, j=j: (rT + i, j)),
-            # L rows of the current tile over k-chunk
-            pl.BlockSpec((T, TK), lambda i, k, rT=rT: (rT + i, k)),
-            # L rows of the diagonal block over k-chunk
-            pl.BlockSpec((B, TK), lambda i, k, j=j: (j, k)),
-            # the explicit B×B panel inverse transposed (L_jj⁻ᵀ)
-            pl.BlockSpec((B, B), lambda i, k: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((T, B), lambda i, k, rT=rT, j=j: (rT + i, j)),
-        input_output_aliases={0: 0},
-        scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=max(32 * 1024 * 1024, vmem + (vmem >> 2))),
-        interpret=jax.default_backend() == "cpu",
-    )(L, L, L, invT)
-
-
-def _s_trsm_write_fwd(L, invT, j, B, T, TK):
-    return _s_trsm_write_impl(L, invT, j, B, T, TK), (L, invT)
-
-
-def _s_trsm_write_bwd(j, B, T, TK, res, g):
-    # out rows = S·invT with S = K_panel − A·Cᵀ; A = L[r0+B:, :r0],
-    # C = L[r0:r0+B, :r0], K panel = L[r0+B:, r0:r0+B] (pre-call buffer).
-    L, invT = res
-    r0 = j * B
-    npad = g.shape[0]
-    Lf = L.astype(jnp.float32)
-    A = Lf[r0 + B:, :r0]
-    C = Lf[r0:r0 + B, :r0]
-    Kp = Lf[r0 + B:, r0:r0 + B]
-    S = Kp - jnp.matmul(A, C.T, precision="high")
-    g_col = g[r0 + B:, r0:r0 + B].astype(jnp.float32)
-    dS = jnp.matmul(g_col, invT.T.astype(jnp.float32), precision="high")
-    dinvT = jnp.matmul(S.T, g_col, precision="high").astype(invT.dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    written = (rows >= r0 + B) & (cols >= r0) & (cols < r0 + B)
-    dL = jnp.where(written, jnp.zeros((), g.dtype), g)
-    dL = dL.at[r0 + B:, r0:r0 + B].add(dS.astype(L.dtype))
-    dL = dL.at[r0 + B:, :r0].add(
-        (-jnp.matmul(dS, C, precision="high")).astype(L.dtype))
-    dL = dL.at[r0:r0 + B, :r0].add(
-        (-jnp.matmul(dS.T, A, precision="high")).astype(L.dtype))
-    return dL, dinvT
-
-
-_s_trsm_write.defvjp(_s_trsm_write_fwd, _s_trsm_write_bwd)
-
-
-def _diag_zero_kernel(l_in_ref, ljj_ref, l_ref, *, tiles_diag):
-    """Row strip r0:r0+B of the factor, from column r0 rightwards: the first
-    B/T column tiles copy Ljj, the rest zero the strip (L's upper-triangle
-    contract; the in-place buffer still holds K there)."""
-    i = pl.program_id(0)
-
-    @pl.when(i < tiles_diag)
-    def _():
-        l_ref[:, :] = ljj_ref[:, :]
-
-    @pl.when(i >= tiles_diag)
-    def _():
-        l_ref[:, :] = jnp.zeros_like(l_ref[:, :])
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _diag_zero_write(L, Ljj, j, B, T):
-    """L with the diagonal block of column j set to Ljj AND the strict-upper
-    strip of row block j zeroed — one aliased Pallas call covering rows
-    r0:r0+B, columns r0:. Replaces the separate diagonal copy and
-    _upper_zero launches of the unfused pipeline."""
-    return _diag_zero_write_impl(L, Ljj, j, B, T)
-
-
-def _diag_zero_write_impl(L, Ljj, j, B, T):
-    npad = L.shape[0]
-    r0 = j * B
-    w = npad - r0
-    tiles_diag = B // T
-    return pl.pallas_call(
-        functools.partial(_diag_zero_kernel, tiles_diag=tiles_diag),
-        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
-        grid=(w // T,),
-        in_specs=[
-            pl.BlockSpec((B, T), lambda i, j=j, cT=r0 // T: (j, cT + i)),
-            pl.BlockSpec((B, T),
-                         lambda i, td=tiles_diag: (0, jnp.minimum(i, td - 1))),
-        ],
-        out_specs=pl.BlockSpec((B, T), lambda i, j=j, cT=r0 // T: (j, cT + i)),
-        input_output_aliases={0: 0},
-        interpret=jax.default_backend() == "cpu",
-    )(L, Ljj)
-
-
-def _diag_zero_write_fwd(L, Ljj, j, B, T):
-    return _diag_zero_write_impl(L, Ljj, j, B, T), None
-
-
-def _diag_zero_write_bwd(j, B, T, res, g):
-    r0 = j * B
-    dLjj = g[r0:r0 + B, r0:r0 + B]
-    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    strip = (rows >= r0) & (rows < r0 + B) & (cols >= r0)
-    dL = jnp.where(strip, jnp.zeros((), g.dtype), g)
-    return dL, dLjj
-
-
-_diag_zero_write.defvjp(_diag_zero_write_fwd, _diag_zero_write_bwd)
-
-
 def _zero_kernel(l_in_ref, l_ref):
     l_ref[:, :] = jnp.zeros_like(l_ref[:, :])
 
@@ -751,15 +461,6 @@ def _tri_inverse(Ljj):
     return jsl.solve_triangular(Ljj, jnp.eye(B, dtype=Ljj.dtype), lower=True)
 
 
-# The fused below-diagonal kernel (_s_trsm_write) passes L's buffer as
-# THREE pallas operands plus the output alias; XLA then protects the read
-# operands with a full-buffer copy per block column (~3 ms × 15 at N=16k —
-# measured 90 ms total vs ~45 for the unfused in-place pipeline, whose
-# aliased buffer appears exactly once per call). Off until the kernel is
-# reworked to a single ANY-memory-space operand with in-kernel DMAs.
-FUSED_INPLACE = False
-
-
 def blocked_cholesky(K, block_size=1024, update_precision="high",
                      panel_precision="highest", diag_shift=None,
                      s_tile=None, return_panel_invs=False):
@@ -792,6 +493,13 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
         returns (L, invs): the B×B lower diagonal-panel inverses in solve
         order (the TRSM derives them anyway), for blocked_trisolve/
         blocked_cho_solve reuse — or (L, None) when n needed padding.
+
+    Alignment: the in-place factorization (4 bytes/entry peak instead of 8)
+    and the panel-inverse reuse need n % B == 0 in f32. When the configured
+    block does not divide n, the largest 512-multiple block that does is
+    used instead; an n that is no multiple of 512 at all (e.g. 10,000) pads
+    to the next block multiple and keeps the 8 B/entry peak — round such
+    sizes to a multiple of 512 where peak memory matters.
     """
     n = K.shape[-1]
     if K.ndim != 2:
@@ -800,6 +508,16 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     ldtype = (jnp.float32 if K.dtype in (jnp.bfloat16, jnp.float16)
               else K.dtype)
     B = int(min(block_size, n))
+    if n % B and B % 512 == 0:
+        # alignment rescue: padding disables the in-place factorization
+        # (4 B/entry peak) AND the panel-inverse reuse in cholesky_solve, so
+        # prefer the largest 512-multiple block that divides n over padding
+        # with the configured block (e.g. n=7680: B 1024 → 512). N not a
+        # multiple of 512 still pads — that constraint is documented below.
+        for cand in range(B, 511, -512):
+            if n % cand == 0:
+                B = cand
+                break
     nb = -(-n // B)
     npad = nb * B
     if npad != n:
@@ -821,8 +539,15 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
         from ..gpr.config import config as _cfg
         s_tile = getattr(_cfg, "blocked_cholesky_s_tile", (512, 256))
     # row tiles must divide every panel height (multiples of B) and k-chunks
-    # every finished-column width (multiples of B)
-    s_tile = (min(s_tile[0], B), min(s_tile[1], B))
+    # every finished-column width (multiples of B); a non-divisor (e.g. 384
+    # with B=1024) would silently truncate the Pallas grids (m // T) and
+    # misalign the r0 // T index maps — round DOWN to the nearest divisor
+    def _tile_divisor(t):
+        t = max(8, min(int(t), B))
+        while B % t:
+            t -= 1
+        return t
+    s_tile = (_tile_divisor(s_tile[0]), _tile_divisor(s_tile[1]))
     # in-place factorization: L's buffer IS K's (every write goes through
     # aliased Pallas calls, so XLA can assign them one buffer when K is a
     # dead temp — exactly the LML path, where the Gram engine's output has
@@ -849,33 +574,6 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     invs = [] if (return_panel_invs and npad == n) else None
     for j in range(nb):
         r0 = j * B
-        if pallas_inplace and FUSED_INPLACE:
-            # FUSED pipeline: only the (B, B) diagonal rows of S are ever
-            # materialized (for the panel factorization); the rows below
-            # accumulate inside _s_trsm_write's tiles, which apply the
-            # TRSM-via-inverse GEMM and write L in place in the same kernel
-            if j > 0:
-                Sjj = _s_panel_pallas(L, L, j, B, s_tile[0], s_tile[1], B)
-            else:
-                Sjj = jax.lax.dynamic_slice(L, (0, 0), (B, B))
-            if shift is not None:
-                sj = shift[r0:r0 + B, None] if shift.ndim == 1 else shift
-                Sjj = Sjj + sj * jnp.eye(B, dtype=ldtype)
-            with jax.default_matmul_precision(panel_precision):
-                need_inv = j < nb - 1 or invs is not None
-                if need_inv:
-                    Ljj, inv = _panel_factor_inv(Sjj, update_precision,
-                                                 panel_precision)
-                else:
-                    Ljj = _panel_factor(Sjj, update_precision,
-                                        panel_precision)
-                    inv = None
-            if invs is not None:
-                invs.append(inv)
-            if j < nb - 1:
-                L = _s_trsm_write(L, inv.T, j, B, min(512, B), s_tile[1])
-            L = _diag_zero_write(L, Ljj, j, B, min(512, B))
-            continue
         if j > 0 and pallas_update:
             # in place, unwritten regions of L still hold K: the S kernel
             # reads the not-yet-finalized panel (rows ≥ r0 of column j) and

@@ -296,7 +296,13 @@ def cholesky_solve(L, B, invs=None):
     With them the blocked substitution sweep is worthwhile at ANY RHS width
     (its usual cost is the 2·nb sequential panel inversions, ~4.5 ms at
     N=16k — already paid by the factorization), so narrow solves like the
-    LML's (1+R)-column batch skip XLA's expander (5.8 → ~2 ms)."""
+    LML's (1+R)-column batch skip XLA's expander (5.8 → ~2 ms).
+
+    On TPU the invs= path routes narrow solves to a fused Pallas kernel
+    that is NOT differentiable (it raises a descriptive error under
+    autodiff); the custom-VJP LML forwards that call it never differentiate
+    through the solve. Differentiable callers should pass invs=None or run
+    where the blocked substitution is used (CPU, wide RHS, unaligned N)."""
     if invs is not None and L.ndim == 2 and B.ndim == 2:
         bs = invs[0].shape[-1]
         if jax.default_backend() != "cpu":

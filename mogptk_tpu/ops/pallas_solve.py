@@ -125,17 +125,58 @@ def _solve_kernel(l_any, invs_any, b_ref, x_ref, inv_v, c0, c1, sem_i, sem_c,
     x_ref[pl.ds(r0, B), :] = res
 
 
+def _vmem_limit(n, Bs, r):
+    """Scoped-VMEM budget: f32 scratch (panel inverse + two chunk buffers),
+    double-buffered resident RHS/output blocks (lane-padded to 128), and the
+    in-kernel bf16 hi/lo split temps of one (Bs, Bs) chunk — Mosaic
+    stack-allocates those, and omitting them OOM'd the N=2048/B=1024 shape
+    (needed 22.65M against a 20M budget). Returned WITH the 25% margin."""
+    vmem = (4 * 3 * Bs * Bs                      # inv + two chunk buffers
+            + 4 * 2 * 2 * n * max(r, 128)        # b and x resident, 2-buffered
+            + 2 * 2 * Bs * Bs)                   # bf16 hi/lo chunk temps
+    return vmem + (vmem >> 2)
+
+
 def fused_cho_solve(L, invs, B_rhs, block_size=1024):
     """K⁻¹ B given the lower factor L and its stacked panel inverses, as one
     two-sweep pallas kernel. Requires f32, N % block_size == 0, and 2-D
-    B_rhs; intended for narrow RHS (the LML's 1+R columns). NOT
-    differentiable — call only inside custom-VJP forwards."""
+    B_rhs; intended for narrow RHS (the LML's 1+R columns).
+
+    NOT differentiable: the in-place custom-VJP LML forwards (ops/linalg)
+    never differentiate through the solve. Differentiating through it (e.g.
+    autodiff through cholesky(return_panel_invs=True) + cholesky_solve(
+    invs=...)) raises a descriptive error instead of Pallas' opaque
+    missing-transpose trace; use blocked_cho_solve for that."""
+    invs_stacked = invs if isinstance(invs, jnp.ndarray) else jnp.stack(invs)
+    return _fused_cho_solve_nd(L, invs_stacked, B_rhs, int(block_size))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_cho_solve_nd(L, invs_stacked, B_rhs, block_size):
+    return _fused_cho_solve_impl(L, invs_stacked, B_rhs, block_size)
+
+
+def _fcs_fwd(L, invs_stacked, B_rhs, block_size):
+    return _fused_cho_solve_impl(L, invs_stacked, B_rhs, block_size), None
+
+
+def _fcs_bwd(block_size, res, g):
+    raise NotImplementedError(
+        "fused_cho_solve (the TPU fused two-sweep Cholesky solve) is not "
+        "differentiable: pallas_call has no transpose rule and its callers "
+        "(the custom-VJP LML forwards) never need one. To differentiate "
+        "through a panel-inverse cho_solve, use "
+        "ops.blocked_trisolve.blocked_cho_solve, or call "
+        "ops.linalg.cholesky_solve on CPU where it routes there.")
+
+
+_fused_cho_solve_nd.defvjp(_fcs_fwd, _fcs_bwd)
+
+
+def _fused_cho_solve_impl(L, invs_stacked, B_rhs, block_size):
     n = L.shape[0]
     Bs = int(block_size)
     nb = n // Bs
-    invs_stacked = invs if isinstance(invs, jnp.ndarray) else jnp.stack(invs)
-    vmem = 4 * (3 * Bs * Bs                       # inv + two chunk buffers
-                + 2 * 2 * n * max(B_rhs.shape[1], 128))   # b and x resident
     return pl.pallas_call(
         functools.partial(_solve_kernel, nb=nb, B=Bs),
         out_shape=jax.ShapeDtypeStruct(B_rhs.shape, jnp.float32),
@@ -154,7 +195,7 @@ def fused_cho_solve(L, invs, B_rhs, block_size=1024):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem + (vmem >> 2)),
+            vmem_limit_bytes=_vmem_limit(n, Bs, B_rhs.shape[1])),
         interpret=jax.default_backend() == "cpu",
     )(L, invs_stacked, B_rhs.astype(jnp.float32))
 
@@ -173,7 +214,5 @@ def fused_solve_applicable(L, B_rhs, invs, block_size=1024):
             and invs[0].shape[-1] == block_size
             and B_rhs.shape[1] <= 64):
         return False
-    n = L.shape[0]
-    vmem = 4 * (3 * block_size * block_size
-                + 2 * 2 * n * max(B_rhs.shape[1], 128))
-    return vmem <= 96 * 1024 * 1024
+    return (_vmem_limit(L.shape[0], block_size, B_rhs.shape[1])
+            <= 100 * 1024 * 1024)

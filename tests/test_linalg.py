@@ -995,3 +995,35 @@ class TestFusedCholeskySolve:
         assert not fused_solve_applicable(
             L_big, jnp.zeros((n_big, 1), jnp.float32), invs_big,
             block_size=1024)
+
+
+def test_blocked_cholesky_s_tile_non_divisor_rounds_down():
+    """A configured S-panel tile that does not divide the block size (e.g.
+    384 with B=512) must be rounded to a divisor, not silently truncate the
+    Pallas grids into a wrong factor."""
+    from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+    K = jnp.asarray(_spd(1024, seed=7), jnp.float32)
+    L = np.asarray(blocked_cholesky(K, block_size=512, s_tile=(384, 384)))
+    L_ref = np.asarray(jnp.linalg.cholesky(K))
+    np.testing.assert_allclose(L, L_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_cholesky_alignment_rescue():
+    """n a 512-multiple but not a block_size-multiple must factor with a
+    smaller dividing block (keeping the in-place path and panel inverses)
+    rather than padding them away."""
+    from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+    import jax.scipy.linalg as jsl_
+    n = 1536  # 3 x 512; not a multiple of 1024
+    K = jnp.asarray(_spd(n, seed=9), jnp.float32)
+    L, invs = blocked_cholesky(K, block_size=1024, return_panel_invs=True)
+    assert invs is not None and len(invs) == 3          # B fell back to 512
+    assert invs[0].shape == (512, 512)
+    L_ref = np.asarray(jnp.linalg.cholesky(K))
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-4, atol=2e-4)
+    # and the panel inverses solve correctly end to end
+    from mogptk_tpu.ops.blocked_trisolve import blocked_cho_solve
+    B = jnp.asarray(np.random.RandomState(2).randn(n, 3), jnp.float32)
+    X = np.asarray(blocked_cho_solve(L, B, invs=invs, block_size=512))
+    X_ref = np.asarray(jsl_.cho_solve((np.asarray(L), True), np.asarray(B)))
+    np.testing.assert_allclose(X, X_ref, rtol=3e-4, atol=3e-4)
