@@ -1,0 +1,63 @@
+"""Cold-start wall time: fresh process → first N=16k training step done.
+
+VERDICT r3 #6: the usability claim around compile latency needs a number.
+Two modes, one per process (the compilation cache is the variable):
+
+    python benchmarks/cold_start.py cold     # fresh empty cache dir
+    python benchmarks/cold_start.py primed   # the persistent /tmp/jax_cache
+                                             # (as left by precompile()/bench)
+
+Prints one JSON line: {"mode", "n", "first_step_s", "import_s"}. The
+measured span covers import, model build, jit trace, compile (or cache
+load), and ONE executed training step fetched to the host.
+"""
+import os
+import sys
+import json
+import time
+import tempfile
+
+t_start = time.perf_counter()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "primed"
+    n_per = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    import jax
+    cache = (tempfile.mkdtemp(prefix="cold_cache_") if mode == "cold"
+             else os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import numpy as np
+    import optax
+    import bench
+    import mogptk_tpu.gpr as gpr
+    gpr.use_pallas(True)
+    t_import = time.perf_counter() - t_start
+
+    xs, ys = bench.make_data()
+    model = bench._build_model(xs, ys, trace_probes=16)
+    loss_fn = model.make_loss_fn()
+    train0, fixed = model._split_raws()
+    optimizer = optax.adam(1e-3)
+    opt_state0 = optimizer.init(train0)
+
+    @jax.jit
+    def step(params, opt_state):
+        value, grads = jax.value_and_grad(loss_fn)(params, fixed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, value
+
+    _, _, value = step(train0, opt_state0)
+    v = float(np.asarray(value))
+    assert np.isfinite(v), v
+    t_first = time.perf_counter() - t_start
+    print(json.dumps({"mode": mode, "n": n_per * bench.CHANNELS,
+                      "first_step_s": round(t_first, 1),
+                      "import_s": round(t_import, 1)}))
+
+
+if __name__ == "__main__":
+    main()
