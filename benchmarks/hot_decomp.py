@@ -221,29 +221,23 @@ def main():
         key = jax.random.PRNGKey(0)
         A = jax.random.normal(key, (N, N), dtype=jnp.float32) / (N ** 0.5)
         K = A @ A.T + 10.0 * jnp.eye(N, dtype=jnp.float32)
-        if cell == "cholfused":
-            # the manual-DMA fused pipeline (S never reaches HBM)
-            bc.FUSED_INPLACE = True
-        elif cell == "cholnowrite":
-            # drop the aliased panel-write + upper-zero (unfused pipeline)
+        if cell == "cholnowrite":
+            # drop the aliased column-write kernels (both pipelines' forms)
             bc._panel_write = lambda L, S, invT, Ljj, j, B_, T: L
+            bc._col_strip_write = lambda L, S, invT, Ljj, j, B_: L
             bc._upper_zero = lambda L, j, B_, T: L
-        elif cell == "cholnofused":
-            # drop the fused S-below+TRSM+write kernel (the N³/3 bulk)
-            bc._s_trsm_write = lambda L, invT, j, B_, T, TK: L
-        elif cell == "cholnodiag":
-            bc._diag_zero_write = lambda L, Ljj, j, B_, T: L
         elif cell == "cholnopanel":
             # decaying outputs keep the chained values bounded
             bc._panel_factor_inv = lambda S, u, p: (
                 jnp.tril(S) * 1e-3,
                 jnp.eye(S.shape[0], dtype=S.dtype) * 1e-3)
         elif cell == "cholnosdiag":
+            # replace the streamed S-panel accumulation (the N³/3 bulk)
+            # with a raw slice of K
             bc._s_panel_pallas = (
-                lambda K_, L, j, B_, T=512, TK=512, nrows=None:
+                lambda K_, L, j, B_, T=512, TK=512:
                 jax.lax.dynamic_slice(
-                    K_, (j * B_, j * B_),
-                    (K_.shape[0] - j * B_ if nrows is None else nrows, B_)))
+                    K_, (j * B_, j * B_), (K_.shape[0] - j * B_, B_)))
         elif cell != "cholfull":
             raise SystemExit("unknown cell %r" % cell)
 
