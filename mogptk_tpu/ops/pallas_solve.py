@@ -77,6 +77,12 @@ def _solve_kernel(l_any, invs_any, b_ref, x_ref, inv_v, c0, c1, sem_i, sem_c,
 
     def part(t, buf):
         _, k = src(t)
+        # clamp: the loop's last odd chunk may be a select-dropped dead
+        # read (t == nk), where the backward sweep's k = i+1+nk can equal
+        # nb — one block past x_ref. XLA's dynamic_slice clamps OOB starts
+        # (so interpret-mode tests pass) but a Mosaic VMEM read does not:
+        # unclamped, chained executions crash the TPU worker.
+        k = jnp.minimum(k, nb - 1)
         xk = x_ref[pl.ds(pl.multiple_of(k * B, B), B), :]
         return jnp.where(fwd, _bf16x3(buf[:, :], xk, (((1,), (0,)))),
                          _bf16x3(buf[:, :], xk, (((0,), (0,)))))
