@@ -205,9 +205,10 @@ def _panel_write_impl(L, S, invT, Ljj, j, B, T):
         out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
         grid=grid,
         in_specs=[
-            # the aliased L itself — never read in-kernel; block-mapped to
-            # the same tiles the kernel writes so no foreign DMA happens
-            pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
+            # the aliased L itself — never read in-kernel: ANY memory space
+            # keeps the operand in HBM (a blocked spec would DMA in a dead
+            # (T, B) block per grid step)
+            pl.BlockSpec(memory_space=pl.ANY),
             # S tile (rows of the panel accumulation, diagonal rows first)
             pl.BlockSpec((T, B), lambda i: (i, 0)),
             # the explicit B×B panel inverse transposed (L_jj⁻ᵀ)
@@ -311,13 +312,17 @@ def _col_strip_write_impl(L, S, invT, Ljj, j, B):
         return (jnp.where(col_step, j + i, j),
                 jnp.where(col_step, j, i - tc + j + 1))
 
-    vmem = 4 * B * B * (2 + 2 + 2 + 2 + 2)   # five double-buffered blocks
+    vmem = 4 * B * B * (2 + 2 + 2 + 2)       # four double-buffered blocks
     return pl.pallas_call(
         functools.partial(_col_strip_kernel, tiles_col=tiles_col),
         out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, B), idx),    # aliased L, never read in-kernel
+            # the aliased L, never read in-kernel: ANY memory space so the
+            # operand stays in HBM — a blocked spec would stream in one
+            # dead 4 MB block per grid step (~1 GB per factorization,
+            # measured 0.9 ms of the 9.6 ms isolated write chain)
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((B, B),
                          lambda i, tc=tiles_col: (jnp.minimum(i, tc - 1), 0)),
             pl.BlockSpec((B, B), lambda i: (0, 0)),
