@@ -30,6 +30,9 @@ def main():
     from benchmarks._timing import device_ms
 
     gpr.use_pallas(True)
+    blk = int(os.environ.get("FUSED_DECOMP_BLOCK", "0"))
+    if blk:
+        gpr.use_blocked_cholesky(True, block_size=blk)
     xs, ys = bench.make_data()
     model = bench._build_model(xs, ys, trace_probes=16)
     train0, fixed = model._split_raws()
@@ -45,7 +48,10 @@ def main():
     n = x.shape[0]
 
     def stage_body(ps):
-        K = lg._sorted_gram(family, x, counts, ps)
+        # parity with _lml_chol_fused_fwd: band-lower gram when blocked runs
+        from mogptk_tpu.gpr.config import blocked_cholesky_enabled, config
+        lower_ok = blocked_cholesky_enabled(x.shape[0], 2, config.dtype)
+        K = lg._sorted_gram(family, x, counts, ps, lower_only=lower_ok)
         if stage == "gram":
             return K[0, 0]
         sd = lg._solve_dtype(K.dtype)

@@ -366,6 +366,81 @@ def _gram_block_bwd(phase_inside, res, g):
 _gram_block.defvjp(_gram_block_fwd, _gram_block_bwd)
 
 
+def _gram_lower_kernel(idx_ref, x1_ref, x2_ref, st3_ref, st2_ref, out_ref, *,
+                       Q, D, phase_inside):
+    s = pl.program_id(0)
+    pair = idx_ref[2, s]
+    out_ref[:, :] = _tile_from_stats(
+        x1_ref, x2_ref, _PairRow(st3_ref, pair, 3),
+        _PairRow(st2_ref, pair, 2), Q, D, phase_inside).astype(out_ref.dtype)
+
+
+def mosm_gram_sorted_lower(x, counts, w, mu, var, theta, phi, twopi,
+                           phase_inside=True, band=1024):
+    """(N, N) Gram buffer with ONLY the tiles the blocked Cholesky reads
+    written: the tile-lower triangle plus the strict-upper tiles inside each
+    `band`-aligned diagonal panel (the factorization's Sjj blocks). Tiles
+    strictly above the band are NEVER WRITTEN — their memory is undefined.
+
+    Callers must guarantee the consumer never reads the unwritten region:
+    ops/linalg._lml_chol_fused_fwd uses this ONLY when the MXU-blocked
+    factorization will run with panel width dividing `band` evenly into N
+    (the XLA expander SYMMETRIZES and would read the garbage — measured NaN
+    contamination). The in-place factorization overwrites the strict-upper
+    strips with zeros, so the returned L is fully defined.
+
+    One pallas launch over a prefetched (row_tile, col_tile, pair) list —
+    at 4 equal channels this does ~53% of the full launch's τ-chain work
+    and none of the 10-block + transpose + concatenate assembly traffic
+    (which traced at ~13.5 ms of the N=16k fused forward in round 4).
+
+    Returns None when not applicable (counts/N not TILE-aligned, or band
+    not a TILE multiple); callers fall back to mosm_gram_sorted.
+    NOT differentiable — call only inside custom-VJP forwards."""
+    counts = tuple(int(n) for n in counts)
+    O, Q = w.shape
+    D = mu.shape[-1]
+    n = int(sum(counts))
+    if (any(c % TILE for c in counts) or n % TILE or band % TILE
+            or x.shape[0] != n):
+        return None
+    st3, st2 = mosm_pair_stats(w, mu, var, theta, phi, twopi)
+    dtype = st3.dtype
+    cdtype = _compute_dtype(dtype)
+    st3s = st3.reshape(O, O, Q * D, 3).reshape(O * O, 3 * Q * D).astype(cdtype)
+    st2s = st2.reshape(O * O, 2 * Q).astype(cdtype)
+
+    tpc = n // TILE
+    ch = np.repeat(np.arange(O), [c // TILE for c in counts])
+    bandT = band // TILE
+    rows = [(ti, tj, int(ch[ti]) * O + int(ch[tj]))
+            for ti in range(tpc) for tj in range(tpc)
+            if ti >= tj or ti // bandT == tj // bandT]
+    idx = jnp.asarray(np.array(rows, np.int32).T)   # (3, S)
+
+    xs = x.astype(cdtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(idx.shape[1],),
+        in_specs=[
+            pl.BlockSpec((TILE, D), lambda s, ix: (ix[0, s], 0)),
+            pl.BlockSpec((TILE, D), lambda s, ix: (ix[1, s], 0)),
+            pl.BlockSpec(st3s.shape, lambda s, ix: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(st2s.shape, lambda s, ix: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda s, ix: (ix[0, s], ix[1, s])),
+    )
+    return pl.pallas_call(
+        functools.partial(_gram_lower_kernel, Q=Q, D=D,
+                          phase_inside=phase_inside),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        interpret=_interpret(),
+    )(idx, xs, xs, st3s, st2s)
+
+
 def mosm_gram_sorted(x, counts, w, mu, var, theta, phi, twopi,
                      phase_inside=True):
     """Full (N, N) MOSM Gram for channel-sorted x with static per-channel

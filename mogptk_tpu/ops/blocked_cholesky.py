@@ -205,10 +205,15 @@ def _panel_write_impl(L, S, invT, Ljj, j, B, T):
         out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
         grid=grid,
         in_specs=[
-            # the aliased L itself — never read in-kernel: ANY memory space
-            # keeps the operand in HBM (a blocked spec would DMA in a dead
-            # (T, B) block per grid step)
-            pl.BlockSpec(memory_space=pl.ANY),
+            # the aliased L itself — never read in-kernel; block-mapped to
+            # the same tiles the kernel writes. NOTE: do NOT move this to
+            # ANY memory space: unlike _col_strip_write (whose ANY-aliased
+            # operand is chain-stable, measured), an ANY-aliased input here
+            # produced non-finite factors under fori_loop chaining on TPU
+            # (benchmarks/chol_bsweep.py gramnoinplace probe, round 4) —
+            # this path aliases onto a fusible jnp.zeros seed, and the
+            # blocked spec is what keeps XLA's copy/alias analysis honest.
+            pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
             # S tile (rows of the panel accumulation, diagonal rows first)
             pl.BlockSpec((T, B), lambda i: (i, 0)),
             # the explicit B×B panel inverse transposed (L_jj⁻ᵀ)
@@ -466,9 +471,27 @@ def _tri_inverse(Ljj):
     return jsl.solve_triangular(Ljj, jnp.eye(B, dtype=Ljj.dtype), lower=True)
 
 
+def effective_block(n, block_size):
+    """The panel width blocked_cholesky will actually use for an n×n matrix:
+    the configured block, clamped to n — with an alignment rescue: padding
+    disables the in-place factorization (4 B/entry peak) AND the
+    panel-inverse reuse in cholesky_solve, so when the configured block does
+    not divide n, prefer the largest 512-multiple block that does (e.g.
+    n=7680: B 1024 → 512). N not a multiple of 512 still pads — documented
+    in blocked_cholesky's docstring. Shared with ops/linalg so callers that
+    pre-shape data to the factorization's read set (the band-lower sorted
+    Gram) stay coherent with the factorization."""
+    B = int(min(block_size, n))
+    if n % B and B % 512 == 0:
+        for cand in range(B, 511, -512):
+            if n % cand == 0:
+                return cand
+    return B
+
+
 def blocked_cholesky(K, block_size=1024, update_precision="high",
                      panel_precision="highest", diag_shift=None,
-                     s_tile=None, return_panel_invs=False):
+                     s_tile=None, return_panel_invs=False, inplace=True):
     """Lower-Cholesky factor of a symmetric PSD matrix, blocked for the MXU.
 
     Args:
@@ -512,17 +535,7 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                          % (K.shape,))
     ldtype = (jnp.float32 if K.dtype in (jnp.bfloat16, jnp.float16)
               else K.dtype)
-    B = int(min(block_size, n))
-    if n % B and B % 512 == 0:
-        # alignment rescue: padding disables the in-place factorization
-        # (4 B/entry peak) AND the panel-inverse reuse in cholesky_solve, so
-        # prefer the largest 512-multiple block that divides n over padding
-        # with the configured block (e.g. n=7680: B 1024 → 512). N not a
-        # multiple of 512 still pads — that constraint is documented below.
-        for cand in range(B, 511, -512):
-            if n % cand == 0:
-                B = cand
-                break
+    B = effective_block(n, block_size)
     nb = -(-n // B)
     npad = nb * B
     if npad != n:
@@ -562,7 +575,8 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     # (which shifts the LML; ROADMAP #2). When K has other uses (jitter
     # ladders retrying the factorization, user-held arrays), XLA inserts a
     # copy: still correct, just no peak win.
-    pallas_inplace = pallas_update and npad == n and K.dtype == jnp.float32
+    pallas_inplace = (inplace and pallas_update and npad == n
+                      and K.dtype == jnp.float32)
     shift = None if diag_shift is None else jnp.asarray(diag_shift, ldtype)
     if shift is not None and shift.ndim == 1:
         if shift.shape[0] != n:

@@ -570,11 +570,28 @@ lml_quadform_logdet_stochastic_shifted.defvjp(_lml_stoch_shift_fwd,
 
 # -- fused channel-block Cholesky LML -----------------------------------------
 
-def _sorted_gram(family, x, counts, params):
+def _sorted_gram(family, x, counts, params, lower_only=False):
+    """Channel-sorted Gram via the block engines. lower_only=True asks for
+    the band-lower variant (only the tiles the blocked factorization reads
+    are written; the strict upper is UNDEFINED — see mosm_gram_sorted_lower)
+    and is only legal when the consumer is the MXU-blocked Cholesky:
+    callers must pre-check that gate. Falls back to the full Gram when the
+    family/shape has no lower variant."""
     name, statics = family
     if name == "mosm":
-        from .block_mosm import mosm_gram_sorted
+        from .block_mosm import mosm_gram_sorted, mosm_gram_sorted_lower
         twopi, phase_inside = statics
+        if lower_only:
+            from .blocked_cholesky import effective_block
+            from ..gpr.config import config
+            n = x.shape[0]
+            band = effective_block(n, config.blocked_cholesky_block)
+            if n % band == 0:
+                K = mosm_gram_sorted_lower(x, counts, *params, twopi,
+                                           phase_inside=phase_inside,
+                                           band=band)
+                if K is not None:
+                    return K
         return mosm_gram_sorted(x, counts, *params, twopi,
                                 phase_inside=phase_inside)
     from .block_families import family_gram_sorted
@@ -620,7 +637,12 @@ def lml_chol_fused(static, x, diag, y, params):
 @_sensitive
 def _lml_chol_fused_fwd(static, x, diag, y, params):
     family, counts, num_probes, seed = static
-    K = _sorted_gram(family, x, counts, params)
+    from ..gpr.config import blocked_cholesky_enabled, config as _cfg
+    # band-lower Gram: legal ONLY when the MXU-blocked factorization will
+    # consume it (the XLA expander symmetrizes — it would read the
+    # undefined strict-upper tiles; measured NaN contamination)
+    lower_ok = blocked_cholesky_enabled(x.shape[0], 2, _cfg.dtype)
+    K = _sorted_gram(family, x, counts, params, lower_only=lower_ok)
     sd = _solve_dtype(K.dtype)
     L, invs = cholesky(K, diag_shift=diag.astype(sd), return_panel_invs=True)
     yc = y.astype(sd)

@@ -1027,3 +1027,86 @@ def test_blocked_cholesky_alignment_rescue():
     X = np.asarray(blocked_cho_solve(L, B, invs=invs, block_size=512))
     X_ref = np.asarray(jsl_.cho_solve((np.asarray(L), True), np.asarray(B)))
     np.testing.assert_allclose(X, X_ref, rtol=3e-4, atol=3e-4)
+
+
+class TestBandLowerGram:
+    """mosm_gram_sorted_lower writes only the tiles the blocked Cholesky
+    reads (tile-lower + the band of each diagonal panel); the fused LML
+    must be unchanged when it engages."""
+
+    def _params(self, O=2, Q=2, seed=3):
+        rng = np.random.RandomState(seed)
+        w = jnp.asarray(0.5 + rng.rand(O, Q), jnp.float32)
+        mu = jnp.asarray(0.1 + 0.2 * rng.rand(O, Q, 1), jnp.float32)
+        var = jnp.asarray(0.2 + 0.3 * rng.rand(O, Q, 1), jnp.float32)
+        theta = jnp.asarray(0.1 * rng.rand(O, Q, 1), jnp.float32)
+        phi = jnp.asarray(0.1 * rng.rand(O, Q), jnp.float32)
+        return w, mu, var, theta, phi
+
+    def test_written_tiles_match_full_gram(self):
+        from mogptk_tpu.ops.block_mosm import (mosm_gram_sorted,
+                                               mosm_gram_sorted_lower, TILE)
+        counts = (TILE, TILE)
+        n = sum(counts)
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(np.sort(rng.rand(n, 1), axis=0), jnp.float32)
+        params = self._params()
+        band = TILE
+        Kl = mosm_gram_sorted_lower(x, counts, *params, 2.0, band=band)
+        assert Kl is not None
+        Kf = np.asarray(mosm_gram_sorted(x, counts, *params, 2.0))
+        Kl = np.asarray(Kl)
+        tpc = n // TILE
+        bandT = band // TILE
+        for ti in range(tpc):
+            for tj in range(tpc):
+                sl = (slice(ti * TILE, (ti + 1) * TILE),
+                      slice(tj * TILE, (tj + 1) * TILE))
+                if ti >= tj or ti // bandT == tj // bandT:
+                    np.testing.assert_allclose(Kl[sl], Kf[sl], rtol=1e-6,
+                                               atol=1e-7,
+                                               err_msg="tile %d,%d" % (ti, tj))
+
+    def test_fused_lml_with_lower_gram_matches_full(self, monkeypatch):
+        import mogptk_tpu.gpr as gpr
+        from mogptk_tpu.ops import block_mosm as bm
+        from mogptk_tpu.ops import linalg as lg
+        n_per = bm.TILE
+        rng = np.random.RandomState(5)
+        x0 = np.sort(rng.rand(n_per, 1), axis=0)
+        _, X, Y = gpr.merge_data(
+            [x0, x0], [np.sin(4 * x0) + 0.05 * rng.randn(n_per, 1),
+                       np.cos(4 * x0) + 0.05 * rng.randn(n_per, 1)])
+        old_pallas, old_blocked = gpr.config.pallas, gpr.config.blocked_cholesky
+        try:
+            gpr.use_pallas(True)
+            gpr.use_blocked_cholesky(True, block_size=512)
+
+            def build():
+                k = gpr.MultiOutputSpectralMixtureKernel(2, output_dims=2)
+                k.mean.assign(0.05 + 0.3 * np.random.RandomState(6).rand(2, 2, 1))
+                k.variance.assign(0.2 + 0.3 * np.random.RandomState(7).rand(2, 2, 1))
+                return gpr.Exact(k, X, Y, variance=0.1, trace_probes=8)
+
+            model = build()
+            assert model._fused_static() is not None
+            loss_fn = model.make_loss_fn()
+            train, fixed = model._split_raws()
+            v_lower, g_lower = jax.value_and_grad(loss_fn)(train, fixed)
+
+            # disable the lower variant: same computation via the full gram
+            monkeypatch.setattr(bm, "mosm_gram_sorted_lower",
+                                lambda *a, **k2: None)
+            jax.clear_caches()
+            v_full, g_full = jax.value_and_grad(loss_fn)(train, fixed)
+        finally:
+            gpr.config.pallas = old_pallas
+            gpr.config.blocked_cholesky = old_blocked
+            gpr.config.bump()
+            jax.clear_caches()
+        np.testing.assert_allclose(float(v_lower), float(v_full),
+                                   rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_lower),
+                        jax.tree_util.tree_leaves(g_full)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
