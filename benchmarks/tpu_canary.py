@@ -160,11 +160,12 @@ def _exact_probe_cell(family):
 
 def cell_exact_probe_blocked_16k_shape():
     """The headline path shape-alike: MOSM probe step at N=2048 with the
-    blocked Cholesky + fused_cho_solve engaged (B=1024, nb=2)."""
+    blocked Cholesky (production-default block size), the band-lower
+    sorted Gram, and fused_cho_solve engaged."""
     import mogptk_tpu.gpr as gpr
     old = gpr.config.blocked_cholesky
     try:
-        gpr.use_blocked_cholesky(True, block_size=1024)
+        gpr.use_blocked_cholesky(True)
         N, X, Y = _data(4, 512)
         k = _family_kernel("mosm", np.random.RandomState(1), channels=4)
         model = gpr.Exact(k, X, Y, variance=0.1, trace_probes=8)
@@ -179,7 +180,7 @@ def cell_exact_deterministic_grad():
     import mogptk_tpu.gpr as gpr
     old = gpr.config.blocked_cholesky
     try:
-        gpr.use_blocked_cholesky(True, block_size=1024)
+        gpr.use_blocked_cholesky(True)
         N, X, Y = _data(4, 512)
         k = _family_kernel("mosm", np.random.RandomState(1), channels=4)
         model = gpr.Exact(k, X, Y, variance=0.1)

@@ -39,7 +39,12 @@ class Config:
         # blocked_cholesky_min_n rows — measured ~3× XLA's expander at
         # N=16k), True/False to force either way.
         self.blocked_cholesky = None
-        self.blocked_cholesky_block = 1024
+        # 512 over 1024: measured faster at N=16k both in isolation
+        # (benchmarks/chol_bsweep.py: 38.7 vs 40.7 ms) and through the
+        # fused LML forward (42.3 vs 44.8 ms, round 4) — the TRSM-GEMM
+        # FLOPs halve and panels shrink, outweighing the doubled panel
+        # count's launch overhead.
+        self.blocked_cholesky_block = 512
         self.blocked_cholesky_min_n = 4096
         # (row tile, k chunk) of the S-panel accumulation kernel. Hardware
         # sweeps (benchmarks/chol_stile.py) measure the N=16k factor flat
