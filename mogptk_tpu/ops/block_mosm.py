@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 _pi = np.pi
 
 TILE = 512
-BWD_TILE = 512
+# backward tile: 256 measured 9.58 ms vs 512's 10.38 for the full N=16k
+# low-rank VJP (benchmarks/hot_decomp.py vjpT cells, round 4)
+BWD_TILE = 256
 
 
 def _interpret():

@@ -491,7 +491,8 @@ def effective_block(n, block_size):
 
 def blocked_cholesky(K, block_size=1024, update_precision="high",
                      panel_precision="highest", diag_shift=None,
-                     s_tile=None, return_panel_invs=False, inplace=True):
+                     s_tile=None, return_panel_invs=False, inplace=True,
+                     zero_upper=True):
     """Lower-Cholesky factor of a symmetric PSD matrix, blocked for the MXU.
 
     Args:
@@ -521,6 +522,12 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
         returns (L, invs): the B×B lower diagonal-panel inverses in solve
         order (the TRSM derives them anyway), for blocked_trisolve/
         blocked_cho_solve reuse — or (L, None) when n needed padding.
+
+    zero_upper=False (with the in-place Pallas path) skips the strict-upper
+    strip zeroing: the returned L's upper triangle holds K leftovers —
+    UNDEFINED under L's usual contract. Only for callers that provably
+    never read it (ops/linalg's fused LML forward: fused_cho_solve +
+    diagonal). Elsewhere keep the default.
 
     Alignment: the in-place factorization (4 bytes/entry peak instead of 8)
     and the panel-inverse reuse need n % B == 0 in f32. When the configured
@@ -633,12 +640,15 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
                 if invs is not None:
                     invs.append(inv)
                 invT = inv.T if j < nb - 1 else jnp.eye(B, dtype=ldtype)
-                if pallas_inplace:
+                if pallas_inplace and zero_upper:
                     # the buffer's upper strip still holds K values that
                     # the factorization never reads; one launch writes the
                     # column AND zeroes the strip (L's contract)
                     L = _col_strip_write(L, S, invT, Ljj, j, B)
                 else:
+                    # zero_upper=False (in place): column-only write — the
+                    # strict upper keeps K leftovers; callers asserted they
+                    # never read it (the fused LML forward: solve + diag)
                     L = _panel_write(L, S, invT, Ljj, j, B, min(512, B))
                 continue
             if j < nb - 1:

@@ -16,7 +16,7 @@ import jax.scipy.linalg as jsl
 from .blocked_cholesky import blocked_cholesky
 
 
-def cholesky(K, diag_shift=None, return_panel_invs=False):
+def cholesky(K, diag_shift=None, return_panel_invs=False, zero_upper=True):
     """Lower-Cholesky factor, routed to the MXU-blocked implementation when
     the policy says so (gpr.config.blocked_cholesky_enabled: auto = TPU,
     2-D, n ≥ 4096 — where it measures ~3× XLA's expander), else
@@ -41,7 +41,7 @@ def cholesky(K, diag_shift=None, return_panel_invs=False):
             update_precision=config.blocked_cholesky_update_precision,
             diag_shift=(None if diag_shift is None else diag_shift
                         if vector_shift else jnp.reshape(diag_shift, ())),
-            return_panel_invs=return_panel_invs)
+            return_panel_invs=return_panel_invs, zero_upper=zero_upper)
         return out
     K = K.astype(_solve_dtype(K.dtype))
     if vector_shift:
@@ -644,7 +644,11 @@ def _lml_chol_fused_fwd(static, x, diag, y, params):
     lower_ok = blocked_cholesky_enabled(x.shape[0], 2, _cfg.dtype)
     K = _sorted_gram(family, x, counts, params, lower_only=lower_ok)
     sd = _solve_dtype(K.dtype)
-    L, invs = cholesky(K, diag_shift=diag.astype(sd), return_panel_invs=True)
+    # zero_upper=False: this forward only reads L through fused_cho_solve
+    # (lower blocks + panel inverses) and jnp.diagonal — skipping the
+    # strict-upper strip zeroing saves the 0.5 GB of zero writes
+    L, invs = cholesky(K, diag_shift=diag.astype(sd), return_panel_invs=True,
+                       zero_upper=False)
     yc = y.astype(sd)
     n = x.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
