@@ -2,43 +2,81 @@
 
 The reference builds its docs site with pdoc (reference Makefile:13-40);
 neither pdoc nor sphinx is available in this image, so this is a small
-self-contained generator: it imports every module in the package, walks the
-public surface with `inspect`, and writes a static HTML site to docs/api/
-(one page per module, a package index, full signatures and docstrings,
-cross-linked class methods).
+self-contained generator with the pdoc feature set: it imports every module
+in the package, walks the public surface with `inspect`, and writes a static
+HTML site to docs/api/ — one page per module, a package index, full
+signatures and docstrings, per-symbol collapsible source views, cross-linked
+base classes, a per-page table of contents, and a client-side symbol search
+over the whole package (no server, no build deps).
 
 Usage:  python docs/generate.py [outdir]
 """
 import html
 import importlib
 import inspect
+import json
 import os
 import pkgutil
 import sys
 
 
 STYLE = """
+:root { --ink: #1a1a2e; --accent: #30507a; --panel: #f4f5f7;
+        --line: #e3e6ea; }
 body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif; margin: 0;
-       color: #1a1a2e; }
+       color: var(--ink); }
 .layout { display: flex; }
-nav { min-width: 230px; background: #f4f5f7; padding: 1.2em; height: 100vh;
-      position: sticky; top: 0; overflow-y: auto; box-sizing: border-box; }
-nav a { display: block; color: #30507a; text-decoration: none;
+nav { min-width: 250px; max-width: 250px; background: var(--panel);
+      padding: 1.2em; height: 100vh; position: sticky; top: 0;
+      overflow-y: auto; box-sizing: border-box; }
+nav a { display: block; color: var(--accent); text-decoration: none;
         padding: 2px 0; font-size: 14px; }
 nav a:hover { text-decoration: underline; }
-main { padding: 2em 3em; max-width: 60em; }
-h1 { font-size: 1.6em; border-bottom: 2px solid #e3e6ea; padding-bottom: .3em; }
-h2.obj { font-size: 1.15em; margin-top: 2em; background: #f4f5f7;
+nav .toc a { padding-left: 1em; font-size: 13px; color: #5a6b84; }
+main { padding: 2em 3em; max-width: 60em; min-width: 0; }
+h1 { font-size: 1.6em; border-bottom: 2px solid var(--line);
+     padding-bottom: .3em; }
+h2.obj { font-size: 1.15em; margin-top: 2em; background: var(--panel);
          padding: .4em .6em; border-radius: 4px; font-family: ui-monospace,
          'SF Mono', Menlo, monospace; }
 h3.member { font-size: .95em; margin: 1.2em 0 .2em; font-family: ui-monospace,
-            Menlo, monospace; color: #30507a; }
+            Menlo, monospace; color: var(--accent); }
 pre.doc { white-space: pre-wrap; background: #fbfbfc; border-left: 3px solid
           #d6dbe1; padding: .6em .9em; font-size: 13.5px; line-height: 1.45;
           font-family: inherit; margin: .3em 0 .8em; }
 code.sig { color: #555; font-size: .85em; font-weight: normal; }
 .kind { color: #999; font-size: .75em; margin-right: .5em;
         text-transform: uppercase; letter-spacing: .05em; }
+details.src { margin: .2em 0 .8em; }
+details.src summary { cursor: pointer; color: #888; font-size: .8em; }
+details.src pre { background: #23262e; color: #e6e8ee; padding: .8em 1em;
+                  border-radius: 4px; overflow-x: auto; font-size: 12.5px;
+                  line-height: 1.4; }
+#search { width: 100%; box-sizing: border-box; padding: .35em .5em;
+          margin-bottom: .6em; border: 1px solid #c9cfd8; border-radius: 4px;
+          font-size: 13px; }
+#results { margin-bottom: .8em; }
+#results a { font-size: 13px; }
+#results .where { color: #999; font-size: 11px; }
+em.bases a { color: var(--accent); }
+"""
+
+SEARCH_JS = """
+const idx = JSON.parse(document.getElementById('symbols').textContent);
+const box = document.getElementById('search');
+const out = document.getElementById('results');
+box.addEventListener('input', () => {
+  const q = box.value.trim().toLowerCase();
+  out.innerHTML = '';
+  if (!q) return;
+  const hits = idx.filter(s => s.n.toLowerCase().includes(q)).slice(0, 25);
+  for (const s of hits) {
+    const a = document.createElement('a');
+    a.href = s.p + '.html' + (s.a ? '#' + s.a : '');
+    a.innerHTML = s.n + " <span class='where'>" + s.p + "</span>";
+    out.appendChild(a);
+  }
+});
 """
 
 
@@ -52,6 +90,20 @@ def _signature(obj):
 def _doc(obj):
     d = inspect.getdoc(obj)
     return "<pre class='doc'>%s</pre>" % html.escape(d) if d else ""
+
+
+def _source(obj):
+    """Collapsible source block, pdoc-style (empty string if unavailable)."""
+    try:
+        src = inspect.getsource(obj)
+        _, line = inspect.getsourcelines(obj)
+    except (OSError, TypeError):
+        return ""
+    mod = getattr(obj, "__module__", "") or ""
+    where = "%s:%d" % (mod.replace(".", "/") + ".py", line)
+    return ("<details class='src'><summary>source — %s</summary>"
+            "<pre>%s</pre></details>" % (html.escape(where),
+                                         html.escape(src)))
 
 
 def _public_members(mod):
@@ -69,32 +121,52 @@ def _public_members(mod):
     return classes, functions
 
 
-def _class_section(name, cls):
+def _base_link(base, class_pages):
+    """Link a base class to the page that documents it, when we have one."""
+    key = "%s.%s" % (base.__module__, base.__name__)
+    page = class_pages.get(key)
+    if page:
+        return "<a href='%s.html#%s'>%s</a>" % (page, base.__name__,
+                                                base.__name__)
+    return html.escape(base.__name__)
+
+
+def _class_section(name, cls, class_pages):
     out = ["<h2 class='obj' id='%s'><span class='kind'>class</span>%s"
            "<code class='sig'>%s</code></h2>" % (name, name, _signature(cls))]
-    bases = ", ".join(b.__name__ for b in cls.__bases__ if b is not object)
+    bases = ", ".join(_base_link(b, class_pages) for b in cls.__bases__
+                      if b is not object)
     if bases:
-        out.append("<p><em>Bases: %s</em></p>" % html.escape(bases))
+        out.append("<p><em class='bases'>Bases: %s</em></p>" % bases)
     out.append(_doc(cls))
+    out.append(_source(cls))
     for mname, m in sorted(vars(cls).items()):
         if mname.startswith("_") and mname != "__init__":
             continue
+        anchor = "%s.%s" % (name, mname)
         if inspect.isfunction(m):
-            out.append("<h3 class='member'>%s.%s<code class='sig'>%s</code></h3>"
-                       % (name, mname, _signature(m)))
+            out.append("<h3 class='member' id='%s'>%s.%s"
+                       "<code class='sig'>%s</code></h3>"
+                       % (anchor, name, mname, _signature(m)))
             out.append(_doc(m))
+            out.append(_source(m))
         elif isinstance(m, property):
-            out.append("<h3 class='member'>%s.%s <span class='kind'>property"
-                       "</span></h3>" % (name, mname))
+            out.append("<h3 class='member' id='%s'>%s.%s <span class='kind'>"
+                       "property</span></h3>" % (anchor, name, mname))
             out.append(_doc(m.fget) if m.fget else "")
     return "\n".join(out)
 
 
-def _page(title, nav_html, body):
+def _page(title, nav_html, body, symbols_json):
     return ("<!doctype html><html><head><meta charset='utf-8'>"
             "<title>%s</title><style>%s</style></head><body>"
-            "<div class='layout'><nav>%s</nav><main>%s</main></div>"
-            "</body></html>" % (html.escape(title), STYLE, nav_html, body))
+            "<div class='layout'><nav>"
+            "<input id='search' type='search' placeholder='Search symbols…'>"
+            "<div id='results'></div>%s</nav><main>%s</main></div>"
+            "<script type='application/json' id='symbols'>%s</script>"
+            "<script>%s</script></body></html>"
+            % (html.escape(title), STYLE, nav_html, body,
+               symbols_json, SEARCH_JS))
 
 
 def generate(outdir="docs/api", package="mogptk_tpu"):
@@ -112,24 +184,57 @@ def generate(outdir="docs/api", package="mogptk_tpu"):
         except Exception as e:  # document what imports; report the rest
             print("skip %s: %r" % (name, e), file=sys.stderr)
 
+    # pass 1: symbol index (search + base-class cross-links)
+    class_pages = {}   # "defining_module.ClassName" -> page module name
+    symbols = []       # [{n: display, p: page, a: anchor}]
+    members = {}       # page -> [(kind, name, obj)]
+    for name, mod in mods:
+        classes, functions = _public_members(mod)
+        members[name] = (classes, functions)
+        symbols.append({"n": name, "p": name, "a": ""})
+        for fname, _ in functions:
+            symbols.append({"n": fname + "()", "p": name, "a": fname})
+        for cname, cls in classes:
+            class_pages["%s.%s" % (cls.__module__, cls.__name__)] = name
+            symbols.append({"n": cname, "p": name, "a": cname})
+            for mname, m in sorted(vars(cls).items()):
+                if mname.startswith("_") or not inspect.isfunction(m):
+                    continue
+                symbols.append({"n": "%s.%s()" % (cname, mname), "p": name,
+                                "a": "%s.%s" % (cname, mname)})
+    symbols_json = json.dumps(symbols, separators=(",", ":"))
+
     os.makedirs(outdir, exist_ok=True)
     nav = ["<strong><a href='index.html'>%s</a></strong>" % package]
     for name, _ in mods:
         nav.append("<a href='%s.html'>%s</a>" % (name, name))
     nav_html = "\n".join(nav)
 
+    # pass 2: pages
     for name, mod in mods:
-        classes, functions = _public_members(mod)
+        classes, functions = members[name]
+        toc = ["<div class='toc'>"]
+        for fname, _ in functions:
+            toc.append("<a href='#%s'>%s()</a>" % (fname, fname))
+        for cname, _ in classes:
+            toc.append("<a href='#%s'>%s</a>" % (cname, cname))
+        toc.append("</div>")
+        page_nav = nav_html
+        if functions or classes:
+            page_nav += ("\n<hr style='border:none;border-top:1px solid "
+                         "#d6dbe1'><strong style='font-size:13px'>%s</strong>"
+                         "\n" % name.rsplit(".", 1)[-1]) + "\n".join(toc)
         body = ["<h1>%s</h1>" % name, _doc(mod)]
         for fname, f in functions:
             body.append("<h2 class='obj' id='%s'><span class='kind'>def</span>"
                         "%s<code class='sig'>%s</code></h2>"
                         % (fname, fname, _signature(f)))
             body.append(_doc(f))
+            body.append(_source(f))
         for cname, cls in classes:
-            body.append(_class_section(cname, cls))
+            body.append(_class_section(cname, cls, class_pages))
         with open(os.path.join(outdir, name + ".html"), "w") as fh:
-            fh.write(_page(name, nav_html, "\n".join(body)))
+            fh.write(_page(name, page_nav, "\n".join(body), symbols_json))
 
     index = ["<h1>%s API documentation</h1>" % package, _doc(root),
              "<ul>"]
@@ -139,7 +244,8 @@ def generate(outdir="docs/api", package="mogptk_tpu"):
                      % (name, name, html.escape(first)))
     index.append("</ul>")
     with open(os.path.join(outdir, "index.html"), "w") as fh:
-        fh.write(_page(package + " API", nav_html, "\n".join(index)))
+        fh.write(_page(package + " API", nav_html, "\n".join(index),
+                       symbols_json))
     print("wrote %d module pages to %s" % (len(mods), outdir))
     return len(mods)
 
