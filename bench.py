@@ -67,8 +67,12 @@ def time_training_steps(model, target_sec=20.0, t_lo=3, reps=3, max_t=600):
     import jax.numpy as jnp
     import optax
 
-    loss_fn = model.make_loss_fn()
-    train0, fixed = model._split_raws()
+    # single-leaf parameter vector: one fused Adam-update kernel per step
+    # instead of ~n_params micro-dispatches (cf. gpr/training.py)
+    loss_flat, flatten, _ = model.make_flat_loss_fn()
+    train_list, fixed = model._split_raws()
+    train0 = flatten(train_list)
+    loss_fn = loss_flat
     optimizer = optax.adam(1e-3)
     opt_state0 = optimizer.init(train0)
     from mogptk_tpu.gpr.config import config as _cfg

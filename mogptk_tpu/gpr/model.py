@@ -298,6 +298,37 @@ class Model(Module):
                 return self.forward()
         return loss_fn
 
+    def make_flat_loss_fn(self):
+        """Single-leaf variant of make_loss_fn: (loss(vec, fixed), flatten,
+        unflatten) with all trainable raws packed into ONE 1-D vector.
+
+        Optimizers update one fused kernel instead of ~n_params tiny
+        per-leaf ones: with ~30 scalar hyperparameters the per-leaf
+        Adam update is ~a hundred micro-dispatches per step — measurable
+        against a 50 ms training step. Raws share config.dtype
+        (parameter.py assigns with dtype=config.dtype), so the pack is
+        exact; unflatten restores the original list structure."""
+        train0, _ = self._split_raws()
+        shapes = [tuple(p.shape) for p in train0]
+        sizes = [int(np.prod(s)) for s in shapes]
+        splits = list(np.cumsum(sizes[:-1]))
+
+        def flatten(train):
+            if not train:
+                return jnp.zeros((0,), config.dtype)
+            return jnp.concatenate([jnp.ravel(p) for p in train])
+
+        def unflatten(vec):
+            parts = jnp.split(vec, splits) if splits else [vec]
+            return [p.reshape(s) for p, s in zip(parts, shapes)]
+
+        base = self.make_loss_fn()
+
+        def loss_flat(vec, fixed):
+            return base(unflatten(vec), fixed)
+
+        return loss_flat, flatten, unflatten
+
     def compile(self):
         """Warm the jit cache (API parity with reference gpr/model.py:127-129)."""
         self.loss()

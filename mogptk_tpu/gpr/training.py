@@ -37,11 +37,15 @@ def _default_chunk(iters, verbose, has_callback):
 
 
 def _build_lbfgs_step(model, optimizer):
-    loss_fn = model.make_loss_fn()
-    train0, fixed = model._split_raws()
+    # single-leaf parameter vector (model.make_flat_loss_fn): the optimizer
+    # update and LBFGS history contractions run as a couple of fused
+    # kernels instead of ~n_params micro-dispatches per step
+    loss_flat, flatten, unflatten = model.make_flat_loss_fn()
+    train_list, fixed = model._split_raws()
+    train0 = flatten(train_list)
 
     def fun(params):
-        return loss_fn(params, fixed)
+        return loss_flat(params, fixed)
 
     value_and_grad = optax.value_and_grad_from_state(fun)
 
@@ -53,7 +57,7 @@ def _build_lbfgs_step(model, optimizer):
         params = optax.apply_updates(params, updates)
         return params, opt_state, value
 
-    return step, train0
+    return step, train0, unflatten
 
 
 def _build_chunk_runner(model, optimizer):
@@ -61,9 +65,12 @@ def _build_chunk_runner(model, optimizer):
     length-step scan program. train() and precompile() both build through
     here so the primed program is IDENTICAL to the one training runs (the
     persistent compilation cache keys on the lowered HLO)."""
-    loss_fn = model.make_loss_fn()
-    train0, fixed = model._split_raws()
-    vg = jax.value_and_grad(loss_fn, argnums=0)
+    # single-leaf parameter vector (model.make_flat_loss_fn): one fused
+    # optimizer-update kernel per step instead of ~n_params tiny ones
+    loss_flat, flatten, unflatten = model.make_flat_loss_fn()
+    train_list, fixed = model._split_raws()
+    train0 = flatten(train_list)
+    vg = jax.value_and_grad(loss_flat, argnums=0)
 
     def one_step(carry, _):
         params, opt_state = carry
@@ -80,7 +87,7 @@ def _build_chunk_runner(model, optimizer):
             return params, opt_state, values
         return run_chunk
 
-    return train0, make_chunk
+    return train0, make_chunk, unflatten
 
 
 def precompile(model, method="Adam", lr=None, iters=500, verbose=False,
@@ -107,13 +114,13 @@ def precompile(model, method="Adam", lr=None, iters=500, verbose=False,
     optimizer, is_lbfgs = _make_optimizer(method, lr, **kwargs)
     t0 = time.time()
     if is_lbfgs:
-        step, train0 = _build_lbfgs_step(model, optimizer)
+        step, train0, _ = _build_lbfgs_step(model, optimizer)
         step.lower(train0, optimizer.init(train0)).compile()
     else:
         if chunk is None:
             chunk = _default_chunk(int(iters), verbose, has_callback)
-        train0, make_chunk = _build_chunk_runner(model, optimizer)
-        if len(train0) == 0:
+        train0, make_chunk, _ = _build_chunk_runner(model, optimizer)
+        if train0.shape[0] == 0:
             return 0.0
         make_chunk(int(chunk)).lower(train0, optimizer.init(train0)).compile()
     return time.time() - t0
@@ -148,7 +155,7 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
         raise ValueError("chunk must be >= 1")
 
     if is_lbfgs:
-        step, train0 = _build_lbfgs_step(model, optimizer)
+        step, train0, unflatten = _build_lbfgs_step(model, optimizer)
         params = train0
         opt_state = optimizer.init(params)
         losses = []
@@ -161,14 +168,14 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
             if callback is not None:
                 # sync the optimized raws first: callbacks read the MODEL
                 # (per-iteration error tracking predicts with current params)
-                model.set_train_raws(params)
+                model.set_train_raws(unflatten(params))
                 callback(i, losses[-1])
         elapsed = time.time() - start
-        model.set_train_raws(params)
+        model.set_train_raws(unflatten(params))
         model.check_numerics(losses[-1])
         return np.asarray(losses), elapsed
 
-    train0, make_chunk = _build_chunk_runner(model, optimizer)
+    train0, make_chunk, unflatten = _build_chunk_runner(model, optimizer)
     run_chunk = make_chunk(chunk)
 
     params = train0
@@ -191,9 +198,9 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
         if callback is not None:
             # sync the optimized raws first: callbacks read the MODEL
             # (per-iteration error tracking predicts with current params)
-            model.set_train_raws(params)
+            model.set_train_raws(unflatten(params))
             callback(done - 1, losses[-1])
     elapsed = time.time() - start
-    model.set_train_raws(params)
+    model.set_train_raws(unflatten(params))
     model.check_numerics(losses[-1])
     return np.asarray(losses), elapsed

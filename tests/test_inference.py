@@ -240,3 +240,31 @@ def test_init_grid_accepts_cube_roots():
     assert Z.shape == (1000, 3)
     with pytest.raises(ValueError):
         _init_grid(1001, X)
+
+
+def test_flat_loss_fn_matches_and_roundtrips():
+    # make_flat_loss_fn packs the trainable raws into ONE vector (single
+    # optimizer leaf — gpr/training.py builds every step through it)
+    import jax
+
+    X, y = _toy_data(n=20)
+    kernel = gpr.SpectralMixtureKernel(Q=2)
+    kernel.mean.assign(np.array([[0.3], [0.8]]))
+    model = gpr.Exact(kernel, X, y, variance=0.5)
+    train, fixed = model._split_raws()
+    loss_fn = model.make_loss_fn()
+    loss_flat, flatten, unflatten = model.make_flat_loss_fn()
+    vec = flatten(train)
+    assert vec.ndim == 1
+    assert vec.shape[0] == sum(int(np.prod(p.shape)) for p in train)
+    back = unflatten(vec)
+    assert len(back) == len(train)
+    for a, b in zip(back, train):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    v1 = float(loss_fn(train, fixed))
+    v2 = float(loss_flat(vec, fixed))
+    np.testing.assert_allclose(v1, v2, rtol=1e-12)
+    g = jax.grad(loss_flat)(vec, fixed)
+    assert g.shape == vec.shape
+    assert np.all(np.isfinite(np.asarray(g)))
