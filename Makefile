@@ -1,8 +1,19 @@
-# Build/test/docs targets (capability parity with the reference Makefile:5-45)
+# Build/test/docs targets (capability parity with the reference Makefile:5-45
+# and setup.py:1-29: the reference ships build/install/release targets; the
+# equivalents here drive pyproject.toml).
 
-.PHONY: all test test-fast bench docs examples clean
+.PHONY: all install install-dev build test test-fast bench docs examples clean
 
 all: test
+
+install:
+	pip install .
+
+install-dev:
+	pip install -e . --no-deps --no-build-isolation
+
+build:
+	python -m build --wheel --no-isolation 2>/dev/null || pip wheel . --no-deps -w dist/
 
 test:
 	python -m pytest tests/ -q

@@ -26,7 +26,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import optax
     import os
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
     import mogptk_tpu.gpr as gpr
     gpr.use_pallas(True)
 

@@ -14,7 +14,6 @@ Run:  python benchmarks/chol_inner.py
 import sys
 import json
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():

@@ -15,7 +15,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
     from benchmarks._timing import device_ms
 

@@ -13,7 +13,6 @@ Run:  python benchmarks/chol_stile.py
 import sys
 import json
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():

@@ -18,7 +18,6 @@ import time
 import tempfile
 
 t_start = time.perf_counter()
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -2,7 +2,6 @@
 N≈4k, M=500 inducing points) — mirrors the reference's sparse multi-input
 case study (examples/07_Sparse_Multi_Input.ipynb)."""
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import jax
 # f64 like the reference: Titsias with 500 *trained* inducing points is
 # numerically fragile in f32 — the jitter ladder (gpr.use_jitter_ladder)

@@ -1,6 +1,5 @@
 """BASELINE.md config #1: airline passengers, single-output SM (Q=3), exact GP."""
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import mogptk_tpu as mogptk
 

@@ -5,7 +5,6 @@ ChangePoints(Linear·SE | Linear·SE) + LocallyPeriodic kernel, Student-t SVGP
 with density-initialized inducing points). Data read from the reference's
 example datasets (read-only)."""
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import pandas as pd
 import matplotlib

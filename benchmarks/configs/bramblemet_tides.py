@@ -2,7 +2,6 @@
 axes (mirrors the reference examples/example_bramblemet.ipynb). Exercises the
 datetime64 pipeline on real sensor data with genuine gaps."""
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import pandas as pd
 import matplotlib

@@ -2,7 +2,6 @@
 removed range per channel (mirrors the reference examples/example_eeg.ipynb).
 Data read from the reference's example datasets (read-only)."""
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import pandas as pd
 import matplotlib

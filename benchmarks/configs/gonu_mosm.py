@@ -3,7 +3,6 @@ GP with MOSM, missing-data imputation (mirrors the reference case study
 examples/example_gold_oil_NASDAQ_USD.ipynb). Data read from the reference's
 example datasets (read-only)."""
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import matplotlib
 matplotlib.use("Agg")

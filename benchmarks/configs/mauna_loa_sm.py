@@ -6,7 +6,6 @@ series with the same structure (quadratic trend + annual cycle + noise,
 monthly cadence, N≈700) — the modeling pipeline is identical.
 """
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import matplotlib
 matplotlib.use("Agg")

@@ -5,7 +5,6 @@ examples/08_Multi_Likelihood_Classification.ipynb; classification data
 synthesized inline instead of sklearn.make_classification).
 """
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import jax
 # f64 like the reference: the uncollapsed Hensman bound over 1000 variational
 # points (full q_sqrt tril) is genuinely fragile in f32 — it NaNs on CPU-f32

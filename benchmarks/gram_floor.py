@@ -21,7 +21,6 @@ import functools
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TILE = 512
 

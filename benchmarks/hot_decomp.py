@@ -19,7 +19,6 @@ Run:  python benchmarks/hot_decomp.py <cell>
 import sys
 import json
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def headline_model():

@@ -24,7 +24,6 @@ import json
 import subprocess
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_FILE = "/tmp/iter_tune_ref.json"
 

@@ -6,7 +6,6 @@ tiling (8)"). Run on the real TPU after ANY edit to ops/pallas_solve.py.
 """
 import os
 import sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

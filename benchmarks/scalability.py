@@ -17,7 +17,6 @@ import os
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def make_model(kind, n, D=1, M=1, Q=2):

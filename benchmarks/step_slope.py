@@ -15,7 +15,6 @@ import json
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T_LO, T_HI = 2, 12
 

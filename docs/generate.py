@@ -205,7 +205,9 @@ def generate(outdir="docs/api", package="mogptk_tpu"):
     symbols_json = json.dumps(symbols, separators=(",", ":"))
 
     os.makedirs(outdir, exist_ok=True)
-    nav = ["<strong><a href='index.html'>%s</a></strong>" % package]
+    nav = ["<strong><a href='index.html'>%s</a></strong>" % package,
+           "<a href='guide.html'>User guide</a>",
+           "<a href='examples.html'>Examples</a>"]
     for name, _ in mods:
         nav.append("<a href='%s.html'>%s</a>" % (name, name))
     nav_html = "\n".join(nav)
@@ -236,8 +238,17 @@ def generate(outdir="docs/api", package="mogptk_tpu"):
         with open(os.path.join(outdir, name + ".html"), "w") as fh:
             fh.write(_page(name, page_nav, "\n".join(body), symbols_json))
 
-    index = ["<h1>%s API documentation</h1>" % package, _doc(root),
-             "<ul>"]
+    n_examples = _render_examples(outdir, nav_html, symbols_json)
+    _render_guide(outdir, nav_html, symbols_json)
+
+    index = ["<h1>%s documentation</h1>" % package, _doc(root),
+             "<p><a href='guide.html'><strong>User guide</strong></a> — "
+             "installation, device/precision selection, training advice, "
+             "the exact/iterative/sparse decision tree, multi-chip meshes."
+             "</p>",
+             "<p><a href='examples.html'><strong>Examples</strong></a> — "
+             "%d tutorial and case-study notebooks.</p>" % n_examples,
+             "<h2>API reference</h2>", "<ul>"]
     for name, mod in mods:
         first = (inspect.getdoc(mod) or "").split("\n")[0]
         index.append("<li><a href='%s.html'>%s</a> — %s</li>"
@@ -246,8 +257,61 @@ def generate(outdir="docs/api", package="mogptk_tpu"):
     with open(os.path.join(outdir, "index.html"), "w") as fh:
         fh.write(_page(package + " API", nav_html, "\n".join(index),
                        symbols_json))
-    print("wrote %d module pages to %s" % (len(mods), outdir))
+    print("wrote %d module pages + guide + %d example pages to %s"
+          % (len(mods), n_examples, outdir))
     return len(mods)
+
+
+def _render_guide(outdir, nav_html, symbols_json):
+    """Render docs/guide.md into the site (the reference renders its
+    mogptk/documentation.md the same way, reference Makefile:13-40)."""
+    import markdown
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "guide.md")
+    with open(path) as fh:
+        body = markdown.markdown(fh.read(), extensions=["fenced_code",
+                                                        "tables"])
+    with open(os.path.join(outdir, "guide.html"), "w") as fh:
+        fh.write(_page("mogptk_tpu user guide", nav_html, body,
+                       symbols_json))
+
+
+def _render_examples(outdir, nav_html, symbols_json):
+    """Convert examples/notebooks/*.ipynb to HTML pages and an index
+    (parity with the reference's nbconvert docs flow, Makefile:13-40)."""
+    nbdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "notebooks")
+    notebooks = sorted(f for f in os.listdir(nbdir) if f.endswith(".ipynb"))
+    exdir = os.path.join(outdir, "examples")
+    os.makedirs(exdir, exist_ok=True)
+    items = []
+    try:
+        import nbformat
+        from nbconvert import HTMLExporter
+        exporter = HTMLExporter()
+        have_nbconvert = True
+    except Exception:
+        have_nbconvert = False
+    for fname in notebooks:
+        title = fname[:-6]
+        if have_nbconvert:
+            nb = nbformat.read(os.path.join(nbdir, fname), as_version=4)
+            body, _ = exporter.from_notebook_node(nb)
+            with open(os.path.join(exdir, title + ".html"), "w") as fh:
+                fh.write(body)
+            items.append("<li><a href='examples/%s.html'>%s</a></li>"
+                         % (title, title))
+        else:
+            items.append("<li>%s (install nbconvert to render)</li>" % title)
+    body = ["<h1>Examples</h1>",
+            "<p>Every notebook also exists as a plain script under "
+            "<code>examples/</code>, and every script runs as a test "
+            "(<code>tests/test_examples.py</code>).</p>", "<ul>"]
+    body += items + ["</ul>"]
+    with open(os.path.join(outdir, "examples.html"), "w") as fh:
+        fh.write(_page("mogptk_tpu examples", nav_html, "\n".join(body),
+                       symbols_json))
+    return len(notebooks)
 
 
 if __name__ == "__main__":
