@@ -11,7 +11,7 @@ The namespace is flattened like the reference (mogptk/__init__.py:4-18).
 from . import gpr
 from .gpr import (config, use_half_precision, use_single_precision,
                   use_double_precision, use_cpu, use_gpu, use_tpu,
-                  print_gpu_information, set_positive_minimum)
+                  print_gpu_information, set_positive_minimum, set_seed)
 # The reference's star-import chain leaks the commonly used kernel /
 # likelihood classes and CholeskyException into the top-level `mogptk`
 # namespace (mogptk/__init__.py:4-18 pulls each models/*.py module's
@@ -38,5 +38,7 @@ from .model import (Model, Exact, Snelson, OpperArchambeau, Titsias, Hensman,
                     Iterative, LoadModel, kernels)
 from .models import SM, MOSM, CSM, SM_LMC, CONV, MOHSM
 from . import serving
+from . import parallel
+from .parallel import use_mesh, active_mesh
 
-__version__ = "0.1.0"
+__version__ = "0.5.1"

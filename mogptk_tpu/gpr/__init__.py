@@ -6,7 +6,7 @@ from .config import (Config, config, use_half_precision, use_single_precision, u
                      set_sensitive_matmul_precision, sensitive_matmul_scope,
                      use_double_precision, use_cpu, use_gpu, use_tpu,
                      print_gpu_information, print_tpu_information,
-                     set_positive_minimum)
+                     set_positive_minimum, set_seed)
 from .parameter import Parameter, Transform, Softplus, Sigmoid
 from .module import Module
 from .plot import plot_gram

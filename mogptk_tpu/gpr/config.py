@@ -122,6 +122,13 @@ class Config:
 config = Config()
 
 
+def set_seed(seed):
+    """Seed all package randomness — JAX PRNG keys, the host-side numpy
+    generator used by data removal / random init (the analog of the
+    reference's `torch.manual_seed`, documentation.md "Reproducibility")."""
+    config.set_seed(seed)
+
+
 def use_half_precision(compensated=False):
     """Use bfloat16 (TPU-native half precision) for parameters and Gram
     STORAGE — half the HBM, so the largest single-chip exact-Cholesky N

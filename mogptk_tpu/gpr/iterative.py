@@ -490,18 +490,29 @@ class ExactIterative(Model):
         `full=True` (an S×S posterior covariance) necessarily materializes
         N×S and S×S and is intended for small grids.
         """
+        self._sync_mesh()
         X = self._check_input(X)
         c = self.X[:, 0].astype(jnp.int32)
         x = self.X[:, 1:]
         cs = X[:, 0].astype(jnp.int32)
         xs = X[:, 1:]
         y = self._residual_y()
+        mask = getattr(self, "_row_mask", None)
         params = self._kernel_params()
         static = self._static()
         family, O = static[0], static[1]
         use_pallas = static[7]
-        matvec = _make_matvec(static, x, c, self._noise_diag(), params)
+        matvec = _make_matvec(static, x, c, self._noise_diag(), params,
+                              mask=mask)
         M_inv = _make_preconditioner(static, x, c, self._noise_diag(), params)
+        if mask is not None:
+            # mesh-padded rows (use_mesh with non-divisible N): the masked
+            # matvec solves M(K+σ²)M + (I−M); zeroing the padded targets and
+            # cross-covariance rows makes the fake points contribute exactly
+            # nothing (their alpha/V coordinates solve to 0). M_inv stays the
+            # unmasked preconditioner — any SPD M_inv leaves the CG fixed
+            # point unchanged.
+            y = y * mask.reshape(-1, 1)
 
         alpha, _ = cg_solve(matvec, y, max_iters=self.max_cg_iters,
                             tol=self.cg_tol, M_inv=M_inv)
@@ -510,9 +521,13 @@ class ExactIterative(Model):
             # K(X_train, X_s block): (N, B) — the only O(N·B) temp
             if use_pallas:
                 from ..ops.fused import fused_gram
-                return fused_gram(family, O, x, c, xs_b, cs_b, params)
-            _, dense, _ = resolve_family(family)
-            return dense(c, x, cs_b, xs_b, params)
+                Kfs_b = fused_gram(family, O, x, c, xs_b, cs_b, params)
+            else:
+                _, dense, _ = resolve_family(family)
+                Kfs_b = dense(c, x, cs_b, xs_b, params)
+            if mask is not None:
+                Kfs_b = Kfs_b * mask.reshape(-1, 1).astype(Kfs_b.dtype)
+            return Kfs_b
 
         if full:
             Kfs = cross(cs, xs)

@@ -333,8 +333,17 @@ class Model(Module):
         """Warm the jit cache (API parity with reference gpr/model.py:127-129)."""
         self.loss()
 
+    def _sync_mesh(self):
+        """Align this model's data/parameter sharding with the globally
+        active mesh (mogptk_tpu.use_mesh); no-op when nothing changed.
+        Called from the non-traced public entry points (loss/train/predict)
+        — never from inside a jitted computation."""
+        from ..parallel.sharding import sync_model_mesh
+        sync_model_mesh(self)
+
     def loss(self):
         """Current loss value, computed under jit (reference: gpr/model.py:279-292)."""
+        self._sync_mesh()
         fn = self._cache_get("loss", lambda: jax.jit(self.make_loss_fn()))
         train, fixed = self._split_raws()
         val = fn(train, fixed)
@@ -423,6 +432,7 @@ class Model(Module):
 
     def predict_y(self, X, ci=None, sigma=None, n=10000, key=None):
         """Predictive posterior over y (reference: gpr/model.py:322-344)."""
+        self._sync_mesh()
         X = self._check_input(X)
         mu, var = self.predict_f(X)
         if ci is None and sigma is not None:
@@ -432,6 +442,7 @@ class Model(Module):
 
     def sample_f(self, Z, n=None, prior=False, key=None):
         """Sample f at Z from the prior or posterior (reference: gpr/model.py:346-376)."""
+        self._sync_mesh()
         Z = self._check_input(Z)
         S = 1 if n is None else n
         if prior:
@@ -707,6 +718,7 @@ class Exact(Model):
     @_sensitive
     def predict_f(self, X, full=False):
         """Posterior mean/variance at X (reference: gpr/model.py:455-483)."""
+        self._sync_mesh()
         X = self._check_input(X)
         fn = self._cache_get("predict_f_full" if full else "predict_f",
                              lambda: jax.jit(self._make_predict_f(), static_argnames=("full",)))
@@ -718,6 +730,29 @@ class Exact(Model):
             raws = self._merge_raws(train, fixed)
             with self.bind(raws):
                 y = self._residual_y()
+                mask = getattr(self, "_row_mask", None)
+                if mask is not None:
+                    # mesh-padded training rows (use_mesh with non-divisible
+                    # N): rewrite K to the block-diagonal identity extension
+                    # and zero the padded cross-covariance rows/targets —
+                    # the fake observations then contribute exactly nothing
+                    # to the posterior
+                    Kff, y, _ = self._masked_gram(
+                        self._Kff(add_jitter=True), y, mask)
+                    Kfs = (self.kernel.K(self.X, X)
+                           * mask.reshape(-1, 1).astype(config.dtype))
+                    Lff = jittered_cholesky(Kff, ladder_base=self.jitter)
+                    v = solve_triangular(Lff, Kfs)  # NxM
+                    mu = Kfs.T @ cholesky_solve(Lff, y)  # Mx1
+                    if self.mean is not None:
+                        mu = mu + self.mean(X).reshape(-1, 1)
+                    if full:
+                        Kss = self.kernel.K(X)
+                        var = Kss - v.T @ v
+                    else:
+                        Kss_diag = self.kernel.K_diag(X)
+                        var = (Kss_diag - jnp.sum(v * v, axis=0)).reshape(-1, 1)
+                    return mu, var
                 # factor K + noise diag (+ relative jitter) with the vector
                 # riding the factorization — the noisy Gram never exists in
                 # HBM and the raw Gram stays an opaque engine output (_Kff)
@@ -793,6 +828,7 @@ class Snelson(Model):
         """FITC posterior (reference: gpr/model.py:542-576). The reference's
         full-covariance branch references undefined variables (gpr/model.py:571,
         a known defect); here the intended expression is implemented."""
+        self._sync_mesh()
         X = self._check_input(X)
         y, Luu, v, g, vG, L = self._common()
         Kus = self.kernel.K(self.Z(), X)
@@ -860,6 +896,7 @@ class OpperArchambeau(Model):
     @_sensitive
     def predict_f(self, X, full=False):
         """Posterior (reference: gpr/model.py:645-666)."""
+        self._sync_mesh()
         X = self._check_input(X)
         Kff = self.kernel.K(self.X)
         Kfs = self.kernel.K(self.X, X)
@@ -933,6 +970,7 @@ class Titsias(Model):
     def predict_f(self, X, full=False):
         """Posterior via the matrix-inversion-lemma-stable form
         (reference: gpr/model.py:730-765)."""
+        self._sync_mesh()
         X = self._check_input(X)
         y = self._residual_y()
         sigma2 = self.likelihood.scale() ** 2
@@ -1062,6 +1100,7 @@ class SparseHensman(Model):
 
     @_sensitive
     def predict_f(self, X, full=False):
+        self._sync_mesh()
         X = self._check_input(X)
         mu, var = self._predict_f(X, full=full)
         if self.mean is not None:

@@ -111,6 +111,7 @@ def precompile(model, method="Adam", lr=None, iters=500, verbose=False,
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    model._sync_mesh()  # align with the use_mesh policy before lowering
     optimizer, is_lbfgs = _make_optimizer(method, lr, **kwargs)
     t0 = time.time()
     if is_lbfgs:
@@ -142,6 +143,7 @@ def train(model, method="Adam", lr=None, iters=500, verbose=False, callback=None
     iters = int(iters)
     if iters < 0:
         raise ValueError("iters must be non-negative")
+    model._sync_mesh()  # shard data/params when a use_mesh policy is active
     optimizer, is_lbfgs = _make_optimizer(method, lr, **kwargs)
 
     train0, _ = model._split_raws()

@@ -381,6 +381,7 @@ class Model:
         (gpr.ExactIterative.log_marginal_likelihood_readout) so BIC/AIC and
         model comparison use a converged value. Pass readout=False for the
         raw training-budget estimate."""
+        self.gpr._sync_mesh()
         if readout and hasattr(self.gpr, "log_marginal_likelihood_readout"):
             return float(self.gpr.log_marginal_likelihood_readout())
         return float(self.gpr.log_marginal_likelihood())

@@ -34,6 +34,128 @@ def make_mesh(n_devices=None, axis="data"):
     return Mesh(np.asarray(devs), (axis,))
 
 
+# -- global mesh policy (user-facing multi-chip: mogptk_tpu.use_mesh) --------
+
+_active_mesh = None
+_active_axis = "data"
+
+
+def use_mesh(n="all", axis="data"):
+    """Turn multi-chip execution on (or off) for the standard Model API.
+
+    One line scales the README quick-start across chips — every later
+    `Model.train()` / `predict()` / `error()` / `log_marginal_likelihood()`
+    call routes through the mesh machinery appropriate to its inference
+    scheme (the reference's `Model.train`, mogptk/model.py:441-579, is
+    strictly single-device):
+
+    - variational models (Titsias/Snelson/Hensman/OpperArchambeau): the
+      training data is row-sharded and parameters replicated; the ELBO is a
+      sum over points so GSPMD partitions the per-point work and
+      all-reduces over ICI (data parallelism).
+    - `Exact`: additionally the N×N Gram carries a row-block sharding and
+      the LML routes through the distributed panel Cholesky + solves
+      (parallel/chol.py) — O(N²/P) memory per device, nothing ever gathers
+      the full Gram.
+    - `Iterative` (ExactIterative): every Gram application runs as the
+      shard_map ppermute ring (parallel/ring.py) — O(N/P) per device.
+
+    Args:
+        n: "all" (default) for every visible device, an int for the first n
+           devices, or None/False to go back to single-device execution.
+        axis: mesh axis name.
+
+    Models are re-sharded lazily at their next API call; switching the mesh
+    off restores their original (unpadded, single-device) state. When N is
+    not divisible by the device count the data is padded and masked out of
+    the objective exactly — models that cannot mask (non-sparse Hensman,
+    Titsias/Snelson/OpperArchambeau) require divisible N.
+
+    Returns the active jax.sharding.Mesh (or None)."""
+    global _active_mesh, _active_axis
+    if n is None or n is False:
+        _active_mesh = None
+    else:
+        _active_mesh = make_mesh(None if n in ("all", True) else int(n), axis)
+        _active_axis = axis
+    config.bump()  # invalidate per-model jit caches
+    return _active_mesh
+
+
+def active_mesh():
+    """The (mesh, axis) installed by use_mesh, or (None, "data")."""
+    return _active_mesh, _active_axis
+
+
+def sync_model_mesh(model):
+    """Align a gpr model's data/parameter sharding with the active global
+    mesh. Called from the public entry points (train/loss/predict); no-op
+    when nothing changed. Idempotent and reversible: use_mesh(None) restores
+    the original unpadded single-device state at the model's next call."""
+    mesh, axis = _active_mesh, _active_axis
+    cur = getattr(model, "_mesh_prepared", None)
+    if cur is None and mesh is None:
+        return
+    if cur is not None and cur[0] is mesh:
+        return
+    if cur is not None:
+        _unprepare_model(model, cur)
+    if mesh is not None:
+        _prepare_model(model, mesh, axis)
+
+
+def _prepare_model(model, mesh, axis):
+    from ..gpr.model import Exact
+    from ..gpr.iterative import ExactIterative
+
+    n0 = int(model.X.shape[0])
+    X_sh, y_sh, n_real = shard_data(model.X, model.y, mesh, axis)
+    mask = None
+    if n_real != X_sh.shape[0]:
+        if not getattr(model, "supports_row_mask", False):
+            raise ValueError(
+                "use_mesh: N=%d does not divide the %d-device mesh and %s "
+                "cannot mask padded rows out of its objective; use a "
+                "divisible number of training points or devices"
+                % (n_real, mesh.shape[axis], type(model).__name__))
+        mask = jnp.concatenate([
+            jnp.ones((n_real,), dtype=config.dtype),
+            jnp.zeros((X_sh.shape[0] - n_real,), dtype=config.dtype)])
+        mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
+    object.__setattr__(model, "X", X_sh)
+    object.__setattr__(model, "y", y_sh)
+    object.__setattr__(model, "_row_mask", mask)
+    if isinstance(model, Exact):
+        model.use_gram_sharding(mesh, axis)
+    elif isinstance(model, ExactIterative):
+        model.use_ring(mesh, axis)
+    replicated = NamedSharding(mesh, P())
+    for p in model.parameters():
+        p._raw = jax.device_put(p._raw, replicated)
+    model._jit_cache.clear()
+    object.__setattr__(model, "_mesh_prepared", (mesh, axis, n0))
+
+
+def _unprepare_model(model, cur):
+    from ..gpr.model import Exact
+    from ..gpr.iterative import ExactIterative
+
+    _, _, n_real = cur
+    X = jnp.asarray(np.asarray(model.X)[:n_real])
+    y = jnp.asarray(np.asarray(model.y)[:n_real])
+    object.__setattr__(model, "X", X)
+    object.__setattr__(model, "y", y)
+    object.__setattr__(model, "_row_mask", None)
+    if isinstance(model, Exact):
+        model.use_gram_sharding(None)
+    elif isinstance(model, ExactIterative):
+        model.use_ring(None)
+    for p in model.parameters():
+        p._raw = jnp.asarray(np.asarray(p._raw))
+    model._jit_cache.clear()
+    object.__setattr__(model, "_mesh_prepared", None)
+
+
 def _pad_to_multiple(arr, mult, axis=0, pad_value=0.0):
     n = arr.shape[axis]
     rem = (-n) % mult

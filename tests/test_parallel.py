@@ -492,3 +492,112 @@ def test_exact_sharded_masked_probe_gradient():
     dense = gpr.Exact(gpr.MultiOutputSpectralKernel(output_dims=2), X, Y,
                       variance=0.1)
     np.testing.assert_allclose(float(loss_sharded), dense.loss(), rtol=1e-6)
+
+
+# -- user-facing use_mesh policy (mogptk_tpu.use_mesh) -----------------------
+
+def _quickstart_model(n=100, pct=0.2, inference=None):
+    import mogptk_tpu as mogptk
+    mogptk.gpr.config.set_seed(7)
+    t = np.linspace(0, 10, n)
+    rng = np.random.RandomState(0)
+    ys = [np.sin(0.5 * t) + 0.05 * rng.randn(n),
+          2.0 * np.sin(0.2 * t) + 0.05 * rng.randn(n)]
+    ds = mogptk.DataSet(t, ys, names=["A", "B"])
+    for ch in ds:
+        ch.transform(mogptk.TransformStandard())
+        ch.remove_randomly(pct=pct)
+    kwargs = {} if inference is None else {"inference": inference}
+    m = mogptk.MOSM(ds, Q=2, **kwargs)
+    m.init_parameters("LS")
+    return m
+
+
+@pytest.fixture
+def _mesh_off():
+    """Always restore the single-device policy, even on test failure."""
+    import mogptk_tpu as mogptk
+    yield
+    mogptk.use_mesh(None)
+
+
+def test_use_mesh_quickstart_matches_single_device(_mesh_off):
+    """The README quick-start runs unchanged (one added line) on the
+    8-device mesh: identical losses, predictions, and error; switching the
+    mesh off restores the model transparently."""
+    import mogptk_tpu as mogptk
+    m0 = _quickstart_model()
+    m0.train(method="Adam", lr=0.02, iters=25)
+    _, mu0, lo0, up0 = m0.predict()
+    e0 = m0.error("MAE")
+
+    mogptk.use_mesh()  # <- the one added line
+    m1 = _quickstart_model()
+    m1.train(method="Adam", lr=0.02, iters=25)
+    _, mu1, lo1, up1 = m1.predict()
+    e1 = m1.error("MAE")
+    lml1 = m1.log_marginal_likelihood()
+    # the training data really is sharded over the mesh
+    assert len(m1.gpr.X.sharding.device_set) == 8
+    mogptk.use_mesh(None)
+    e1_off = m1.error("MAE")  # model un-prepares lazily and still answers
+
+    np.testing.assert_allclose(m1.losses, m0.losses, rtol=1e-8)
+    for a, b in zip(mu1, mu0):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+    for a, b in zip(up1, up0):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(e1, e0, rtol=1e-8)
+    np.testing.assert_allclose(e1_off, e1, rtol=1e-10)
+    assert np.isfinite(lml1)
+
+
+def test_use_mesh_nondivisible_padded_predict(_mesh_off):
+    """Non-divisible N pads + masks: train/predict/error still match the
+    single-device run exactly (padded rows contribute nothing, including in
+    the posterior)."""
+    import mogptk_tpu as mogptk
+    m0 = _quickstart_model(n=91, pct=0.1)
+    assert m0.gpr.X.shape[0] % 8 != 0
+    m0.train(method="Adam", lr=0.02, iters=15)
+    _, mu0, _, up0 = m0.predict()
+
+    mogptk.use_mesh()
+    m1 = _quickstart_model(n=91, pct=0.1)
+    m1.train(method="Adam", lr=0.02, iters=15)
+    assert m1.gpr._row_mask is not None
+    _, mu1, _, up1 = m1.predict()
+    np.testing.assert_allclose(m1.losses, m0.losses, rtol=1e-8)
+    for a, b in zip(mu1, mu0):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+    for a, b in zip(up1, up0):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+
+
+def test_use_mesh_titsias_and_iterative(_mesh_off):
+    """The sparse-variational and iterative-exact selectors route through
+    the mesh too (data-parallel ELBO / the ppermute ring)."""
+    import mogptk_tpu as mogptk
+
+    m0 = _quickstart_model(pct=0.2, inference=mogptk.Titsias(inducing_points=8))
+    m0.train(method="Adam", lr=0.01, iters=10)
+    m1 = _quickstart_model(pct=0.2,
+                           inference=mogptk.Iterative(max_cg_iters=50,
+                                                      num_probes=8))
+    m1.train(method="Adam", lr=0.01, iters=10)
+    _, mu1, _, _ = m1.predict()
+
+    mogptk.use_mesh()
+    t0 = _quickstart_model(pct=0.2, inference=mogptk.Titsias(inducing_points=8))
+    t0.train(method="Adam", lr=0.01, iters=10)
+    i0 = _quickstart_model(pct=0.2,
+                           inference=mogptk.Iterative(max_cg_iters=50,
+                                                      num_probes=8))
+    i0.train(method="Adam", lr=0.01, iters=10)
+    assert i0.gpr._ring is not None
+    _, mu_i, _, _ = i0.predict()
+
+    np.testing.assert_allclose(t0.losses, m0.losses, rtol=1e-7)
+    np.testing.assert_allclose(i0.losses, m1.losses, rtol=1e-7)
+    for a, b in zip(mu_i, mu1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
