@@ -287,9 +287,47 @@ def bench_bignum(n_total=65536, timeout_sec=2400):
     return None
 
 
+FAMILIES = ("mosm", "umosm", "csm", "conv", "mohsm", "lmc_sm")
+
+
+def bench_families(timeout_sec=600):
+    """Per-family fused-engine timing (gram fwd + probe step at N=4,096),
+    one subprocess per family (benchmarks/family_bench.py) so a regression
+    in one engine costs one entry, not the bench. Returns {family: {...}}."""
+    import subprocess
+    out = {}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "family_bench.py")
+    for family in FAMILIES:
+        try:
+            r = subprocess.run([sys.executable, script, family],
+                               capture_output=True, text=True,
+                               timeout=timeout_sec)
+            for line in r.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    out[family] = {"gram_fwd_ms": d["gram_fwd_ms"],
+                                   "probe_step_ms": d["probe_step_ms"]}
+                    break
+            else:
+                tail = (r.stderr or "").strip().splitlines()
+                out[family] = {"error": tail[-1] if tail else
+                               "no JSON (rc=%d)" % r.returncode}
+        except Exception as e:
+            out[family] = {"error": "%s: %s" % (type(e).__name__, e)}
+    return out
+
+
 def main():
     xs, ys = make_data()
     errors = {}
+
+    # per-family engine timings run FIRST (subprocesses must claim the chip
+    # before this process initializes JAX — two concurrent clients deadlock)
+    families = None
+    if not os.environ.get("BENCH_SKIP_FAMILIES"):
+        families = _guard(errors, "families", bench_families)
 
     # bignum runs FIRST: its subprocess must claim the chip while this
     # process has not yet initialized JAX (two concurrent clients deadlock)
@@ -323,6 +361,7 @@ def main():
         "svgp_elbo_steps_per_sec_M1024": round(svgp, 4) if svgp else None,
         "svgp_vs_baseline": round(svgp / ref_svgp, 2) if (svgp and ref_svgp) else None,
         "iterative_exact_N65536_sec_per_step": bignum,
+        "families_N4096": families,
     }
     if errors:
         result["errors"] = errors

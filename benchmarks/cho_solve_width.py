@@ -20,9 +20,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     gpr.use_pallas(True)
     xs, ys = bench.make_data()

@@ -24,7 +24,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
 

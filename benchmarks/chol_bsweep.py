@@ -20,7 +20,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     key = jax.random.PRNGKey(0)
     A = jax.random.normal(key, (N, 256), dtype=jnp.float32)
@@ -40,7 +40,7 @@ def main():
     elif shift_mode in ("gram", "gramcopy", "gramnoinplace"):
         # K produced by the real Pallas gram engine inside the loop — the
         # fused LML's exact producer context
-        import bench
+        from _bench_mod import bench
         import mogptk_tpu.gpr as gpr
         from mogptk_tpu.ops import linalg as lg
         gpr.use_pallas(True)

@@ -17,7 +17,7 @@ def main():
     import jax.numpy as jnp
     from mogptk_tpu.ops.blocked_cholesky import (blocked_cholesky,
                                                  _panel_factor, _tri_inverse)
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     N, B = 16384, 1024
     nb = N // B

@@ -24,7 +24,7 @@ def main():
     from mogptk_tpu.ops.blocked_cholesky import (
         _s_panel_pallas, _panel_write, _upper_zero, _panel_factor,
         _tri_inverse)
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     N, B = 16384, 1024
     nb = N // B

@@ -26,9 +26,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import optax
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     gpr.use_pallas(True)

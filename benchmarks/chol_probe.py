@@ -16,7 +16,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     print("backend:", jax.default_backend(), flush=True)

@@ -21,7 +21,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     N, B = 16384, 1024
     key = jax.random.PRNGKey(0)

@@ -31,7 +31,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import numpy as np
     import optax
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     gpr.use_pallas(True)
     t_import = time.perf_counter() - t_start

@@ -44,7 +44,7 @@ def main():
     # fresh cache: we want true compile costs, not cache hits
     jax.config.update("jax_compilation_cache_dir", tempfile.mkdtemp())
     import jax.numpy as jnp
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
 

@@ -22,10 +22,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     from mogptk_tpu.ops.linalg import lml_quadform_logdet, cholesky
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     gpr.use_pallas(True)
 

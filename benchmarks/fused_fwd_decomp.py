@@ -23,10 +23,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     from mogptk_tpu.ops import linalg as lg
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     gpr.use_pallas(True)
     blk = int(os.environ.get("FUSED_DECOMP_BLOCK", "0"))

@@ -31,7 +31,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     x = jnp.asarray(np.sort(np.random.RandomState(0).rand(n, 1) * 100.0),
                     dtype=jnp.float32)

@@ -33,7 +33,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
 
     gpr.use_pallas(True)

@@ -23,7 +23,7 @@ import json
 
 def headline_model():
     import numpy as np
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     gpr.use_pallas(True)
     xs, ys = bench.make_data()
@@ -42,7 +42,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
     out = {}
 
     def probe(body, x0, label, target=10.0):

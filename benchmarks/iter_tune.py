@@ -59,7 +59,7 @@ def run_cell(n_total, rank, iters, ref_only=False):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import mogptk_tpu.gpr as gpr
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
     gpr.use_pallas(True)
     xs, ys = make_data(n_total)
 

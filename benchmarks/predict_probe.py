@@ -34,7 +34,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 8192

@@ -19,10 +19,10 @@ def main():
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
     import optax
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     gpr.use_pallas(True)   # current defaults: block engines + blocked linalg
 

@@ -26,7 +26,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
     import optax
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
 
     if "--no-pallas" in sys.argv:

@@ -21,10 +21,10 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
     from mogptk_tpu.ops.linalg import solve_triangular
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     gpr.use_compilation_cache()
     gpr.use_pallas(True)

@@ -22,9 +22,9 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    import bench
+    from _bench_mod import bench
     import mogptk_tpu.gpr as gpr
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     gpr.use_compilation_cache()
     gpr.use_pallas(True)

@@ -23,7 +23,7 @@ def main():
     # the module itself (cf. hot_decomp.py)
     import mogptk_tpu.ops.blocked_cholesky  # noqa: F401
     bc = sys.modules["mogptk_tpu.ops.blocked_cholesky"]
-    from benchmarks._timing import device_ms
+    from _timing import device_ms
 
     N, B = 16384, 1024
     nb = N // B
@@ -107,6 +107,77 @@ def main():
             for j in range(nb):
                 m = N - j * B
                 Lv = csw_any(Lv, Sfull[:m], invT, Ljj, j, B)
+            return Lv * 1.0000001
+    elif variant in ("colonly", "nos", "onepass"):
+        # bisect the production kernel: colonly drops the strip-zero grid
+        # steps; nos drops the TRSM GEMM and S reads (write/stream floor);
+        # onepass uses a single bf16 pass (isolates the x3 multi-pass cost)
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _kern(l_any, s_ref, invt_ref, ljj_ref, l_ref, *, tiles_col):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                l_ref[:, :] = ljj_ref[:, :]
+
+            @pl.when(0 < i)
+            def _():
+                if variant == "nos":
+                    l_ref[:, :] = ljj_ref[:, :]
+                else:
+                    s = s_ref[:, :]
+                    v = invt_ref[:, :]
+                    dot = functools.partial(
+                        jax.lax.dot_general,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                    if variant == "onepass":
+                        l_ref[:, :] = dot(s.astype(jnp.bfloat16),
+                                          v.astype(jnp.bfloat16))
+                    else:
+                        sh = s.astype(jnp.bfloat16)
+                        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+                        vh = v.astype(jnp.bfloat16)
+                        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+                        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+
+        def colw(L, S, invT_, Ljj_, j, Bs):
+            npad = L.shape[0]
+            r0 = j * Bs
+            tiles_col = (npad - r0) // Bs
+            vmem = 4 * Bs * Bs * (2 + 2 + 2 + 2)
+            return pl.pallas_call(
+                functools.partial(_kern, tiles_col=tiles_col),
+                out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+                grid=(tiles_col,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec((Bs, Bs), lambda i: (i, 0)),
+                    pl.BlockSpec((Bs, Bs), lambda i: (0, 0)),
+                    pl.BlockSpec((Bs, Bs), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((Bs, Bs),
+                                       lambda i, j=j, rT=r0 // Bs: (rT + i, j)),
+                input_output_aliases={0: 0},
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem + (vmem >> 2)),
+            )(L, S, invT_, Ljj_)
+
+        def body(Lv):
+            for j in range(nb):
+                m = N - j * B
+                Lv = colw(Lv, Sfull[:m], invT, Ljj, j, B)
+            return Lv * 1.0000001
+    elif variant == "striponly":
+        # the 15 per-row strip-zero launches alone (_upper_zero): what the
+        # strip half of _col_strip_write's grid costs as separate streams
+        def body(Lv):
+            for j in range(nb - 1):
+                Lv = bc._upper_zero(Lv, j, B, 512)
             return Lv * 1.0000001
     else:
         raise SystemExit("unknown variant %r" % variant)
