@@ -24,8 +24,13 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "primed"
     n_per = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     import jax
-    cache = (tempfile.mkdtemp(prefix="cold_cache_") if mode == "cold"
+    # split attributes the COLD wall, so it gets a fresh cache too; use
+    # "split_primed" to see the primed decomposition (cache-load vs trace)
+    cache = (tempfile.mkdtemp(prefix="cold_cache_")
+             if mode in ("cold", "split")
              else os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    if mode == "split_primed":
+        mode = "split"
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -48,6 +53,28 @@ def main():
         value, grads = jax.value_and_grad(loss_fn)(params, fixed)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, value
+
+    if mode == "split":
+        # attribute the cold wall: host-side trace+lower vs the remote
+        # backend compile (the part no program restructuring can remove if
+        # it dominates even for modest graphs)
+        t0 = time.perf_counter()
+        lowered = step.lower(train0, opt_state0)
+        t_lower = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, _, value = compiled(train0, opt_state0)
+        v = float(np.asarray(value))
+        t_exec = time.perf_counter() - t0
+        assert np.isfinite(v), v
+        print(json.dumps({"mode": mode, "n": n_per * bench.CHANNELS,
+                          "import_s": round(t_import, 1),
+                          "trace_lower_s": round(t_lower, 1),
+                          "backend_compile_s": round(t_compile, 1),
+                          "first_exec_s": round(t_exec, 1)}))
+        return
 
     _, _, value = step(train0, opt_state0)
     v = float(np.asarray(value))

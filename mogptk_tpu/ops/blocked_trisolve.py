@@ -107,3 +107,86 @@ def blocked_cho_solve(L, B, invs=None, **kw):
     Z = blocked_trisolve(L, B, lower=True, invs=invs, **kw)
     invs_up = [inv.T for inv in reversed(invs)]
     return blocked_trisolve(L.T, Z, lower=False, invs=invs_up, **kw)
+
+
+def blocked_tri_inverse(L, block_size=1024, update_precision="high",
+                        panel_precision="highest", invs=None):
+    """Explicit W = L⁻¹ for lower-triangular L, blocked for the MXU.
+
+    Row-block recursion: W_ii = L_ii⁻¹ (the panel inverses) and
+    W[i, :i] = −W_ii · (L[i, :i] @ W[:i, :i]) — one (B, iB)×(iB, iB) GEMM
+    pair per block row, ≈ n³/3 MACs total. This is the cheap half of the
+    inverse-from-factor route for the exact closed-form LML gradient
+    (spd_inverse_from_factor): computing K⁻¹ as WᵀW costs ≈ n³/2 MACs
+    total versus the ≈ n³ of the column-blocked double-TRSM sweep it
+    replaces (ops/linalg._dense_lml_cotangents), with W reused across
+    every column instead of re-solved per block.
+
+    Requires n % block_size == 0 (callers: the factorization's effective
+    block always divides the padded n). Returns W with its strict upper
+    zero.
+    """
+    n = L.shape[-1]
+    Bs = int(min(block_size, n))
+    if n % Bs:
+        raise ValueError("blocked_tri_inverse needs n %% block_size == 0")
+    nb = n // Bs
+    if invs is None:
+        invs = panel_inverses(L, lower=True, block_size=Bs,
+                              panel_precision=panel_precision)
+    zero = jnp.zeros((), L.dtype)
+    W = invs[0]                         # square (r0+Bs, r0+Bs), upper zero
+    for i in range(1, nb):
+        r0 = i * Bs
+        strict = -_dot(invs[i], _dot(L[r0:r0 + Bs, :r0], W,
+                                     update_precision), update_precision)
+        W = jnp.concatenate(
+            [jnp.concatenate([W, jnp.broadcast_to(zero, (r0, Bs))], axis=1),
+             jnp.concatenate([strict, invs[i]], axis=1)], axis=0)
+    return W
+
+
+def spd_inverse_from_factor(L, block_size=1024, update_precision="high",
+                            panel_precision="highest", invs=None):
+    """K⁻¹ from the lower Cholesky factor L, as WᵀW with W = L⁻¹.
+
+    The (i, j) lower block (i ≥ j) is W[i:, i]ᵀ @ W[i:, j] — only the
+    lower triangle is computed (≈ n³/6 MACs; the syrk exploits symmetry)
+    and mirrored with one masked transpose pass. End to end ≈ n³/2 MACs
+    versus ≈ n³ for the double-TRSM column sweep, and every GEMM is a
+    large MXU-saturating dot.
+
+    Accuracy: the explicit triangular inverse is not backward-stable the
+    way substitution is — for the jittered Gram factors this serves
+    (closed-form ∂LML/∂K), the measured gradient error stays at the same
+    order as the blocked-TRSM route (tests/test_linalg.py::
+    test_spd_inverse_from_factor_*), because the B×B panels are jittered
+    Gram diagonals and the off-diagonal growth is bounded by the same
+    panel conditioning the TRSM-via-inverse route already relies on.
+    """
+    n = L.shape[-1]
+    Bs = int(min(block_size, n))
+    if n % Bs:
+        raise ValueError("spd_inverse_from_factor needs n %% block_size == 0")
+    nb = n // Bs
+    W = blocked_tri_inverse(L, block_size=Bs,
+                            update_precision=update_precision,
+                            panel_precision=panel_precision, invs=invs)
+    # lower blocks per column, assembled column-block-wise
+    cols = []
+    for j in range(nb):
+        rows = [jnp.zeros((j * Bs, Bs), L.dtype)] if j else []
+        for i in range(j, nb):
+            r0 = i * Bs
+            # K⁻¹_ij = Σ_{k ≥ i} W_kiᵀ W_kj  (k < i terms vanish: W lower)
+            blk = jax.lax.dot_general(
+                W[r0:, r0:r0 + Bs], W[r0:, j * Bs:(j + 1) * Bs],
+                (((0,), (0,)), ((), ())), precision=update_precision)
+            rows.append(blk)
+        cols.append(jnp.concatenate(rows, axis=0))
+    Kl = jnp.concatenate(cols, axis=1)        # block-lower (diag blocks full)
+    rb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // Bs
+    cb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // Bs
+    strict = rb > cb
+    return jnp.where(strict, Kl, jnp.zeros((), L.dtype)).T \
+        + jnp.where(rb >= cb, Kl, jnp.zeros((), L.dtype))

@@ -204,3 +204,41 @@ class Predictor:
         if self.meta["output_dims"] == 1:   # match Model.predict's unwrapping
             return X[0], Mu[0], Lower[0], Upper[0]
         return X, Mu, Lower, Upper
+
+
+# -- training-step executable artifacts (cold-start shipping) ----------------
+
+def export_training_cache(model, artifact_dir, method="Adam", **train_kwargs):
+    """Compile `model`'s training step into `artifact_dir` as a portable
+    executable cache, without running a step.
+
+    jax.export ships StableHLO, which every consumer still has to COMPILE —
+    at the N=16k headline size that compile is ~6 minutes through a remote
+    TPU backend (benchmarks/cold_start.py). What removes it is XLA's
+    persistent compilation cache: this helper points the cache at
+    `artifact_dir` and runs the same lower+compile `Model.train` would, so
+    the directory afterwards holds the serialized TPU executable(s). Ship
+    the directory next to the model checkpoint; a consumer process calls
+    `prime_from_artifact(dir)` before training and starts in tens of
+    seconds instead of minutes (measured 396 s cold -> 43 s primed).
+
+    The cache keys on program + compiler version + topology: an artifact
+    built on the same chip generation/jax version is a hit, anything else
+    is a silent (correct, just slow) miss.
+
+    Returns seconds spent compiling (≈0 if `artifact_dir` already holds
+    the executable)."""
+    gpr_model = getattr(model, "gpr", model)
+    from .gpr import precompile as gpr_precompile
+    return gpr_precompile(gpr_model, method=method, cache_dir=artifact_dir,
+                          **train_kwargs)
+
+
+def prime_from_artifact(artifact_dir):
+    """Point XLA's persistent compilation cache at a directory produced by
+    `export_training_cache` (or any prior cached run). Call before the
+    first jit use in the process."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", artifact_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
