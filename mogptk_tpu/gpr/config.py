@@ -57,6 +57,11 @@ class Config:
         # (the N³/3 bulk). "high" = bf16x3 passes, ~f32-quality
         # accumulation at ~2.7× the speed of "highest".
         self.blocked_cholesky_update_precision = "high"
+        # Fused below-TRSM column pipeline inside the custom-VJP LML
+        # forwards (ops/blocked_cholesky fused_trsm): S_below never exists
+        # in HBM and the TRSM rides the streamed accumulation kernel's
+        # epilogue. Kill switch for A/B and debugging.
+        self.blocked_cholesky_fused_trsm = True
         # Matmul precision for the cancellation-sensitive products only
         # (factorizations/triangular solves in ops/linalg.py and the
         # GEMM-identity squared distance): XLA:TPU's default bf16-pass f32

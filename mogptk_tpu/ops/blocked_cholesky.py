@@ -370,6 +370,191 @@ def _col_strip_write_bwd(j, B, res, g):
 _col_strip_write.defvjp(_col_strip_write_fwd, _col_strip_write_bwd)
 
 
+# -- fused below-TRSM column pipeline (VERDICT r4 #1) ------------------------
+# The production write path (S-panel kernel -> HBM S -> aliased TRSM-write
+# kernel) pays one full (m, B) HBM round trip for S and runs the TRSM GEMMs
+# in a standalone kernel measured ~2x above its MXU+HBM floor (write_probe:
+# 8.0 ms for the column GEMM+writes alone at N=16k/B=1024). This pipeline
+# restructures one block column as:
+#   1. _s_diag_pallas: the (B, B) diagonal S block only (k-chunk stream)
+#   2. XLA panel factor+inverse (unchanged)
+#   3. _below_trsm_pallas: rows below the diagonal — accumulates
+#      S_tile = K_tile − A Cᵀ in VMEM and applies "@ invT" as the LAST
+#      k-step's epilogue, writing the finished L column tile directly:
+#      S_below never exists in HBM and the TRSM rides the streamed GEMM
+#   4. _col_commit: aliased pure-DMA copy of [Ljj; below] into L
+# No kernel both reads the L buffer and aliases it (the round-3 fused
+# attempt made XLA insert full-buffer defensive copies); the commit kernel
+# reads only the standalone column. These run ONLY inside the custom-VJP
+# LML forwards (ops/linalg), which never differentiate through the
+# factorization — the kernels have no transpose rules.
+
+
+def _bf16x3(a, b):
+    """a @ b with both operands split hi/lo bf16, three MXU passes — the
+    same "high"-equivalent recipe as the S-panel kernel."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+
+def _s_diag_kernel(k_ref, ljrow_ref, ljrow2_ref, s_ref, acc_ref, *, n_k):
+    """S_jj = K_jj − C Cᵀ accumulated over k chunks (C = L[j-rows, :r0])."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, :] = k_ref[:, :].astype(jnp.float32)
+
+    a = ljrow_ref[:, :].astype(jnp.float32)
+    b = ljrow2_ref[:, :].astype(jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot_t = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    acc = acc_ref[:, :]
+    acc -= dot_t(ah, bh)
+    acc -= dot_t(ah, bl)
+    acc -= dot_t(al, bh)
+    acc_ref[:, :] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        s_ref[:, :] = acc_ref[:, :]
+
+
+def _s_diag_pallas(K, L, j, B, TK):
+    """The (B, B) diagonal block of column j's left-looking accumulation."""
+    n_k = (j * B) // TK
+    vmem = 4 * (2 * B * B + 4 * B * TK + B * B + B * B)
+    return pl.pallas_call(
+        functools.partial(_s_diag_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((B, B), jnp.float32),
+        grid=(n_k,),
+        in_specs=[
+            pl.BlockSpec((B, B), lambda k, j=j: (j, j)),
+            pl.BlockSpec((B, TK), lambda k, j=j: (j, k)),
+            pl.BlockSpec((B, TK), lambda k, j=j: (j, k)),
+        ],
+        out_specs=pl.BlockSpec((B, B), lambda k: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((B, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 * 1024 * 1024, vmem + (vmem >> 2))),
+        interpret=jax.default_backend() == "cpu",
+    )(K, L, L)
+
+
+def _below_trsm_kernel(k_ref, lrow_ref, ljrow_ref, invt_ref, out_ref,
+                       acc_ref, *, n_k):
+    """One row tile of the finished column below the diagonal:
+    out = (K_tile − A Cᵀ) @ invT, with the accumulation streamed over
+    k chunks and the TRSM applied as the last chunk's epilogue in VMEM."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, :] = k_ref[:, :].astype(jnp.float32)
+
+    a = lrow_ref[:, :].astype(jnp.float32)
+    b = ljrow_ref[:, :].astype(jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot_t = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    acc = acc_ref[:, :]
+    acc -= dot_t(ah, bh)
+    acc -= dot_t(ah, bl)
+    acc -= dot_t(al, bh)
+    acc_ref[:, :] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:, :] = _bf16x3(acc_ref[:, :], invt_ref[:, :])
+
+
+def _below_trsm_pallas(K, L, invT, j, B, T, TK):
+    """Finished column-j rows below the diagonal, (m − B, B), in one
+    streamed kernel (see the pipeline comment above)."""
+    npad = K.shape[0]
+    r0 = j * B
+    mb = npad - r0 - B
+    n_k = r0 // TK
+    grid = (mb // T, n_k)
+    rb0 = (r0 + B) // T
+    vmem = 4 * (2 * T * B + 2 * T * TK + 2 * B * TK + B * B
+                + 2 * T * B + T * B)
+    return pl.pallas_call(
+        functools.partial(_below_trsm_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((mb, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, B), lambda i, k, j=j, rb0=rb0: (rb0 + i, j)),
+            pl.BlockSpec((T, TK), lambda i, k, rb0=rb0: (rb0 + i, k)),
+            pl.BlockSpec((B, TK), lambda i, k, j=j: (j, k)),
+            pl.BlockSpec((B, B), lambda i, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i, k: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 * 1024 * 1024, vmem + (vmem >> 2))),
+        interpret=jax.default_backend() == "cpu",
+    )(K, L, L, invT)
+
+
+def _commit_kernel(l_in_ref, below_ref, ljj_ref, l_ref, *, tiles_diag):
+    i = pl.program_id(0)
+
+    @pl.when(i < tiles_diag)
+    def _():
+        l_ref[:, :] = ljj_ref[:, :]
+
+    @pl.when(i >= tiles_diag)
+    def _():
+        l_ref[:, :] = below_ref[:, :]
+
+
+def _col_commit(L, below, Ljj, j, B, T):
+    """Write the finished column [Ljj; below] into L in place — a pure-DMA
+    aliased copy (no GEMMs, no reads of L). Mirrors _panel_write's aliasing
+    structure (blocked aliased input, NOT ANY-space — see the note there)."""
+    npad = L.shape[0]
+    r0 = j * B
+    m = npad - r0
+    tiles_diag = B // T
+    grid = (m // T,)
+    return pl.pallas_call(
+        functools.partial(_commit_kernel, tiles_diag=tiles_diag),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
+            pl.BlockSpec((T, B),
+                         lambda i, td=tiles_diag: (jnp.maximum(i - td, 0), 0)),
+            pl.BlockSpec((T, B),
+                         lambda i, td=tiles_diag: (jnp.minimum(i, td - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i, rT=r0 // T, j=j: (rT + i, j)),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=4 * (8 * T * B) + (4 << 20)),
+        interpret=jax.default_backend() == "cpu",
+    )(L, below, Ljj)
+
+
 def _zero_kernel(l_in_ref, l_ref):
     l_ref[:, :] = jnp.zeros_like(l_ref[:, :])
 
@@ -492,7 +677,7 @@ def effective_block(n, block_size):
 def blocked_cholesky(K, block_size=1024, update_precision="high",
                      panel_precision="highest", diag_shift=None,
                      s_tile=None, return_panel_invs=False, inplace=True,
-                     zero_upper=True):
+                     zero_upper=True, fused_trsm=False):
     """Lower-Cholesky factor of a symmetric PSD matrix, blocked for the MXU.
 
     Args:
@@ -598,8 +783,40 @@ def blocked_cholesky(K, block_size=1024, update_precision="high",
     # N=16k — most of the measured 5.8 ms 17-RHS cho_solve). Only exact
     # when nothing was padded; callers get None otherwise.
     invs = [] if (return_panel_invs and npad == n) else None
+    use_fused_trsm = (fused_trsm and pallas_update
+                      and update_precision == "high")
     for j in range(nb):
         r0 = j * B
+        if j > 0 and use_fused_trsm:
+            # fused below-TRSM pipeline (see the block comment above the
+            # kernels): diagonal S block -> panel factor+inverse -> below
+            # rows with "@ invT" fused into the streamed accumulation ->
+            # pure-DMA aliased commit. S_below never exists in HBM.
+            Kbuf = L if pallas_inplace else K
+            Sjj = _s_diag_pallas(Kbuf, L, j, B, s_tile[1])
+            if shift is not None:
+                sj = shift[r0:r0 + B, None] if shift.ndim == 1 else shift
+                Sjj = Sjj + sj * jnp.eye(B, dtype=ldtype)
+            with jax.default_matmul_precision(panel_precision):
+                need_inv = j < nb - 1 or invs is not None or return_panel_invs
+                if need_inv:
+                    Ljj, inv = _panel_factor_inv(Sjj, update_precision,
+                                                 panel_precision)
+                else:
+                    Ljj = _panel_factor(Sjj, update_precision,
+                                        panel_precision)
+                    inv = None
+            if invs is not None:
+                invs.append(inv)
+            if j < nb - 1:
+                below = _below_trsm_pallas(Kbuf, L, inv.T, j, B,
+                                           s_tile[0], s_tile[1])
+            else:
+                below = Ljj     # no rows below: dead operand for the spec
+            L = _col_commit(L, below, Ljj, j, B, min(512, B))
+            if pallas_inplace and zero_upper and j < nb - 1:
+                L = _upper_zero(L, j, B, 512)
+            continue
         if j > 0 and pallas_update:
             # in place, unwritten regions of L still hold K: the S kernel
             # reads the not-yet-finalized panel (rows ≥ r0 of column j) and

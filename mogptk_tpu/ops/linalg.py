@@ -16,7 +16,8 @@ import jax.scipy.linalg as jsl
 from .blocked_cholesky import blocked_cholesky
 
 
-def cholesky(K, diag_shift=None, return_panel_invs=False, zero_upper=True):
+def cholesky(K, diag_shift=None, return_panel_invs=False, zero_upper=True,
+             fused_trsm=False):
     """Lower-Cholesky factor, routed to the MXU-blocked implementation when
     the policy says so (gpr.config.blocked_cholesky_enabled: auto = TPU,
     2-D, n ≥ 4096 — where it measures ~3× XLA's expander), else
@@ -41,7 +42,8 @@ def cholesky(K, diag_shift=None, return_panel_invs=False, zero_upper=True):
             update_precision=config.blocked_cholesky_update_precision,
             diag_shift=(None if diag_shift is None else diag_shift
                         if vector_shift else jnp.reshape(diag_shift, ())),
-            return_panel_invs=return_panel_invs, zero_upper=zero_upper)
+            return_panel_invs=return_panel_invs, zero_upper=zero_upper,
+            fused_trsm=fused_trsm and config.blocked_cholesky_fused_trsm)
         return out
     K = K.astype(_solve_dtype(K.dtype))
     if vector_shift:
@@ -339,7 +341,12 @@ def _chol_lml(K, diag, y):
     applied inside the factorization), solve y. Returns (val, L, alpha, yc)."""
     yc = y.astype(_solve_dtype(y.dtype))
     shift = None if diag is None else diag.astype(_solve_dtype(K.dtype))
-    L, invs = cholesky(K, diag_shift=shift, return_panel_invs=True)
+    # custom-VJP forward: nothing differentiates through the factorization,
+    # so the fused below-TRSM pipeline is legal; zero_upper=False because
+    # every consumer of this L (solves, diagonal, the closed-form backward's
+    # inverse-from-factor) reads only the lower triangle
+    L, invs = cholesky(K, diag_shift=shift, return_panel_invs=True,
+                       zero_upper=False, fused_trsm=True)
     alpha = cholesky_solve(L, yc, invs=invs)
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
     return val, L, alpha, yc
@@ -355,7 +362,9 @@ def _chol_lml_probes(K, diag, y, num_probes, seed):
     Returns (val, alpha, U, Z)."""
     yc = y.astype(_solve_dtype(y.dtype))
     shift = None if diag is None else diag.astype(_solve_dtype(K.dtype))
-    L, invs = cholesky(K, diag_shift=shift, return_panel_invs=True)
+    # custom-VJP forward; lower-only consumers (see _chol_lml)
+    L, invs = cholesky(K, diag_shift=shift, return_panel_invs=True,
+                       zero_upper=False, fused_trsm=True)
     n = K.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),
                               dtype=L.dtype)
@@ -660,7 +669,7 @@ def _lml_chol_fused_fwd(static, x, diag, y, params):
     # (lower blocks + panel inverses) and jnp.diagonal — skipping the
     # strict-upper strip zeroing saves the 0.5 GB of zero writes
     L, invs = cholesky(K, diag_shift=diag.astype(sd), return_panel_invs=True,
-                       zero_upper=False)
+                       zero_upper=False, fused_trsm=True)
     yc = y.astype(sd)
     n = x.shape[0]
     Z = jax.random.rademacher(jax.random.PRNGKey(seed), (n, num_probes),

@@ -1158,3 +1158,66 @@ def test_closed_form_gradient_inverse_from_factor_route():
     scale = float(jnp.abs(g0).max())
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                atol=1e-9 * max(scale, 1e-30))
+
+
+def test_fused_trsm_column_pipeline_matches_base():
+    """blocked_cholesky(fused_trsm=True) — the S_diag/below-TRSM/commit
+    column pipeline — produces the same factor as the standard S-panel +
+    write path, with and without a vector diag shift."""
+    from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
+    rng = np.random.RandomState(0)
+    n = 1536
+    A = rng.randn(n, n).astype(np.float32)
+    K = jnp.asarray((A @ A.T + n * np.eye(n)).astype(np.float32))
+    d = jnp.asarray((0.1 + rng.rand(n)).astype(np.float32))
+    for B in (512,):
+        L1, invs = blocked_cholesky(K, block_size=B, fused_trsm=True,
+                                    return_panel_invs=True, zero_upper=False)
+        L0 = blocked_cholesky(K, block_size=B, fused_trsm=False)
+        np.testing.assert_allclose(np.tril(np.asarray(L1)), np.asarray(L0),
+                                   rtol=0, atol=5e-4)
+        assert len(invs) == n // B
+        L1s = blocked_cholesky(K, block_size=B, fused_trsm=True,
+                               diag_shift=d, zero_upper=False)
+        L0s = blocked_cholesky(K, block_size=B, fused_trsm=False,
+                               diag_shift=d)
+        np.testing.assert_allclose(np.tril(np.asarray(L1s)), np.asarray(L0s),
+                                   rtol=0, atol=5e-4)
+
+
+def test_lml_forwards_fused_trsm_equal():
+    """The probe and closed-form LML values/gradients are identical with
+    the fused below-TRSM pipeline on and off (blocked policy forced)."""
+    import mogptk_tpu.gpr as gpr
+    from mogptk_tpu.gpr.config import config
+    from mogptk_tpu.ops.linalg import (lml_quadform_logdet_shifted,
+                                       lml_quadform_logdet_stochastic_shifted)
+    rng = np.random.RandomState(2)
+    n = 1024
+    A = rng.randn(n, n).astype(np.float32)
+    K = jnp.asarray((A @ A.T + n * np.eye(n)).astype(np.float32))
+    d = jnp.asarray(np.full(n, 0.3, np.float32))
+    y = jnp.asarray(rng.randn(n, 1).astype(np.float32))
+
+    def run():
+        v1, g1 = jax.value_and_grad(
+            lambda K_: lml_quadform_logdet_shifted(K_, d, y))(K)
+        v2 = lml_quadform_logdet_stochastic_shifted(K, d, y, 4, 0)
+        return v1, g1, v2
+
+    old_min = config.blocked_cholesky_min_n
+    try:
+        gpr.use_blocked_cholesky(True)
+        config.blocked_cholesky_min_n = 256
+        config.blocked_cholesky_fused_trsm = True
+        a = run()
+        config.blocked_cholesky_fused_trsm = False
+        b = run()
+    finally:
+        config.blocked_cholesky_fused_trsm = True
+        config.blocked_cholesky_min_n = old_min
+        gpr.use_blocked_cholesky(None)
+    np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(a[2]), float(b[2]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-4, atol=1e-8)
