@@ -69,6 +69,28 @@ def run_cell(n_total, rank, iters, ref_only=False):
               flush=True)
         return
 
+    if rank == -1:      # READOUT cell (VERDICT r4 #5)
+        # production training config (rank 64 @ 15 iters, the 2.8 s step):
+        # its per-step LML estimate is budget-limited, but BIC/AIC/
+        # log_marginal_likelihood() go through the evaluation-grade readout
+        # — measure both against the tight reference. probes=16 keeps the
+        # readout executable under the tunneled worker's ~100 s kill.
+        with open(REF_FILE) as f:
+            lml_ref = json.load(f)["ref_lml"]
+        model = build(gpr, xs, ys, rank=64, iters=iters)
+        lml_train = float(model.log_marginal_likelihood())
+        lml_read = float(model.log_marginal_likelihood_readout(
+            num_probes=16, lanczos_iters=64))
+        print(json.dumps({
+            "cell": "readout", "iters": iters,
+            "train_budget_rel_err":
+                round(abs(lml_train - lml_ref) / abs(lml_ref), 6),
+            "readout_rel_err":
+                round(abs(lml_read - lml_ref) / abs(lml_ref), 6),
+            "lml_ref": round(lml_ref, 3), "lml_readout": round(lml_read, 3),
+        }), flush=True)
+        return
+
     with open(REF_FILE) as f:
         lml_ref = json.load(f)["ref_lml"]
     model = build(gpr, xs, ys, rank=rank, iters=iters)

@@ -349,7 +349,7 @@ def _chol_lml(K, diag, y):
                        zero_upper=False, fused_trsm=True)
     alpha = cholesky_solve(L, yc, invs=invs)
     val = -jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * jnp.sum(yc * alpha)
-    return val, L, alpha, yc
+    return val, L, alpha, yc, invs
 
 
 @_sensitive
@@ -402,14 +402,14 @@ def lml_quadform_logdet(K, y):
 
 @_sensitive
 def _lml_fwd(K, y):
-    val, L, alpha, _ = _chol_lml(K, None, y)
+    val, L, alpha, _, invs = _chol_lml(K, None, y)
     # zero-length sentinels carry the primal dtypes through the residuals
     # (custom_vjp residuals must be JAX types, not dtype objects)
-    return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
+    return val, (L, alpha, invs, jnp.zeros(0, K.dtype), jnp.zeros(0, y.dtype))
 
 
 @_sensitive
-def _dense_lml_cotangents(L, alpha, g):
+def _dense_lml_cotangents(L, alpha, g, invs=None):
     """dK = ½g(ααᵀ − K⁻¹) and dy = −gα, with K⁻¹ computed in column blocks
     under lax.scan.
 
@@ -431,7 +431,10 @@ def _dense_lml_cotangents(L, alpha, g):
         from .blocked_cholesky import effective_block
         from .blocked_trisolve import (blocked_trisolve, panel_inverses,
                                        spd_inverse_from_factor)
-        eff = effective_block(n, 1024)
+        if invs is not None and invs[0].shape[-1] * len(invs) != n:
+            invs = None            # padded factorization: inverses unusable
+        eff = (invs[0].shape[-1] if invs is not None
+               else effective_block(n, 1024))
         if n % eff == 0:
             # MXU inverse-from-factor: K⁻¹ = WᵀW with W = L⁻¹ built by the
             # blocked row recursion (≈ n³/3 MACs) and a lower-only syrk
@@ -439,7 +442,7 @@ def _dense_lml_cotangents(L, alpha, g):
             # sweep below, with W computed ONCE instead of re-solving per
             # column block. Cut the measured closed-form backward's
             # dominant term accordingly (ROADMAP #1 / VERDICT r4 #4).
-            Kinv = spd_inverse_from_factor(L, block_size=eff)
+            Kinv = spd_inverse_from_factor(L, block_size=eff, invs=invs)
             dK = (0.5 * g) * (alpha * alpha[:, 0][None, :] - Kinv)
             return dK, -g * alpha
         # non-divisible n: the column-blocked double-TRSM sweep (panel
@@ -480,8 +483,8 @@ def _dense_lml_cotangents(L, alpha, g):
 
 
 def _lml_bwd(res, g):
-    L, alpha, k_sent, y_sent = res
-    dK, dy = _dense_lml_cotangents(L, alpha, g)
+    L, alpha, invs, k_sent, y_sent = res
+    dK, dy = _dense_lml_cotangents(L, alpha, g, invs=invs)
     return dK.astype(k_sent.dtype), dy.astype(y_sent.dtype)
 
 
@@ -543,15 +546,15 @@ def lml_quadform_logdet_shifted(K, diag, y):
 
 @_sensitive
 def _lml_shift_fwd(K, diag, y):
-    val, L, alpha, _ = _chol_lml(K, diag, y)
-    return val, (L, alpha, jnp.zeros(0, K.dtype), jnp.zeros(0, diag.dtype),
-                 jnp.zeros(0, y.dtype))
+    val, L, alpha, _, invs = _chol_lml(K, diag, y)
+    return val, (L, alpha, invs, jnp.zeros(0, K.dtype),
+                 jnp.zeros(0, diag.dtype), jnp.zeros(0, y.dtype))
 
 
 @_sensitive
 def _lml_shift_bwd(res, g):
-    L, alpha, k_sent, d_sent, y_sent = res
-    dK, dy = _dense_lml_cotangents(L, alpha, g)
+    L, alpha, invs, k_sent, d_sent, y_sent = res
+    dK, dy = _dense_lml_cotangents(L, alpha, g, invs=invs)
     return (dK.astype(k_sent.dtype),
             jnp.diagonal(dK).astype(d_sent.dtype), dy.astype(y_sent.dtype))
 
