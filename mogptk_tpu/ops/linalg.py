@@ -271,14 +271,28 @@ def _blocked_trisolve_worthwhile(L, B):
     return bool(on_tpu) and _static_ge(n, 256) and _static_ge(R, 4 * n)
 
 
+def _trisolve_block(n):
+    """Panel width for routed triangular solves: the B×B diagonal-panel
+    inversions go through XLA's sequential expander (cost ≳ B³), so small
+    factors — the sparse models' M≈1k whitening solves — use 256² panels
+    (16× cheaper inversions; the substitution sweep stays pure GEMMs).
+    Large factors keep 1024 so the sweep GEMMs dominate."""
+    try:
+        small = n <= 2048
+    except Exception:       # symbolic dim (jax.export)
+        small = False
+    return 256 if small else 1024
+
+
 @_sensitive
 def solve_triangular(L, B, lower=True, trans=False):
     if _blocked_trisolve_worthwhile(L, B):
         from .blocked_trisolve import blocked_trisolve
+        bs = _trisolve_block(L.shape[-1])
         if trans:
             # op(L)=Lᵀ: solve against the transposed triangle
-            return blocked_trisolve(L.T, B, lower=not lower)
-        return blocked_trisolve(L, B, lower=lower)
+            return blocked_trisolve(L.T, B, lower=not lower, block_size=bs)
+        return blocked_trisolve(L, B, lower=lower, block_size=bs)
     return jsl.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
 
 
