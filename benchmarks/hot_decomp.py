@@ -237,6 +237,24 @@ def main():
                 lambda K_, L, j, B_, T=512, TK=512:
                 jax.lax.dynamic_slice(
                     K_, (j * B_, j * B_), (K_.shape[0] - j * B_, B_)))
+        elif cell in ("cholprod", "cholprodbase"):
+            # the PRODUCTION LML-forward configuration (ops/linalg._chol_lml):
+            # B=512, vector diag shift, zero_upper=False, panel invs returned
+            # — cholprod engages the fused below-TRSM pipeline, cholprodbase
+            # is the same call with it off (the A/B the kill switch exists
+            # for; `cholfull` keeps measuring the default user-facing call)
+            fused = cell == "cholprod"
+            shift = jnp.full((N,), 0.1, jnp.float32)
+
+            def chol_prod(Kv):
+                L, invs = bc.blocked_cholesky(
+                    Kv, block_size=512, diag_shift=shift,
+                    return_panel_invs=True, zero_upper=False,
+                    fused_trsm=fused)
+                return Kv + 1e-25 * jnp.nan_to_num(L)
+            probe(chol_prod, K, cell, target=10.0)
+            print(json.dumps(out), flush=True)
+            return
         elif cell != "cholfull":
             raise SystemExit("unknown cell %r" % cell)
 

@@ -95,6 +95,58 @@ def main():
         return v + 1e-30 * Q[0, :1]
     probe(q_gemm, v0, "q_gemm", target=8.0)
 
+    # ---- backward-side cells (the step's 6+ ms beyond the forward) ----
+
+    # Kuf gram fwd+VJP wrt Z (the in-kernel x-cotangent route; the custom
+    # backward computes the param cotangents in the same kernel, so this is
+    # the gram's full cost inside value_and_grad)
+    def kuf_vjp_z(z):
+        def f(z_):
+            with gpr.input_gradients():
+                return jnp.sum(kern.K(z_, X))
+        return z + 1e-12 * jax.grad(f)(z)
+    probe(kuf_vjp_z, Z, "kuf_vjp_z", target=8.0)
+
+    # whitening chain fwd+VJP: chol(Kuu) + Luu^-1 Kuf, grads to both inputs
+    def whiten_vjp(carry):
+        Kuu, Kuf = carry
+
+        def f(a, b):
+            L = model._cholesky(a, add_jitter=True)
+            v = solve_triangular(L, b)
+            return jnp.sum(v * v)
+        g = jax.grad(f, argnums=(0, 1))(Kuu, Kuf)
+        return (Kuu + 1e-12 * g[0], Kuf + 1e-12 * g[1])
+    probe(whiten_vjp, (Kuu0, Kuf0), "whiten_vjp", target=8.0)
+
+    # full step with Z's gradient stopped: the Z-cotangent increment.
+    # train is a LIST of raw leaves; Z's raw is the only (M, ...) 2-D one
+    M = Z.shape[0]
+
+    def step_zstop(carry):
+        params, opt_state = carry
+
+        def loss_z(p, f_):
+            p = [jax.lax.stop_gradient(leaf)
+                 if (leaf.ndim == 2 and leaf.shape[0] == M) else leaf
+                 for leaf in p]
+            return loss_fn(p, f_)
+        value, grads = jax.value_and_grad(loss_z)(params, fixed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state)
+    probe(step_zstop, (train0, opt_state0), "step_zstop", target=12.0)
+
+    # optimizer alone (single-leaf Adam)
+    g0 = jax.tree_util.tree_map(jnp.ones_like, train0)
+
+    def opt_only(carry):
+        params, opt_state = carry
+        updates, opt_state = optimizer.update(g0, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state)
+    probe(opt_only, (train0, opt_state0), "opt_only", target=4.0)
+
     print(json.dumps(out), flush=True)
 
 
