@@ -73,16 +73,24 @@ def run_cell(n_total, rank, iters, ref_only=False):
         # production training config (rank 64 @ 15 iters, the 2.8 s step):
         # its per-step LML estimate is budget-limited, but BIC/AIC/
         # log_marginal_likelihood() go through the evaluation-grade readout
-        # — measure both against the tight reference. probes=16 keeps the
-        # readout executable under the tunneled worker's ~100 s kill.
+        # — measure both against the tight reference. probes=16 keeps ONE
+        # readout executable under the tunneled worker's ~100 s kill; the
+        # `seeds` knob averages independent probe streams across separate
+        # executables (statistical error ∝ 1/sqrt(seeds·probes)), and
+        # READOUT_RANK raises the pivoted-Cholesky preconditioner rank,
+        # which crushes ‖log(P⁻¹K)‖_F (both the SLQ variance AND its bias).
+        r_rank = int(os.environ.get("READOUT_RANK", "64"))
+        r_seeds = int(os.environ.get("READOUT_SEEDS", "1"))
         with open(REF_FILE) as f:
             lml_ref = json.load(f)["ref_lml"]
         model = build(gpr, xs, ys, rank=64, iters=iters)
         lml_train = float(model.log_marginal_likelihood())
         lml_read = float(model.log_marginal_likelihood_readout(
-            num_probes=16, lanczos_iters=64))
+            num_probes=16, lanczos_iters=64, precond_rank=r_rank,
+            seeds=r_seeds))
         print(json.dumps({
-            "cell": "readout", "iters": iters,
+            "cell": "readout", "iters": iters, "rank": r_rank,
+            "seeds": r_seeds,
             "train_budget_rel_err":
                 round(abs(lml_train - lml_ref) / abs(lml_ref), 6),
             "readout_rel_err":
