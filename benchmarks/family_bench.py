@@ -76,7 +76,7 @@ def main():
     step_ms = device_ms(step_body, (train0, optimizer.init(train0)),
                         target_sec=5.0)
 
-    print(json.dumps({"family": family, "n": int(N),
+    print(json.dumps({"family": family, "n": int(sum(N)),
                       "gram_fwd_ms": round(gram_ms, 3),
                       "probe_step_ms": round(step_ms, 3)}))
 

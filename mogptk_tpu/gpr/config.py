@@ -60,8 +60,15 @@ class Config:
         # Fused below-TRSM column pipeline inside the custom-VJP LML
         # forwards (ops/blocked_cholesky fused_trsm): S_below never exists
         # in HBM and the TRSM rides the streamed accumulation kernel's
-        # epilogue. Kill switch for A/B and debugging.
-        self.blocked_cholesky_fused_trsm = True
+        # epilogue. OFF by default: the A/B at the production config
+        # (N=16k, B=512, vector shift — benchmarks/hot_decomp.py cholprod
+        # vs cholprodbase) measured the fused pipeline 42.84 ms vs 38.25 ms
+        # for the unfused in-place flow — the separate diagonal-S kernel
+        # re-pays left-column reads and the VMEM-resident accumulation
+        # pipelines worse than the auto-pipelined S-panel kernel (the third
+        # hand-fused attempt to measure slower; see ROADMAP #1). The switch
+        # turns it on for A/B.
+        self.blocked_cholesky_fused_trsm = False
         # Matmul precision for the cancellation-sensitive products only
         # (factorizations/triangular solves in ops/linalg.py and the
         # GEMM-identity squared distance): XLA:TPU's default bf16-pass f32

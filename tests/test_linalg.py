@@ -1206,6 +1206,7 @@ def test_lml_forwards_fused_trsm_equal():
         return v1, g1, v2
 
     old_min = config.blocked_cholesky_min_n
+    old_fused = config.blocked_cholesky_fused_trsm
     try:
         gpr.use_blocked_cholesky(True)
         config.blocked_cholesky_min_n = 256
@@ -1214,7 +1215,7 @@ def test_lml_forwards_fused_trsm_equal():
         config.blocked_cholesky_fused_trsm = False
         b = run()
     finally:
-        config.blocked_cholesky_fused_trsm = True
+        config.blocked_cholesky_fused_trsm = old_fused
         config.blocked_cholesky_min_n = old_min
         gpr.use_blocked_cholesky(None)
     np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-6)
