@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 FAMILIES = ["mosm", "umosm", "csm", "conv", "mohsm", "lmc_sm"]
 
 
-def _family_kernel(name, rng, channels=2, q=2):
+def _family_kernel(name, rng, channels=2, q=2, mohsm_psd_safe=False):
     import mogptk_tpu.gpr as gpr
     if name == "mosm":
         k = gpr.MultiOutputSpectralMixtureKernel(q, output_dims=channels)
@@ -68,7 +68,8 @@ def _family_kernel(name, rng, channels=2, q=2):
         k.weight.assign(0.3 + 0.5 * rng.rand(channels, 2, 2))
         return k
     if name == "mohsm":
-        k = gpr.MultiOutputHarmonizableSpectralKernel(output_dims=channels)
+        k = gpr.MultiOutputHarmonizableSpectralKernel(
+            output_dims=channels, psd_safe=mohsm_psd_safe)
         k.mean.assign(0.1 + 0.1 * rng.rand(channels, 1))
         # PSD regime: wide spectral variance + tight envelope (test_iterative)
         k.variance.assign(0.9 + 0.2 * rng.rand(channels, 1))
