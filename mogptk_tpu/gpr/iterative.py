@@ -181,13 +181,19 @@ def _make_preconditioner(static, x, c, noise_diag, params, full=False):
 
     L = pivoted_cholesky(diag(c, x, params).astype(sd), K_row, n, precond_rank)
     r = L.shape[1]
-    inner = sigma2 * jnp.eye(r, dtype=L.dtype) + L.T @ L
+    # every dot below is value-critical (logdetP and the P-probe/M_inv
+    # consistency the CG logdet quadrature relies on) and O(n·r·R) at most
+    # — run them as true f32, not XLA:TPU's default bf16 passes (at rank
+    # 256 the default broke the N=65k readout by ~10k nats; see
+    # ops/iterative.pivoted_cholesky)
+    inner = (sigma2 * jnp.eye(r, dtype=L.dtype)
+             + jnp.matmul(L.T, L, precision="highest"))
     Linner = jnp.linalg.cholesky(inner)
 
     def M_inv(V):
-        t = L.T @ V
+        t = jnp.matmul(L.T, V, precision="highest")
         t = jax.scipy.linalg.cho_solve((Linner, True), t)
-        return (V - L @ t) / sigma2
+        return (V - jnp.matmul(L, t, precision="highest")) / sigma2
 
     if not full:
         return M_inv
@@ -196,7 +202,8 @@ def _make_preconditioner(static, x, c, noise_diag, params, full=False):
         k0, k1 = jax.random.split(key)
         u0 = jax.random.normal(k0, (n, R), dtype=L.dtype)
         u1 = jax.random.normal(k1, (r, R), dtype=L.dtype)
-        return jnp.sqrt(sigma2) * u0 + L @ u1
+        return (jnp.sqrt(sigma2) * u0
+                + jnp.matmul(L, u1, precision="highest"))
 
     # det(σ²I_n + LLᵀ) = σ^{2(n−r)} · det(σ²I_r + LᵀL)
     logdetP = ((n - r) * jnp.log(sigma2)

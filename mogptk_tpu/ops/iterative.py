@@ -180,7 +180,13 @@ def pivoted_cholesky(K_diag, K_row, n, rank, jitter=1e-6):
         i = jnp.argmax(d)
         val = jnp.maximum(d[i], jitter)
         row = K_row(i)                                  # n
-        l = (row - L @ L[i, :]) / jnp.sqrt(val)
+        # "highest": XLA:TPU's default bf16-pass f32 matmul compounds over
+        # the sequential pivots — at rank 256 / N=65k the residual diagonal
+        # drifts into garbage pivots and the Woodbury P breaks down (the
+        # readout LML moved by ~10k nats; CPU-f32 is exact at every rank).
+        # The matvec is O(n·rank) per pivot — precision here is free.
+        l = ((row - jnp.matmul(L, L[i, :], precision="highest"))
+             / jnp.sqrt(val))
         l = l.at[i].set(jnp.sqrt(val))
         L = L.at[:, k].set(l)
         d = jnp.maximum(d - l * l, 0.0)
