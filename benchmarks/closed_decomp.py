@@ -60,9 +60,11 @@ def main():
                     lambda p: p + 1e-30 * v.astype(p.dtype), params)
             probe(fwd, train0, "fwd", target=15.0)
 
-    elif cell in ("kinv512", "kinv1024", "dk"):
+    elif cell in ("kinv512", "kinv1024", "dk", "triinv512", "syrk512",
+                  "wtwone"):
         from mogptk_tpu.ops.blocked_cholesky import blocked_cholesky
-        from mogptk_tpu.ops.blocked_trisolve import spd_inverse_from_factor
+        from mogptk_tpu.ops.blocked_trisolve import (spd_inverse_from_factor,
+                                                     blocked_tri_inverse)
         N = 16384
         key = jax.random.PRNGKey(0)
         A = jax.random.normal(key, (N, N), dtype=jnp.float32) / (N ** 0.5)
@@ -70,7 +72,48 @@ def main():
         shift = jnp.full((N,), 0.1, jnp.float32)
         L, invs = blocked_cholesky(K, block_size=512, diag_shift=shift,
                                    return_panel_invs=True, zero_upper=False)
-        if cell == "kinv512":
+        if cell == "triinv512":
+            def body(Lv):
+                W = blocked_tri_inverse(Lv, block_size=512, invs=invs)
+                return Lv + 1e-25 * W
+            probe(body, L, "triinv512", target=10.0)
+        elif cell in ("syrk512", "wtwone"):
+            W0 = blocked_tri_inverse(L, block_size=512, invs=invs)
+            if cell == "wtwone":
+                def body(Wv):
+                    Kinv = jax.lax.dot_general(Wv, Wv, (((0,), (0,)),
+                                                        ((), ())),
+                                               precision="high")
+                    return Wv + 1e-25 * Kinv
+            else:
+                from mogptk_tpu.ops import blocked_trisolve as bt
+
+                def body(Wv):
+                    # the syrk+mirror tail of spd_inverse_from_factor
+                    n_, Bs = Wv.shape[0], 512
+                    nbl = n_ // Bs
+                    cols = []
+                    for jb in range(nbl):
+                        rows = ([jnp.zeros((jb * Bs, Bs), Wv.dtype)]
+                                if jb else [])
+                        for ib in range(jb, nbl):
+                            r0 = ib * Bs
+                            blk = jax.lax.dot_general(
+                                Wv[r0:, r0:r0 + Bs],
+                                Wv[r0:, jb * Bs:(jb + 1) * Bs],
+                                (((0,), (0,)), ((), ())), precision="high")
+                            rows.append(blk)
+                        cols.append(jnp.concatenate(rows, axis=0))
+                    Kl = jnp.concatenate(cols, axis=1)
+                    rb = jax.lax.broadcasted_iota(jnp.int32, (n_, n_), 0) // Bs
+                    cb = jax.lax.broadcasted_iota(jnp.int32, (n_, n_), 1) // Bs
+                    strict = rb > cb
+                    Kinv = (jnp.where(strict, Kl, jnp.zeros((), Wv.dtype)).T
+                            + jnp.where(rb >= cb, Kl,
+                                        jnp.zeros((), Wv.dtype)))
+                    return Wv + 1e-25 * Kinv
+            probe(body, W0, cell, target=10.0)
+        elif cell == "kinv512":
             def body(Lv):
                 Kinv = spd_inverse_from_factor(Lv, block_size=512, invs=invs)
                 return Lv + 1e-25 * Kinv

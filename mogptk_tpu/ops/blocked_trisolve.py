@@ -134,15 +134,20 @@ def blocked_tri_inverse(L, block_size=1024, update_precision="high",
     if invs is None:
         invs = panel_inverses(L, lower=True, block_size=Bs,
                               panel_precision=panel_precision)
-    zero = jnp.zeros((), L.dtype)
-    W = invs[0]                         # square (r0+Bs, r0+Bs), upper zero
+    # ONE preallocated buffer updated with dynamic_update_slice: XLA keeps
+    # the (dead-temp) buffer in place, so each step writes only its (Bs,
+    # r0+Bs) row strip. The earlier concatenate chain rebuilt the growing W
+    # every block row — Σ (iBs)² read+write ≈ 22 GB of pure copy traffic at
+    # n=16k (the bulk of the measured 125 ms spd_inverse_from_factor;
+    # benchmarks/closed_decomp.py).
+    W = jnp.zeros((n, n), L.dtype)
+    W = jax.lax.dynamic_update_slice(W, invs[0], (0, 0))
     for i in range(1, nb):
         r0 = i * Bs
-        strict = -_dot(invs[i], _dot(L[r0:r0 + Bs, :r0], W,
+        strict = -_dot(invs[i], _dot(L[r0:r0 + Bs, :r0], W[:r0, :r0],
                                      update_precision), update_precision)
-        W = jnp.concatenate(
-            [jnp.concatenate([W, jnp.broadcast_to(zero, (r0, Bs))], axis=1),
-             jnp.concatenate([strict, invs[i]], axis=1)], axis=0)
+        W = jax.lax.dynamic_update_slice(
+            W, jnp.concatenate([strict, invs[i]], axis=1), (r0, 0))
     return W
 
 
