@@ -69,6 +69,15 @@ def run_cell(n_total, rank, iters, ref_only=False):
               flush=True)
         return
 
+    if rank == -2:      # DENSE ground-truth cell (blocked exact path)
+        it = build(gpr, xs, ys, rank=64, iters=15)
+        model = gpr.Exact(it.kernel, it.X, it.y, variance=0.1)
+        print(json.dumps(
+            {"cell": "dense", "n": int(it.X.shape[0]),
+             "dense_lml": float(model.log_marginal_likelihood())}),
+            flush=True)
+        return
+
     if rank == -1:      # READOUT cell (VERDICT r4 #5)
         # production training config (rank 64 @ 15 iters, the 2.8 s step):
         # its per-step LML estimate is budget-limited, but BIC/AIC/
