@@ -37,6 +37,17 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
     if M_inv is None:
         M_inv = lambda v: v
 
+    # tolerance floor at ~32 eps of the solve dtype: a tol below what the
+    # arithmetic can reach (e.g. the evaluation-grade 1e-10 in f32) means
+    # columns NEVER freeze — CG keeps iterating on round-off noise after
+    # convergence, the post-convergence "coefficients" violate the Lanczos
+    # relation, and the logdet quadrature reads spurious near-zero Ritz
+    # values out of them: measured −2.2e6 instead of +1320 at N=16k with
+    # 250 iterations (the true value sits at ~60 iterations' convergence).
+    # Frozen iterations contribute identity rows — exactly what the
+    # quadrature wants once the solve has converged.
+    tol = max(float(tol), 32.0 * float(jnp.finfo(B.dtype).eps))
+
     b_norm = jnp.sqrt(jnp.sum(B * B, axis=0))               # R
     b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
 
@@ -95,7 +106,11 @@ def cg_logdet_quadrature(coeffs):
     prev_ba = jnp.concatenate(
         [jnp.zeros((1, R), alphas.dtype), betas[:-1] * inv_a[:-1]], axis=0)
     diag = jnp.where(actives, inv_a + prev_ba, 1.0)          # (m, R)
+    # non-finite coefficients (breakdown past the dtype's reachable
+    # residual) contribute identity rows, like frozen iterations
+    diag = jnp.where(jnp.isfinite(diag), diag, 1.0)
     off = jnp.sqrt(jnp.maximum(betas, 0.0)) * inv_a          # (m, R)
+    off = jnp.where(jnp.isfinite(off), off, 0.0)
     # off-diagonal k couples iterations k and k+1: zero once either froze
     both = actives[:-1] & actives[1:]
     off = jnp.where(both, off[:-1], 0.0)                     # (m-1, R)

@@ -398,3 +398,25 @@ def test_cg_logdet_quadrature_matches_dense():
                             M_inv=M_inv, track_coeffs=True)
     est = n * np.log(s) + float(jnp.mean(cg_logdet_quadrature(coeffs)))
     assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
+
+
+def test_cg_logdet_quadrature_overiterated_f32():
+    """A tolerance below the dtype's reachable residual plus an iteration
+    budget far past convergence must not poison the quadrature. Without the
+    cg_solve tolerance floor, post-convergence CG coefficients violate the
+    Lanczos relation and the tridiagonal grows spurious ~0 Ritz values:
+    the round-5 evaluation-grade readout measured -2.2e6 instead of +1320
+    at N=16k / 250 iterations on TPU-f32."""
+    from mogptk_tpu.ops.iterative import cg_logdet_quadrature
+
+    rng = np.random.RandomState(3)
+    n, R = 64, 256
+    A_ = rng.randn(n, n).astype(np.float32)
+    A = jnp.asarray(A_ @ A_.T / n + 2.0 * np.eye(n, dtype=np.float32),
+                    dtype=jnp.float32)
+    exact = float(np.linalg.slogdet(np.asarray(A, np.float64))[1])
+    Z = jax.random.normal(jax.random.PRNGKey(1), (n, R), dtype=jnp.float32)
+    _, _, coeffs = cg_solve(lambda V: (A @ V).astype(jnp.float32), Z,
+                            max_iters=8 * n, tol=1e-30, track_coeffs=True)
+    est = float(jnp.mean(cg_logdet_quadrature(coeffs)))
+    assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
