@@ -58,10 +58,25 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
     rz0 = jnp.sum(R0 * Z0, axis=0)
 
     def body(carry, _):
-        X, R, P, rz = carry
-        active = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm > tol  # R bools
+        X, R, P, rz, frozen, best, stall = carry
+        res = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm
+        # LATCHED freeze: converged, diverged past best, or stalled on the
+        # round-off plateau. Finite-precision CG on an ill-conditioned
+        # operator bottoms out far above any tol; iterating on the plateau
+        # yields coefficients that violate the Lanczos relation and poison
+        # the logdet quadrature with spurious ~0 Ritz values — measured
+        # −2.2e6 instead of +1320 at N=16k/250 iters on TPU-f32. A column
+        # freezes when its residual exceeds 3× its best, or makes <0.2%
+        # progress on its best for 16 consecutive iterations.
+        improved = res < 0.998 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        frozen = frozen | (res <= tol) | (res > 3.0 * best) | (stall >= 16)
+        best = jnp.minimum(best, res)
+        active = ~frozen
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
+        # pAp ≤ 0 is CG breakdown (round-off non-SPD step): freeze for good
+        frozen = frozen | (pAp <= 0.0)
         alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp), 0.0)
         alpha = jnp.where(active, alpha, 0.0)
         X = X + alpha[None, :] * P
@@ -71,10 +86,16 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
         beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
         beta = jnp.where(active, beta, 0.0)
         P = Z + beta[None, :] * P
-        return (X, R, P, rz_new), (alpha, beta, active)
+        # keep the frozen state's R/X from drifting: alpha/beta are already
+        # zeroed, so X and R are constant for frozen columns
+        return (X, R, P, rz_new, frozen, best, stall), (alpha, beta, active)
 
-    (X, R, _, _), (alphas, betas, actives) = jax.lax.scan(
-        body, (X0, R0, P0, rz0), None, length=max_iters)
+    frozen0 = jnp.zeros(B.shape[1], dtype=bool)
+    best0 = jnp.full((B.shape[1],), jnp.inf, dtype=b_norm.dtype)
+    stall0 = jnp.zeros(B.shape[1], dtype=jnp.int32)
+    (X, R, _, _, _, _, _), (alphas, betas, actives) = jax.lax.scan(
+        body, (X0, R0, P0, rz0, frozen0, best0, stall0), None,
+        length=max_iters)
     res = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm
     if track_coeffs:
         return X, res, (alphas, betas, actives, rz0)
