@@ -78,6 +78,23 @@ def run_cell(n_total, rank, iters, ref_only=False):
             flush=True)
         return
 
+    if rank == -3:      # VSDENSE: dense truth AND the readout, one cell
+        r_rank = int(os.environ.get("READOUT_RANK", "256"))
+        r_seeds = int(os.environ.get("READOUT_SEEDS", "1"))
+        it = build(gpr, xs, ys, rank=64, iters=iters)
+        dense_model = gpr.Exact(it.kernel, it.X, it.y, variance=0.1)
+        dense = float(dense_model.log_marginal_likelihood())
+        read = float(it.log_marginal_likelihood_readout(
+            num_probes=16, lanczos_iters=64, precond_rank=r_rank,
+            seeds=r_seeds))
+        print(json.dumps(
+            {"cell": "vsdense", "n": int(it.X.shape[0]), "rank": r_rank,
+             "seeds": r_seeds, "dense_lml": round(dense, 3),
+             "readout_lml": round(read, 3),
+             "rel_err": round(abs(read - dense) / abs(dense), 6)}),
+            flush=True)
+        return
+
     if rank == -1:      # READOUT cell (VERDICT r4 #5)
         # production training config (rank 64 @ 15 iters, the 2.8 s step):
         # its per-step LML estimate is budget-limited, but BIC/AIC/

@@ -176,6 +176,115 @@ def lanczos(matvec, Z, m):
     return alphas, betas[:-1]
 
 
+def lanczos_reorth(matvec, Z, m):
+    """Fully reorthogonalized Lanczos tridiagonalization, batched over
+    probes Z (n, R).
+
+    The plain three-term recurrence loses orthogonality in f32 well before
+    ~50 iterations on ill-conditioned operators; the resulting "ghost"
+    copies of extremal Ritz values bias logdet quadrature catastrophically
+    (measured −9.5k vs a true +1.3k at N=16k with ~60 effective
+    iterations). Full reorthogonalization stores the basis — (m, n, R)
+    memory, m²nR extra MACs in two batched GEMM-like einsums per sweep —
+    and keeps the Ritz values clean; this is the evaluation-grade variant
+    (log_marginal_likelihood_readout), while `lanczos` remains the cheap
+    training-path estimate. The orthogonalization dots run at "highest"
+    precision: bf16-pass projections would re-introduce exactly the drift
+    this exists to remove.
+    """
+    n, R = Z.shape
+    out_dtype = jax.eval_shape(matvec,
+                               jax.ShapeDtypeStruct(Z.shape, Z.dtype)).dtype
+    Z = Z.astype(out_dtype)
+    q = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
+    Q0 = jnp.zeros((m, n, R), out_dtype)
+
+    def body(carry, k):
+        Qb, q_cur = carry
+        Qb = jax.lax.dynamic_update_slice(Qb, q_cur[None], (k, 0, 0))
+        v = matvec(q_cur)                                  # n x R
+        alpha = jnp.sum(q_cur * v, axis=0)                 # R
+        # project out EVERY stored vector (rows > k are zero — harmless)
+        proj = jnp.einsum("knr,nr->kr", Qb, v, precision="highest")
+        v = v - jnp.einsum("knr,kr->nr", Qb, proj, precision="highest")
+        # second CGS pass ("twice is enough"): one pass leaves O(eps·κ)
+        # residual components along the basis
+        proj2 = jnp.einsum("knr,nr->kr", Qb, v, precision="highest")
+        v = v - jnp.einsum("knr,kr->nr", Qb, proj2, precision="highest")
+        beta = jnp.linalg.norm(v, axis=0)                  # R
+        q_next = v / jnp.where(beta == 0.0, 1.0, beta)[None, :]
+        return (Qb, q_next), (alpha, beta)
+
+    _, (alphas, betas) = jax.lax.scan(body, (Q0, q), jnp.arange(m))
+    return alphas, betas[:-1]
+
+
+def woodbury_half_powers(L, sigma2):
+    """Exact P^{±1/2} application closures for P = σ²I + L Lᵀ.
+
+    From the r×r eigendecomposition LᵀL = V Λ Vᵀ: U = L V Λ^{−1/2} has
+    orthonormal columns and P = σ²I + U Λ Uᵀ, so
+    P^s = σ^{2s} (I + U ((1 + Λ/σ²)^s − 1) Uᵀ) for any power s. Returns
+    (apply_half, apply_neg_half, logdetP). All dots "highest": these feed
+    logdet values directly.
+    """
+    r = L.shape[1]
+    G = jnp.matmul(L.T, L, precision="highest")
+    lam, V = jnp.linalg.eigh(G)
+    lam = jnp.maximum(lam, 0.0)
+    # guard rank-deficient columns (duplicate pivots): U column ~ 0 there
+    inv_sqrt = jnp.where(lam > 0.0, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)),
+                         0.0)
+    U = jnp.matmul(L, V * inv_sqrt[None, :], precision="highest")  # (n, r)
+    ratio = 1.0 + lam / sigma2
+
+    def apply_pow(X, s):
+        t = jnp.matmul(U.T, X, precision="highest")
+        t = (ratio ** s - 1.0)[:, None] * t
+        return (sigma2 ** s) * (X + jnp.matmul(U, t, precision="highest"))
+
+    logdetP = ((L.shape[0] - r) * jnp.log(sigma2)
+               + jnp.sum(jnp.log(sigma2 * ratio)))
+
+    return (lambda X: apply_pow(X, 0.5), lambda X: apply_pow(X, -0.5),
+            logdetP)
+
+
+def preconditioned_slq_logdet(matvec, L, sigma2, n, num_probes=16,
+                              lanczos_iters=64, key=None,
+                              dtype=jnp.float32):
+    """Evaluation-grade logdet(A): exact logdet(P) plus reorthogonalized
+    SLQ of tr log(P^{−1/2} A P^{−1/2}) with P = σ²I + L Lᵀ.
+
+    The preconditioner does double duty: it shrinks ‖log(Ã)‖ (so both the
+    Hutchinson variance and the Lanczos-degree requirement drop), and its
+    own logdet is exact. Rademacher probes, cov I — no P-sampling or CG
+    coupling, so the estimate is immune to the CG-stagnation pathologies
+    the training-path quadrature guards against (ops/iterative.cg_solve).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    apply_half, apply_neg_half, logdetP = woodbury_half_powers(
+        L.astype(dtype), jnp.asarray(sigma2, dtype))
+
+    def matvec_tilde(V):
+        return apply_neg_half(matvec(apply_neg_half(V)))
+
+    Z = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
+    alphas, betas = lanczos_reorth(matvec_tilde, Z, lanczos_iters)
+
+    def one(a, b, z2):
+        T = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
+        lam, Uv = jnp.linalg.eigh(T)
+        lam = jnp.maximum(lam, 1e-12)
+        w = Uv[0, :] ** 2
+        return jnp.sum(w * jnp.log(lam)) * z2
+
+    vals = jax.vmap(one, in_axes=(1, 1, 0))(alphas, betas,
+                                            jnp.sum(Z * Z, axis=0))
+    return logdetP + jnp.mean(vals)
+
+
 def slq_logdet(matvec, n, num_probes=16, lanczos_iters=32, key=None, dtype=jnp.float32):
     """Stochastic Lanczos quadrature estimate of log det(A) for SPD A.
 

@@ -420,3 +420,30 @@ def test_cg_logdet_quadrature_overiterated_f32():
                             max_iters=8 * n, tol=1e-30, track_coeffs=True)
     est = float(jnp.mean(cg_logdet_quadrature(coeffs)))
     assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
+
+
+def test_preconditioned_slq_logdet_long_chain_f32():
+    """The reorthogonalized preconditioned SLQ must stay at the dense
+    logdet even with a Lanczos degree far past what plain (ghost-prone)
+    Lanczos tolerates in f32 on an ill-conditioned operator."""
+    from mogptk_tpu.ops.iterative import (preconditioned_slq_logdet,
+                                          pivoted_cholesky)
+
+    rng = np.random.RandomState(5)
+    n = 256
+    # ill-conditioned SPD: low-rank structure + small diagonal
+    F = rng.randn(n, 24).astype(np.float32)
+    A_np = (F @ F.T + 0.01 * np.eye(n)).astype(np.float32)
+    A = jnp.asarray(A_np, dtype=jnp.float32)
+    exact = float(np.linalg.slogdet(A_np.astype(np.float64))[1])
+
+    sigma2 = 0.01
+    L = pivoted_cholesky(jnp.diag(A) - sigma2,
+                         lambda i: (A[i, :] - sigma2
+                                    * (jnp.arange(n) == i)).astype(jnp.float32),
+                         n, 16)
+    est = float(preconditioned_slq_logdet(
+        lambda V: (A @ V).astype(jnp.float32), L, sigma2, n,
+        num_probes=32, lanczos_iters=128, key=jax.random.PRNGKey(0),
+        dtype=jnp.float32))
+    assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
