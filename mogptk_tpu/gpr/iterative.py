@@ -100,12 +100,34 @@ def _counts_or_none(counts, x):
     return counts
 
 
-def _make_matvec(static, x, c, noise_diag, params, mask=None):
+def _make_matvec(static, x, c, noise_diag, params, mask=None, hp=False):
     (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
      precond_rank, ring, counts) = static
     counts = _counts_or_none(counts, x)
     sd = _solve_dt(noise_diag.dtype)
     noise_diag = noise_diag.astype(sd)
+
+    if hp and ring is None:
+        # high-precision operator for spectral estimates (the readout's
+        # Lanczos): the fast kernels' single-bf16-pass contraction puts
+        # ~2⁻⁸ input rounding directly into the operator the quadrature
+        # probes — fine for CG/gradients, catastrophic for tr log at scale
+        if use_pallas:
+            def base(V):
+                return (fused_gram_matvec(family, O, x, c, x, c, params, V,
+                                          precision="highest").astype(sd)
+                        + noise_diag[:, None] * V)
+        else:
+            _, dense, _ = resolve_family(family)
+            K = dense(c, x, c, None, params).astype(sd)
+
+            def base(V):
+                with jax.default_matmul_precision("highest"):
+                    return K @ V + noise_diag[:, None] * V
+        if mask is None:
+            return base
+        m_ = mask.reshape(-1, 1).astype(sd)
+        return lambda V: m_ * base(m_ * V) + (1.0 - m_) * V
 
     if ring is not None:
         from ..parallel.ring import ring_gram_matvec
@@ -221,41 +243,6 @@ def _make_preconditioner(static, x, c, noise_diag, params, full=False):
     logdetP = ((n - r) * jnp.log(sigma2)
                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Linner))))
     return M_inv, sample, logdetP
-
-
-def _lml_readout(static, x, c, noise_diag, y, params):
-    """Evaluation-grade LML core (log_marginal_likelihood_readout):
-    preconditioned CG for the quadratic term and the REORTHOGONALIZED
-    preconditioned SLQ for the logdet. The training path's CG-coefficient
-    quadrature is free but inherits unreorthogonalized-Lanczos ghost
-    eigenvalues as the chain lengthens — at evaluation budgets (many
-    iterations, f32) that bias is catastrophic (measured −9.5k vs a true
-    +1.3k at N=16k), while the reorthogonalized estimate with exact
-    logdet(P) stays clean. Forward-only (no VJP): readout never needs
-    gradients."""
-    (family, O, max_cg, tol, probes, lanczos_iters, seed, use_pallas,
-     precond_rank, ring, counts) = static
-    n = x.shape[0]
-    y = y.astype(_solve_dt(y.dtype))
-    matvec = _make_matvec(static, x, c, noise_diag, params)
-    L, sigma2 = _pivoted_factor(static, x, c, noise_diag, params)
-    r = L.shape[1]
-    inner = (sigma2 * jnp.eye(r, dtype=L.dtype)
-             + jnp.matmul(L.T, L, precision="highest"))
-    Linner = jnp.linalg.cholesky(inner)
-
-    def M_inv(V):
-        t = jnp.matmul(L.T, V, precision="highest")
-        t = jax.scipy.linalg.cho_solve((Linner, True), t)
-        return (V - jnp.matmul(L, t, precision="highest")) / sigma2
-
-    alpha, _ = cg_solve(matvec, y.reshape(n, -1), max_iters=max_cg, tol=tol,
-                        M_inv=M_inv)
-    logdet = preconditioned_slq_logdet(
-        matvec, L, sigma2, n, num_probes=probes,
-        lanczos_iters=lanczos_iters, key=jax.random.PRNGKey(seed + 1),
-        dtype=y.dtype)
-    return -0.5 * jnp.sum(y.reshape(n, -1) * alpha) - 0.5 * logdet
 
 
 def _lml_iter_fwd(static, x, c, noise_diag, y, mask, params):
@@ -528,15 +515,53 @@ class ExactIterative(Model):
             val = fn(x, c, noise, y, params)
             const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
             return val - const
-        vals = []
-        for s in range(int(seeds)):
-            static = (base[0], base[1], max_cg, tol, probes, lanczos,
-                      self.seed + 7919 * s, base[7], rank, base[9],
-                      base[10])
-            fn = jax.jit(lambda x_, c_, nd, y_, p, static=static:
-                         _lml_readout(static, x_, c_, nd, y_, p))
-            vals.append(fn(x, c, noise, y, params))
-        val = jnp.mean(jnp.stack(vals))
+        # piece-wise executables: ONE jit call covering pivot + CG +
+        # reorthogonalized Lanczos at N=65k runs past the tunneled TPU
+        # worker's ~100 s single-executable kill (CLAUDE.md) — factor,
+        # solve, and quadrature each get their own call, and the probe
+        # key is a traced ARGUMENT so seed averaging reuses one executable
+        static = (base[0], base[1], max_cg, tol, probes, lanczos,
+                  self.seed, base[7], rank, base[9], base[10])
+        n = x.shape[0]
+
+        @jax.jit
+        def factor_fn(x_, c_, nd, p):
+            return _pivoted_factor(static, x_, c_, nd, p)
+
+        L, sigma2 = factor_fn(x, c, noise, params)
+
+        @jax.jit
+        def solve_fn(x_, c_, nd, y_, p, L_, s2):
+            matvec = _make_matvec(static, x_, c_, nd, p, hp=True)
+            r = L_.shape[1]
+            inner = (s2 * jnp.eye(r, dtype=L_.dtype)
+                     + jnp.matmul(L_.T, L_, precision="highest"))
+            Linner = jnp.linalg.cholesky(inner)
+
+            def M_inv(V):
+                t = jnp.matmul(L_.T, V, precision="highest")
+                t = jax.scipy.linalg.cho_solve((Linner, True), t)
+                return (V - jnp.matmul(L_, t, precision="highest")) / s2
+
+            yc = y_.astype(_solve_dt(y_.dtype)).reshape(n, -1)
+            alpha, _ = cg_solve(matvec, yc, max_iters=max_cg, tol=tol,
+                                M_inv=M_inv)
+            return -0.5 * jnp.sum(yc * alpha)
+
+        quad = solve_fn(x, c, noise, y, params, L, sigma2)
+
+        @jax.jit
+        def logdet_fn(x_, c_, nd, p, L_, s2, key):
+            matvec = _make_matvec(static, x_, c_, nd, p, hp=True)
+            return preconditioned_slq_logdet(
+                matvec, L_, s2, n, num_probes=probes,
+                lanczos_iters=lanczos, key=key,
+                dtype=_solve_dt(noise.dtype))
+
+        lds = [logdet_fn(x, c, noise, params, L, sigma2,
+                         jax.random.PRNGKey(self.seed + 1 + 7919 * s))
+               for s in range(int(seeds))]
+        val = quad - 0.5 * jnp.mean(jnp.stack(lds))
         if mask is None:
             const = self.log_marginal_likelihood_constant
         else:

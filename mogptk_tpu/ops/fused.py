@@ -249,9 +249,16 @@ def _prep(x1, c1, x2, c2, params, T):
     return x1p, c1p, x2p, c2p, params, dtype
 
 
-def fused_gram_matvec(family, O, x1, c1, x2, c2, params, V):
+def fused_gram_matvec(family, O, x1, c1, x2, c2, params, V, precision=None):
     """K @ V in (TILE, TILE) VMEM tiles for any registered family; K is never
-    materialized. V is (M, R)."""
+    materialized. V is (M, R).
+
+    precision: dot precision for the tile×V contraction. The default is the
+    MXU's single bf16 pass — fine for CG solves (self-correcting) and
+    probe-trace gradients (unbiased), but spectral estimates read the
+    OPERATOR's noise directly: Lanczos quadrature on a 2⁻⁸-input-rounded
+    matvec lands thousands of nats off at N=16k (the readout path passes
+    "highest")."""
     tile_fn, _, _ = resolve_family(family)
     N, D = x1.shape
     R = V.shape[1]
@@ -274,7 +281,9 @@ def fused_gram_matvec(family, O, x1, c1, x2, c2, params, V):
         c2oh = _onehot(c2_ref, O, out_ref.dtype)
         K_tile = tile_fn(x1_ref[:, :], c1oh, x2_ref[:, :], c2oh,
                          *[r[...] for r in param_refs])
-        out_ref[:, :] += jnp.dot(K_tile, v_ref[:, :], preferred_element_type=out_ref.dtype)
+        out_ref[:, :] += jnp.dot(K_tile, v_ref[:, :],
+                                 preferred_element_type=out_ref.dtype,
+                                 precision=precision)
 
     out = pl.pallas_call(
         kernel,
