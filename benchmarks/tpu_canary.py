@@ -218,6 +218,27 @@ def cell_iterative_step():
     _one_step(model)
 
 
+def cell_iterative_readout():
+    """Evaluation-grade LML readout: pivoted factor (highest-precision
+    dots), hp fused matvec (precision= through the Pallas dot — a distinct
+    Mosaic lowering), reorthogonalized SLQ. Checks the value against the
+    dense-exact LML (the round-5 incident: plausible-looking readouts sat
+    thousands of nats off on TPU only)."""
+    import jax
+    import jax.numpy as jnp
+    import mogptk_tpu.gpr as gpr
+    N, X, Y = _data(2, 512)
+    k = _family_kernel("mosm", np.random.RandomState(1))
+    dense = float(gpr.Exact(k, X, Y, variance=0.1).log_marginal_likelihood())
+    m = gpr.ExactIterative(k, X, Y, variance=0.1, max_cg_iters=100,
+                           cg_tol=1e-7, num_probes=16, lanczos_iters=48,
+                           precond_rank=64)
+    read = float(m.log_marginal_likelihood_readout(
+        num_probes=16, lanczos_iters=48, precond_rank=256))
+    rel = abs(read - dense) / abs(dense)
+    assert rel < 0.02, (read, dense, rel)
+
+
 def build_cells():
     cells = [
         ("chol_inplace_fused_solve", cell_chol_inplace_fused_solve),
@@ -229,6 +250,7 @@ def build_cells():
         ("exact_deterministic_grad", cell_exact_deterministic_grad),
         ("svgp_step", cell_svgp_step),
         ("iterative_step", cell_iterative_step),
+        ("iterative_readout", cell_iterative_readout),
     ]
     return cells
 
