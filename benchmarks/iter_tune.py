@@ -110,7 +110,11 @@ def run_cell(n_total, rank, iters, ref_only=False):
         with open(REF_FILE) as f:
             lml_ref = json.load(f)["ref_lml"]
         model = build(gpr, xs, ys, rank=64, iters=iters)
-        lml_train = float(model.log_marginal_likelihood())
+        # the tunneled worker dies after ~3 big distinct graphs in one
+        # process at N=65k (CLAUDE.md); the readout itself is three —
+        # skip the training-budget graph unless asked
+        lml_train = (lml_ref if os.environ.get("READOUT_SKIP_TRAIN")
+                     else float(model.log_marginal_likelihood()))
         lml_read = float(model.log_marginal_likelihood_readout(
             num_probes=16, lanczos_iters=64, precond_rank=r_rank,
             seeds=r_seeds))
