@@ -535,8 +535,14 @@ class ExactIterative(Model):
 
         L, sigma2 = factor_fn(x, c, noise, params)
 
+        # the CG solve runs in CHUNKED executables (restarted PCG, warm
+        # X0): one 250-iteration high-precision-matvec executable at
+        # N=65k outlives the worker kill even alone
+        chunk = 48
+        yc = y.astype(_solve_dt(y.dtype)).reshape(n, -1)
+
         @jax.jit
-        def solve_fn(x_, c_, nd, y_, p, L_, s2):
+        def solve_chunk(x_, c_, nd, y_, p, L_, s2, X0):
             matvec = _make_matvec(static, x_, c_, nd, p, hp=True)
             r = L_.shape[1]
             inner = (s2 * jnp.eye(r, dtype=L_.dtype)
@@ -548,12 +554,16 @@ class ExactIterative(Model):
                 t = jax.scipy.linalg.cho_solve((Linner, True), t)
                 return (V - jnp.matmul(L_, t, precision="highest")) / s2
 
-            yc = y_.astype(_solve_dt(y_.dtype)).reshape(n, -1)
-            alpha, _ = cg_solve(matvec, yc, max_iters=max_cg, tol=tol,
-                                M_inv=M_inv)
-            return -0.5 * jnp.sum(yc * alpha)
+            return cg_solve(matvec, y_, max_iters=chunk, tol=tol,
+                            M_inv=M_inv, X0=X0)
 
-        quad = solve_fn(x, c, noise, y, params, L, sigma2)
+        alpha = jnp.zeros_like(yc)
+        for _ in range(-(-max_cg // chunk)):
+            alpha, res = solve_chunk(x, c, noise, yc, params, L, sigma2,
+                                     alpha)
+            if float(jnp.max(res)) <= tol:
+                break
+        quad = -0.5 * jnp.sum(yc * alpha)
 
         @jax.jit
         def logdet_fn(x_, c_, nd, p, L_, s2, key):

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 
 def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
-             track_coeffs=False):
+             track_coeffs=False, X0=None):
     """Batched (preconditioned) conjugate gradients: solve A X = B.
 
     Args:
@@ -51,8 +51,14 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
     b_norm = jnp.sqrt(jnp.sum(B * B, axis=0))               # R
     b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
 
-    X0 = jnp.zeros_like(B)
-    R0 = B
+    # warm start (X0): lets long solves run as several bounded executables
+    # (restarted preconditioned CG); the relative-residual reference stays
+    # ‖B‖ so chunked calls share one convergence criterion
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+        R0 = B
+    else:
+        R0 = B - matvec(X0)
     Z0 = M_inv(R0)
     P0 = Z0
     rz0 = jnp.sum(R0 * Z0, axis=0)
