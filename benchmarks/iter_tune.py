@@ -7,6 +7,14 @@ measures, for the N=65k headline iterative config, each (rank, iters)
 cell's per-step time (chained-executable slope, benchmarks/_timing.py
 method) and LML error vs a tight reference solve (rank 64, 250 iters).
 
+ROUND-5 CAVEAT on "tight reference": the REF cell is a 250-iteration
+CG-coefficient estimate — it measures the per-step estimator's
+converged-budget VALUE, not the true LML (in f32 the CG-coefficient
+quadrature is biased at long chains; ROADMAP #3 round-5 correction). For
+accuracy-vs-truth use the VSDENSE cell (CELL -3: dense-exact LML and the
+evaluation-grade readout side by side, feasible to N=16,384) and the
+READOUT cell's cross-seed/cross-rank consistency at larger N.
+
 The tunneled TPU worker does not survive many large recompiled programs in
 one process (observed: crashes after 2-3 N=65k graphs), so the driver runs
 EVERY cell in its own subprocess; the persistent compilation cache keeps
