@@ -447,3 +447,27 @@ def test_preconditioned_slq_logdet_long_chain_f32():
         num_probes=32, lanczos_iters=128, key=jax.random.PRNGKey(0),
         dtype=jnp.float32))
     assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
+
+
+def test_woodbury_half_powers_exact():
+    """P^{1/2} and P^{-1/2} from the Woodbury eigen-split must invert each
+    other and reproduce the dense P and its logdet."""
+    from mogptk_tpu.ops.iterative import woodbury_half_powers
+
+    rng = np.random.RandomState(7)
+    n, r = 96, 8
+    L = jnp.asarray(rng.randn(n, r).astype(np.float32))
+    sigma2 = 0.37
+    P = sigma2 * np.eye(n) + np.asarray(L) @ np.asarray(L).T
+
+    half, neg_half, logdetP = woodbury_half_powers(L, sigma2)
+    X = jnp.asarray(rng.randn(n, 5).astype(np.float32))
+    # round trip
+    np.testing.assert_allclose(np.asarray(half(neg_half(X))),
+                               np.asarray(X), rtol=2e-4, atol=2e-4)
+    # P^{1/2}(P^{1/2} x) = P x
+    np.testing.assert_allclose(np.asarray(half(half(X))),
+                               P.astype(np.float32) @ np.asarray(X),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(logdetP),
+                               float(np.linalg.slogdet(P)[1]), rtol=1e-5)
