@@ -57,6 +57,15 @@ class Config:
         # (the N³/3 bulk). "high" = bf16x3 passes, ~f32-quality
         # accumulation at ~2.7× the speed of "highest".
         self.blocked_cholesky_update_precision = "high"
+        # Streamed Pallas syrk for the closed-form backward's K⁻¹ = WᵀW
+        # (ops/blocked_trisolve.syrk_lower; TPU, f32, 1024 | n,
+        # update_precision "high" only — the kernel IS the bf16x3 recipe).
+        # OFF: measured SLOWER than the per-pair XLA dot loop at N=16k
+        # (kinv512 126 vs 91 ms, closed_decomp) — the rectangular
+        # (i, j, k) grid DMAs every k chunk for every pair (~4× the useful
+        # read traffic); capturing the tiling win needs a 1-D lower-pair
+        # grid with scalar-prefetch index maps. Kill switch for A/B.
+        self.pallas_syrk = False
         # Fused below-TRSM column pipeline inside the custom-VJP LML
         # forwards (ops/blocked_cholesky fused_trsm): S_below never exists
         # in HBM and the TRSM rides the streamed accumulation kernel's

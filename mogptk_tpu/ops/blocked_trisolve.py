@@ -13,9 +13,13 @@ at "high" = bf16x3, ~f32-quality).
 Semantics match jax.scipy.linalg.solve_triangular(L, B, lower=...) for a
 full (possibly non-unit) triangular matrix and 2-D B.
 """
+import functools
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot(a, b, precision):
@@ -151,6 +155,83 @@ def blocked_tri_inverse(L, block_size=1024, update_precision="high",
     return W
 
 
+def _syrk_lower_kernel(wi_ref, wj_ref, out_ref, acc_ref, *, nk, kpb):
+    """Block-lower WᵀW: out(i,j) = Σ_k W[k-rows, i-cols]ᵀ W[k-rows, j-cols],
+    k streamed innermost, manual bf16x3 (the "high" recipe). Upper-triangle
+    programs skip all compute and never write — their output blocks stay
+    uninitialized, and every consumer reads the lower triangle only."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    lower = i >= j
+
+    @pl.when(lower & (k == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    # W is lower triangular: row chunks k < i·kpb against column block i
+    # are zero — skip their MACs (their DMA is the rectangular grid's cost)
+    @pl.when(lower & (k >= i * kpb))
+    def _():
+        a = wi_ref[:, :].astype(jnp.float32)
+        b = wj_ref[:, :].astype(jnp.float32)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot_t = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+        acc = acc_ref[:, :]
+        acc += dot_t(ah, bh)
+        acc += dot_t(ah, bl)
+        acc += dot_t(al, bh)
+        acc_ref[:, :] = acc
+
+    @pl.when(lower & (k == nk - 1))
+    def _():
+        out_ref[:, :] = acc_ref[:, :]
+
+
+def syrk_lower(W, block=1024, k_chunk=512):
+    """Block-lower part of WᵀW as one streamed Pallas kernel (TPU, f32,
+    block | n). 1024² output tiles cut the HBM read traffic ~2× versus the
+    per-(i,j)-pair XLA dots (traffic ∝ MACs/B_out), and the bf16x3 MACs
+    ride the stream. Returns (n, n) with the STRICT upper blocks
+    uninitialized — callers mask or mirror, never read them."""
+    n = W.shape[0]
+    nb = n // block
+    nk = n // k_chunk
+    kpb = block // k_chunk
+    vmem = 4 * (block * block + 4 * k_chunk * block + block * block)
+    return pl.pallas_call(
+        functools.partial(_syrk_lower_kernel, nk=nk, kpb=kpb),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        grid=(nb, nb, nk),
+        in_specs=[
+            pl.BlockSpec((k_chunk, block), lambda i, j, k: (k, i)),
+            pl.BlockSpec((k_chunk, block), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block, block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(48 * 1024 * 1024, vmem + (vmem >> 2))),
+        interpret=jax.default_backend() == "cpu",
+    )(W, W)
+
+
+def _syrk_lower_applicable(n, dtype, update_precision, block=1024):
+    from ..gpr.config import config
+    if getattr(config, "pallas_syrk", True) is False:
+        return False
+    if update_precision != "high":      # the kernel IS the bf16x3 recipe
+        return False
+    if dtype != jnp.float32 or n % block or n < 2 * block:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def spd_inverse_from_factor(L, block_size=1024, update_precision="high",
                             panel_precision="highest", invs=None):
     """K⁻¹ from the lower Cholesky factor L, as WᵀW with W = L⁻¹.
@@ -177,21 +258,28 @@ def spd_inverse_from_factor(L, block_size=1024, update_precision="high",
     W = blocked_tri_inverse(L, block_size=Bs,
                             update_precision=update_precision,
                             panel_precision=panel_precision, invs=invs)
-    # lower blocks per column, assembled column-block-wise
-    cols = []
-    for j in range(nb):
-        rows = [jnp.zeros((j * Bs, Bs), L.dtype)] if j else []
-        for i in range(j, nb):
-            r0 = i * Bs
-            # K⁻¹_ij = Σ_{k ≥ i} W_kiᵀ W_kj  (k < i terms vanish: W lower)
-            blk = jax.lax.dot_general(
-                W[r0:, r0:r0 + Bs], W[r0:, j * Bs:(j + 1) * Bs],
-                (((0,), (0,)), ((), ())), precision=update_precision)
-            rows.append(blk)
-        cols.append(jnp.concatenate(rows, axis=0))
-    Kl = jnp.concatenate(cols, axis=1)        # block-lower (diag blocks full)
-    rb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // Bs
-    cb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // Bs
+    if _syrk_lower_applicable(n, W.dtype, update_precision):
+        # streamed Pallas syrk: 1024² output tiles halve the HBM reads of
+        # the per-pair dot loop below and the bf16x3 MACs ride the stream
+        Kl = syrk_lower(W)
+        Bm = 1024
+    else:
+        # lower blocks per column, assembled column-block-wise
+        cols = []
+        for j in range(nb):
+            rows = [jnp.zeros((j * Bs, Bs), L.dtype)] if j else []
+            for i in range(j, nb):
+                r0 = i * Bs
+                # K⁻¹_ij = Σ_{k ≥ i} W_kiᵀ W_kj (k < i terms vanish: W lower)
+                blk = jax.lax.dot_general(
+                    W[r0:, r0:r0 + Bs], W[r0:, j * Bs:(j + 1) * Bs],
+                    (((0,), (0,)), ((), ())), precision=update_precision)
+                rows.append(blk)
+            cols.append(jnp.concatenate(rows, axis=0))
+        Kl = jnp.concatenate(cols, axis=1)    # block-lower (diag blocks full)
+        Bm = Bs
+    rb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // Bm
+    cb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // Bm
     strict = rb > cb
     return jnp.where(strict, Kl, jnp.zeros((), L.dtype)).T \
         + jnp.where(rb >= cb, Kl, jnp.zeros((), L.dtype))

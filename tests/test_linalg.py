@@ -1222,3 +1222,22 @@ def test_lml_forwards_fused_trsm_equal():
     np.testing.assert_allclose(float(a[2]), float(b[2]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_syrk_lower_matches_dense():
+    """The streamed Pallas syrk (interpret mode on CPU) reproduces the
+    block-lower part of W^T W for a lower-triangular W."""
+    from mogptk_tpu.ops.blocked_trisolve import syrk_lower
+
+    rng = np.random.RandomState(11)
+    n, B = 2048, 1024
+    W = jnp.asarray(np.tril(rng.randn(n, n)).astype(np.float32))
+    Kl = np.asarray(syrk_lower(W, block=B))
+    ref = np.asarray(W).T @ np.asarray(W)
+    nb = n // B
+    for i in range(nb):
+        for j in range(i + 1):
+            got = Kl[i * B:(i + 1) * B, j * B:(j + 1) * B]
+            want = ref[i * B:(i + 1) * B, j * B:(j + 1) * B]
+            np.testing.assert_allclose(got, want, rtol=2e-5,
+                                       atol=2e-3 * np.abs(want).max())
