@@ -14,6 +14,7 @@ BENCH exact_grad sits at ~201 ms/step (VERDICT r4 #4 target: <=200). Cells
 Run:  python benchmarks/closed_decomp.py CELL
 """
 import json
+import os
 import sys
 
 import numpy as np
@@ -32,6 +33,8 @@ def main():
     from _timing import device_ms
 
     gpr.use_pallas(True)
+    if os.environ.get("PALLAS_SYRK"):
+        gpr.config.pallas_syrk = os.environ["PALLAS_SYRK"] == "1"
     out = {}
 
     def probe(body, x0, label, target=10.0):

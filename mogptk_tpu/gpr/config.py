@@ -61,10 +61,11 @@ class Config:
         # (ops/blocked_trisolve.syrk_lower; TPU, f32, 1024 | n,
         # update_precision "high" only — the kernel IS the bf16x3 recipe).
         # OFF: measured SLOWER than the per-pair XLA dot loop at N=16k
-        # (kinv512 126 vs 91 ms, closed_decomp) — the rectangular
-        # (i, j, k) grid DMAs every k chunk for every pair (~4× the useful
-        # read traffic); capturing the tiling win needs a 1-D lower-pair
-        # grid with scalar-prefetch index maps. Kill switch for A/B.
+        # (closed_decomp kinv512: 126 ms with a rectangular (i,j,k) grid,
+        # 104 ms after folding the grid to lower-triangle pairs only, vs
+        # 91 ms for the XLA loop) — the k chunks below each pair's start
+        # still DMA uselessly (~2× read traffic) and XLA's own schedule of
+        # the 528 pair dots overlaps better. Kill switch for A/B.
         self.pallas_syrk = False
         # Fused below-TRSM column pipeline inside the custom-VJP LML
         # forwards (ops/blocked_cholesky fused_trsm): S_below never exists

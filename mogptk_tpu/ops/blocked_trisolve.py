@@ -155,23 +155,34 @@ def blocked_tri_inverse(L, block_size=1024, update_precision="high",
     return W
 
 
-def _syrk_lower_kernel(wi_ref, wj_ref, out_ref, acc_ref, *, nk, kpb):
-    """Block-lower WᵀW: out(i,j) = Σ_k W[k-rows, i-cols]ᵀ W[k-rows, j-cols],
-    k streamed innermost, manual bf16x3 (the "high" recipe). Upper-triangle
-    programs skip all compute and never write — their output blocks stay
-    uninitialized, and every consumer reads the lower triangle only."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-    lower = i >= j
+def _fold_ij(r, c, nb):
+    """Lower-triangle pair from the folded (nb/2, nb+1) rectangle: row r
+    holds diagonal-offset q = r (its nb - r pairs) followed by offset
+    q = nb-1-r (its r + 1 pairs) - every rectangle cell names exactly one
+    (i, j) with j <= i. Pure arithmetic/select so it lowers on the scalar
+    core as an index map."""
+    cond = c < nb - r
+    q = jnp.where(cond, r, nb - 1 - r)
+    j = jnp.where(cond, c, c - (nb - r))
+    return j + q, j
 
-    @pl.when(lower & (k == 0))
+
+def _syrk_lower_kernel(wi_ref, wj_ref, out_ref, acc_ref, *, nb, nk, kpb):
+    """Block-lower W^T W: out(i,j) = sum_k W[k-rows, i-cols]^T W[k-rows,
+    j-cols], (i, j) from the triangular fold (no upper-triangle programs),
+    k streamed innermost, manual bf16x3 (the "high" recipe)."""
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    k = pl.program_id(2)
+    i, _ = _fold_ij(r, c, nb)
+
+    @pl.when(k == 0)
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    # W is lower triangular: row chunks k < i·kpb against column block i
-    # are zero — skip their MACs (their DMA is the rectangular grid's cost)
-    @pl.when(lower & (k >= i * kpb))
+    # W is lower triangular: row chunks k < i*kpb against column block i
+    # are zero - skip their MACs (their DMA is the grid's remaining waste)
+    @pl.when(k >= i * kpb)
     def _():
         a = wi_ref[:, :].astype(jnp.float32)
         b = wj_ref[:, :].astype(jnp.float32)
@@ -180,40 +191,44 @@ def _syrk_lower_kernel(wi_ref, wj_ref, out_ref, acc_ref, *, nk, kpb):
         bh = b.astype(jnp.bfloat16)
         bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
         dot_t = functools.partial(jax.lax.dot_general,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)
+                                  dimension_numbers=(((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
         acc = acc_ref[:, :]
         acc += dot_t(ah, bh)
         acc += dot_t(ah, bl)
         acc += dot_t(al, bh)
         acc_ref[:, :] = acc
 
-    @pl.when(lower & (k == nk - 1))
+    @pl.when(k == nk - 1)
     def _():
         out_ref[:, :] = acc_ref[:, :]
 
 
 def syrk_lower(W, block=1024, k_chunk=512):
-    """Block-lower part of WᵀW as one streamed Pallas kernel (TPU, f32,
-    block | n). 1024² output tiles cut the HBM read traffic ~2× versus the
-    per-(i,j)-pair XLA dots (traffic ∝ MACs/B_out), and the bf16x3 MACs
-    ride the stream. Returns (n, n) with the STRICT upper blocks
-    uninitialized — callers mask or mirror, never read them."""
+    """Block-lower part of W^T W as one streamed Pallas kernel (TPU, f32,
+    block | n, n/block even). The folded (nb/2)(nb+1) grid runs ONLY
+    lower-triangle pairs, and 1024^2 output tiles cut the HBM read traffic
+    versus the per-(i,j)-pair XLA dots (traffic ~ MACs/B_out). Returns
+    (n, n) with the STRICT upper blocks uninitialized - callers mask or
+    mirror, never read them."""
     n = W.shape[0]
     nb = n // block
     nk = n // k_chunk
     kpb = block // k_chunk
     vmem = 4 * (block * block + 4 * k_chunk * block + block * block)
     return pl.pallas_call(
-        functools.partial(_syrk_lower_kernel, nk=nk, kpb=kpb),
+        functools.partial(_syrk_lower_kernel, nb=nb, nk=nk, kpb=kpb),
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
-        grid=(nb, nb, nk),
+        grid=(nb // 2, nb + 1, nk),
         in_specs=[
-            pl.BlockSpec((k_chunk, block), lambda i, j, k: (k, i)),
-            pl.BlockSpec((k_chunk, block), lambda i, j, k: (k, j)),
+            pl.BlockSpec((k_chunk, block),
+                         lambda r, c, k: (k, _fold_ij(r, c, nb)[0])),
+            pl.BlockSpec((k_chunk, block),
+                         lambda r, c, k: (k, _fold_ij(r, c, nb)[1])),
         ],
-        out_specs=pl.BlockSpec((block, block), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((block, block),
+                               lambda r, c, k: _fold_ij(r, c, nb)),
         scratch_shapes=[pltpu.VMEM((block, block), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=max(48 * 1024 * 1024, vmem + (vmem >> 2))),
@@ -228,6 +243,8 @@ def _syrk_lower_applicable(n, dtype, update_precision, block=1024):
     if update_precision != "high":      # the kernel IS the bf16x3 recipe
         return False
     if dtype != jnp.float32 or n % block or n < 2 * block:
+        return False
+    if (n // block) % 2:                # the folded grid needs nb even
         return False
     return jax.default_backend() == "tpu"
 
