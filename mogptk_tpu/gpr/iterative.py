@@ -33,7 +33,7 @@ from .multioutput import (MultiOutputSpectralKernel,
 from .config import config
 from ..ops.iterative import (cg_solve, slq_logdet, pivoted_cholesky,
                              cg_logdet_quadrature,
-                             preconditioned_slq_logdet)
+                             preconditioned_slq_logdet, woodbury_m_inv)
 from ..ops.block_families import has_block_family as _has_block_family
 from ..ops.fused import resolve_family, fused_gram_matvec, fused_gram_lowrank_vjp
 
@@ -212,22 +212,15 @@ def _make_preconditioner(static, x, c, noise_diag, params, full=False):
 
         return None, sample_id, jnp.zeros((), sd)
     # solve dtype throughout: bf16 params would otherwise put a bf16 matrix
-    # into the Woodbury jnp.linalg.cholesky below (rejected by lax.linalg)
+    # into the Woodbury jnp.linalg.cholesky below (rejected by lax.linalg).
+    # Every dot in the Woodbury pieces is value-critical (logdetP and the
+    # P-probe/M_inv consistency the CG logdet quadrature relies on) — they
+    # run "highest" inside woodbury_m_inv/sample (at rank 256 the default
+    # bf16 passes broke the N=65k readout by ~10k nats; see
+    # ops/iterative.pivoted_cholesky)
     L, sigma2 = _pivoted_factor(static, x, c, noise_diag, params)
     r = L.shape[1]
-    # every dot below is value-critical (logdetP and the P-probe/M_inv
-    # consistency the CG logdet quadrature relies on) and O(n·r·R) at most
-    # — run them as true f32, not XLA:TPU's default bf16 passes (at rank
-    # 256 the default broke the N=65k readout by ~10k nats; see
-    # ops/iterative.pivoted_cholesky)
-    inner = (sigma2 * jnp.eye(r, dtype=L.dtype)
-             + jnp.matmul(L.T, L, precision="highest"))
-    Linner = jnp.linalg.cholesky(inner)
-
-    def M_inv(V):
-        t = jnp.matmul(L.T, V, precision="highest")
-        t = jax.scipy.linalg.cho_solve((Linner, True), t)
-        return (V - jnp.matmul(L, t, precision="highest")) / sigma2
+    M_inv, Linner = woodbury_m_inv(L, sigma2)
 
     if not full:
         return M_inv
@@ -517,12 +510,18 @@ class ExactIterative(Model):
         noise = self._noise_diag()
         if mask is not None:
             # padded mesh rows: keep the training-path estimate (the
-            # identity extension interacts with P; budgets still raised)
-            static = (base[0], base[1], max_cg, tol, probes, lanczos,
-                      self.seed, base[7], rank, base[9], base[10])
-            fn = jax.jit(lambda x_, c_, nd, y_, p:
-                         _lml_iter(static, x_, c_, nd, y_, mask, p))
-            val = fn(x, c, noise, y, params)
+            # identity extension interacts with P; budgets still raised),
+            # averaged over `seeds` independent probe streams like the
+            # unmasked path
+            vals_m = []
+            for s in range(int(seeds)):
+                static = (base[0], base[1], max_cg, tol, probes, lanczos,
+                          self.seed + 7919 * s, base[7], rank, base[9],
+                          base[10])
+                fn = jax.jit(lambda x_, c_, nd, y_, p, static=static:
+                             _lml_iter(static, x_, c_, nd, y_, mask, p))
+                vals_m.append(fn(x, c, noise, y, params))
+            val = jnp.mean(jnp.stack(vals_m))
             const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
             return val - const
         # piece-wise executables: ONE jit call covering pivot + CG +
@@ -542,31 +541,34 @@ class ExactIterative(Model):
 
         # the CG solve runs in CHUNKED executables (restarted PCG, warm
         # X0): one 250-iteration high-precision-matvec executable at
-        # N=65k outlives the worker kill even alone
+        # N=65k outlives the worker kill even alone. The r-by-r Woodbury
+        # inner factor is computed ONCE and threaded into every chunk.
         chunk = 48
         yc = y.astype(_solve_dt(y.dtype)).reshape(n, -1)
 
         @jax.jit
-        def solve_chunk(x_, c_, nd, y_, p, L_, s2, X0):
+        def inner_fn(L_, s2):
+            return woodbury_m_inv(L_, s2)[1]
+
+        Linner = inner_fn(L, sigma2)
+
+        @jax.jit
+        def solve_chunk(x_, c_, nd, y_, p, L_, s2, Li, X0):
             matvec = _make_matvec(static, x_, c_, nd, p, hp=True)
-            r = L_.shape[1]
-            inner = (s2 * jnp.eye(r, dtype=L_.dtype)
-                     + jnp.matmul(L_.T, L_, precision="highest"))
-            Linner = jnp.linalg.cholesky(inner)
-
-            def M_inv(V):
-                t = jnp.matmul(L_.T, V, precision="highest")
-                t = jax.scipy.linalg.cho_solve((Linner, True), t)
-                return (V - jnp.matmul(L_, t, precision="highest")) / s2
-
+            M_inv, _ = woodbury_m_inv(L_, s2, Linner=Li)
             return cg_solve(matvec, y_, max_iters=chunk, tol=tol,
                             M_inv=M_inv, X0=X0)
 
+        # cg_solve floors tol at 32 eps of the solve dtype — compare the
+        # host-side early exit against the SAME effective tolerance, or
+        # converged f32 solves (frozen at ~3.8e-6 > 1e-10) would never
+        # break and every chunk would run regardless
+        tol_eff = max(float(tol), 32.0 * float(jnp.finfo(yc.dtype).eps))
         alpha = jnp.zeros_like(yc)
         for _ in range(-(-max_cg // chunk)):
             alpha, res = solve_chunk(x, c, noise, yc, params, L, sigma2,
-                                     alpha)
-            if float(jnp.max(res)) <= tol:
+                                     Linner, alpha)
+            if float(jnp.max(res)) <= tol_eff:
                 break
         quad = -0.5 * jnp.sum(yc * alpha)
 
@@ -582,11 +584,7 @@ class ExactIterative(Model):
                          jax.random.PRNGKey(self.seed + 1 + 7919 * s))
                for s in range(int(seeds))]
         val = quad - 0.5 * jnp.mean(jnp.stack(lds))
-        if mask is None:
-            const = self.log_marginal_likelihood_constant
-        else:
-            const = 0.5 * jnp.sum(mask) * np.log(2.0 * np.pi)
-        return val - const
+        return val - self.log_marginal_likelihood_constant
 
     def predict_f(self, X, full=False, block_size=1024):
         """Posterior via CG solves, blocked over the prediction grid.

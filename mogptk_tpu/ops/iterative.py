@@ -66,26 +66,35 @@ def cg_solve(matvec, B, max_iters=100, tol=1e-6, M_inv=None,
     def body(carry, _):
         X, R, P, rz, frozen, best, stall = carry
         res = jnp.sqrt(jnp.sum(R * R, axis=0)) / b_norm
-        # LATCHED freeze: converged, or stalled on the round-off plateau.
+        # LATCHED freeze: converged, broken down, or (when the coefficients
+        # feed a quadrature) stalled on the round-off plateau.
         # Finite-precision CG on an ill-conditioned operator bottoms out
         # far above any tol; iterating on the plateau yields coefficients
         # that violate the Lanczos relation and poison the logdet
         # quadrature with spurious ~0 Ritz values — measured −2.2e6
         # instead of +1320 at N=16k/250 iters on TPU-f32. A column freezes
         # after 24 consecutive iterations with <0.2% progress on its best
-        # residual. NO divergence latch: preconditioned CG residual
-        # 2-norms legitimately spike transiently (only the A-norm of the
-        # error is monotone) — a 3× - past-best latch froze converging
-        # columns of the masked mesh operator at 8× their floor.
-        improved = res < 0.998 * best
-        stall = jnp.where(improved, 0, stall + 1)
-        frozen = frozen | (res <= tol) | (stall >= 24)
+        # residual — ONLY under track_coeffs: a pure solve self-corrects,
+        # and a legitimate pre-convergence plateau (weak preconditioner,
+        # clustered spectrum) must be allowed to break through. NO
+        # divergence latch: preconditioned CG residual 2-norms
+        # legitimately spike transiently (only the A-norm of the error is
+        # monotone) — a 3×-past-best latch froze converging columns of
+        # the masked mesh operator at 8× their floor.
+        if track_coeffs:
+            improved = res < 0.998 * best
+            stall = jnp.where(improved, 0, stall + 1)
+            frozen = frozen | (stall >= 24)
+        frozen = frozen | (res <= tol)
         best = jnp.minimum(best, res)
-        active = ~frozen
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
-        # pAp ≤ 0 is CG breakdown (round-off non-SPD step): freeze for good
+        # pAp ≤ 0 is CG breakdown (a round-off non-SPD step): freeze for
+        # good BEFORE `active` is recorded, so the quadrature decouples the
+        # breakdown row from the last valid one (actives gates the
+        # off-diagonal) instead of keeping a spurious coupling
         frozen = frozen | (pAp <= 0.0)
+        active = ~frozen
         alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp), 0.0)
         alpha = jnp.where(active, alpha, 0.0)
         X = X + alpha[None, :] * P
@@ -193,9 +202,11 @@ def lanczos_reorth(matvec, Z, m):
     ~50 iterations on ill-conditioned operators; the resulting "ghost"
     copies of extremal Ritz values bias logdet quadrature catastrophically
     (measured −9.5k vs a true +1.3k at N=16k with ~60 effective
-    iterations). Full reorthogonalization stores the basis — (m, n, R)
-    memory, m²nR extra MACs in two batched GEMM-like einsums per sweep —
-    and keeps the Ritz values clean; this is the evaluation-grade variant
+    iterations). Full reorthogonalization stores the basis — (m, R, n)
+    memory (n MINOR: the probe axis would pad to 128 vector lanes, an 8×
+    HBM blowup at R=16 — CLAUDE.md's small-axis rule), m²nR extra MACs in
+    two batched GEMM-like einsums per sweep — and keeps the Ritz values
+    clean; this is the evaluation-grade variant
     (log_marginal_likelihood_readout), while `lanczos` remains the cheap
     training-path estimate. The orthogonalization dots run at "highest"
     precision: bf16-pass projections would re-introduce exactly the drift
@@ -206,26 +217,47 @@ def lanczos_reorth(matvec, Z, m):
                                jax.ShapeDtypeStruct(Z.shape, Z.dtype)).dtype
     Z = Z.astype(out_dtype)
     q = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
-    Q0 = jnp.zeros((m, n, R), out_dtype)
+    Q0 = jnp.zeros((m, R, n), out_dtype)
 
     def body(carry, k):
         Qb, q_cur = carry
-        Qb = jax.lax.dynamic_update_slice(Qb, q_cur[None], (k, 0, 0))
+        Qb = jax.lax.dynamic_update_slice(Qb, q_cur.T[None], (k, 0, 0))
         v = matvec(q_cur)                                  # n x R
         alpha = jnp.sum(q_cur * v, axis=0)                 # R
         # project out EVERY stored vector (rows > k are zero — harmless)
-        proj = jnp.einsum("knr,nr->kr", Qb, v, precision="highest")
-        v = v - jnp.einsum("knr,kr->nr", Qb, proj, precision="highest")
+        proj = jnp.einsum("krn,nr->kr", Qb, v, precision="highest")
+        v = v - jnp.einsum("krn,kr->nr", Qb, proj, precision="highest")
         # second CGS pass ("twice is enough"): one pass leaves O(eps·κ)
         # residual components along the basis
-        proj2 = jnp.einsum("knr,nr->kr", Qb, v, precision="highest")
-        v = v - jnp.einsum("knr,kr->nr", Qb, proj2, precision="highest")
+        proj2 = jnp.einsum("krn,nr->kr", Qb, v, precision="highest")
+        v = v - jnp.einsum("krn,kr->nr", Qb, proj2, precision="highest")
         beta = jnp.linalg.norm(v, axis=0)                  # R
         q_next = v / jnp.where(beta == 0.0, 1.0, beta)[None, :]
         return (Qb, q_next), (alpha, beta)
 
     _, (alphas, betas) = jax.lax.scan(body, (Q0, q), jnp.arange(m))
     return alphas, betas[:-1]
+
+
+def woodbury_m_inv(L, sigma2, Linner=None):
+    """P⁻¹ application closure for P = σ²I + L Lᵀ (Woodbury). Every dot
+    runs "highest" — the consumers (CG preconditioning feeding logdet
+    quadratures, probe sampling) are value-critical (see
+    pivoted_cholesky). Pass a precomputed `Linner` (chol(σ²I + LᵀL)) to
+    amortize the r×r inner factorization across calls; returns
+    (M_inv, Linner)."""
+    if Linner is None:
+        r = L.shape[1]
+        inner = (sigma2 * jnp.eye(r, dtype=L.dtype)
+                 + jnp.matmul(L.T, L, precision="highest"))
+        Linner = jnp.linalg.cholesky(inner)
+
+    def M_inv(V):
+        t = jnp.matmul(L.T, V, precision="highest")
+        t = jax.scipy.linalg.cho_solve((Linner, True), t)
+        return (V - jnp.matmul(L, t, precision="highest")) / sigma2
+
+    return M_inv, Linner
 
 
 def woodbury_half_powers(L, sigma2):
