@@ -46,17 +46,8 @@ def main():
     if piece == "solve":
         def solve():
             matvec = it._make_matvec(static, x, c, noise, params, hp=True)
-            r = L.shape[1]
-            inner = (sigma2 * jnp.eye(r, dtype=L.dtype)
-                     + jnp.matmul(L.T, L, precision="highest"))
-            Linner = jnp.linalg.cholesky(inner)
-
-            def M_inv(V):
-                t = jnp.matmul(L.T, V, precision="highest")
-                t = jax.scipy.linalg.cho_solve((Linner, True), t)
-                return (V - jnp.matmul(L, t, precision="highest")) / sigma2
-
-            from mogptk_tpu.ops.iterative import cg_solve
+            from mogptk_tpu.ops.iterative import cg_solve, woodbury_m_inv
+            M_inv, _ = woodbury_m_inv(L, sigma2)
             yc = y.astype(jnp.float32).reshape(n, -1)
             alpha, res = cg_solve(matvec, yc, max_iters=250, tol=1e-10,
                                   M_inv=M_inv)
