@@ -480,7 +480,11 @@ class ExactIterative(Model):
         Measured on TPU-f32 against the dense-exact LML at N=16,384:
         relative error 3e-5 at the default rank 256 (1.5% at rank 64);
         self-consistent to ~0.04% across seeds and ranks at N=65,536
-        (benchmarks/iter_tune.py VSDENSE/READOUT cells, round 5).
+        (benchmarks/iter_tune.py VSDENSE/READOUT cells, round 5). Warm
+        wall cost at N=65,536: ~2.4 min for the whole evaluation call
+        (pivoted factor + chunked CG + reorthogonalized quadrature,
+        compile-cache primed) — a one-time cost per model-selection
+        readout, not a per-step cost.
 
         Use for model selection (BIC/AIC), convergence reporting, or any
         place the LML value itself matters. Gradients are not needed here,
