@@ -265,9 +265,20 @@ def generate(outdir="docs/api", package="mogptk_tpu"):
 def _render_guide(outdir, nav_html, symbols_json):
     """Render docs/guide.md into the site (the reference renders its
     mogptk/documentation.md the same way, reference Makefile:13-40)."""
-    import markdown
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "guide.md")
+    try:
+        import markdown
+    except ImportError:
+        # degrade like _render_examples does without nbconvert: ship the
+        # raw markdown in a <pre> page instead of failing doc generation
+        with open(path) as fh:
+            import html as _html
+            body = "<pre>%s</pre>" % _html.escape(fh.read())
+        with open(os.path.join(outdir, "guide.html"), "w") as fh:
+            fh.write(_page("mogptk_tpu user guide", nav_html, body,
+                           symbols_json))
+        return
     with open(path) as fh:
         body = markdown.markdown(fh.read(), extensions=["fenced_code",
                                                         "tables"])

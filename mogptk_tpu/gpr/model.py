@@ -186,12 +186,21 @@ class Model(Module):
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_jit_cache"] = {}
-        # mesh-bound handles are process-local and not picklable
+        # mesh-bound handles are process-local and not picklable. A
+        # mesh-PREPARED model (use_mesh) additionally carries X/y padded to
+        # the device count — serialize only the real rows, or the pad
+        # sentinels would resurrect as training data on load.
+        prepared = state.pop("_mesh_prepared", None)
         for key in ("_gram_sharding", "_gram_mesh", "_ring", "_row_mask"):
             state.pop(key, None)
         for key in ("X", "y", "data_variance"):
             if key in state and state[key] is not None:
                 state[key] = np.asarray(state[key])
+        if prepared is not None:
+            n0 = prepared[2]
+            for key in ("X", "y"):
+                if state.get(key) is not None:
+                    state[key] = state[key][:n0]
         return state
 
     def __setstate__(self, state):

@@ -51,22 +51,13 @@ def _s_panel_kernel(k_ref, lrow_ref, ljrow_ref, s_ref, acc_ref, *, n_k):
 
     a = lrow_ref[:, :].astype(jnp.float32)
     b = ljrow_ref[:, :].astype(jnp.float32)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    # precision pinned to DEFAULT: the operands are already bf16, so one
-    # MXU pass is exact — and the ambient "highest" scope this runs under
-    # inside jittered_cholesky would otherwise make Mosaic reject the
-    # bf16 lhs ("Bad lhs type": no multi-pass on sub-f32 inputs)
-    dot_t = functools.partial(jax.lax.dot_general,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.DEFAULT)
+    # _bf16x3_terms pins DEFAULT per-dot: the operands are already bf16,
+    # so one MXU pass per term is exact — and the ambient "highest" scope
+    # this runs under inside jittered_cholesky would otherwise make Mosaic
+    # reject the bf16 lhs ("Bad lhs type": no multi-pass on sub-f32 inputs)
     acc = acc_ref[:, :]
-    acc -= dot_t(ah, bh)
-    acc -= dot_t(ah, bl)
-    acc -= dot_t(al, bh)
+    for t in _bf16x3_terms(a, b, ((1,), (1,))):
+        acc -= t
     acc_ref[:, :] = acc
 
     @pl.when(k == n_k - 1)
@@ -172,17 +163,7 @@ def _panel_write_kernel(l_in_ref, s_ref, invt_ref, ljj_ref, l_ref, *,
 
     @pl.when(i >= tiles_diag)
     def _():
-        s = s_ref[:, :]
-        v = invt_ref[:, :]
-        sh = s.astype(jnp.bfloat16)
-        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
-        vh = v.astype(jnp.bfloat16)
-        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = functools.partial(jax.lax.dot_general,
-                                dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+        l_ref[:, :] = _bf16x3(s_ref[:, :], invt_ref[:, :])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -278,17 +259,7 @@ def _col_strip_kernel(l_in_ref, s_ref, invt_ref, ljj_ref, l_ref, *,
 
     @pl.when((0 < i) & (i < tiles_col))
     def _():
-        s = s_ref[:, :]
-        v = invt_ref[:, :]
-        sh = s.astype(jnp.bfloat16)
-        sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
-        vh = v.astype(jnp.bfloat16)
-        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = functools.partial(jax.lax.dot_general,
-                                dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-        l_ref[:, :] = dot(sh, vh) + dot(sh, vl) + dot(sl, vh)
+        l_ref[:, :] = _bf16x3(s_ref[:, :], invt_ref[:, :])
 
     @pl.when(i >= tiles_col)
     def _():
@@ -390,18 +361,30 @@ _col_strip_write.defvjp(_col_strip_write_fwd, _col_strip_write_bwd)
 # factorization — the kernels have no transpose rules.
 
 
-def _bf16x3(a, b):
-    """a @ b with both operands split hi/lo bf16, three MXU passes — the
-    same "high"-equivalent recipe as the S-panel kernel."""
+def _bf16x3_terms(a, b, dims):
+    """The "high" recipe's three DEFAULT-precision MXU passes (hi·hi,
+    hi·lo, lo·hi) as separate terms, so every caller keeps its exact
+    accumulation order (the streamed kernels subtract term-by-term into
+    their VMEM accumulator). Pinned DEFAULT per-dot: an ambient "highest"
+    scope would make Mosaic reject the bf16 lhs. Single source of the
+    split — the S-panel/S-diag/below-TRSM kernels, the aliased write
+    epilogue (_bf16x3), and blocked_trisolve's syrk all consume it."""
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     bh = b.astype(jnp.bfloat16)
     bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
     dot = functools.partial(jax.lax.dot_general,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            dimension_numbers=(dims, ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
-    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+    return dot(ah, bh), dot(ah, bl), dot(al, bh)
+
+
+def _bf16x3(a, b):
+    """a @ b with both operands split hi/lo bf16, three MXU passes — the
+    same "high"-equivalent recipe as the S-panel kernel."""
+    t1, t2, t3 = _bf16x3_terms(a, b, ((1,), (0,)))
+    return t1 + t2 + t3
 
 
 def _s_diag_kernel(k_ref, ljrow_ref, ljrow2_ref, s_ref, acc_ref, *, n_k):
@@ -414,18 +397,9 @@ def _s_diag_kernel(k_ref, ljrow_ref, ljrow2_ref, s_ref, acc_ref, *, n_k):
 
     a = ljrow_ref[:, :].astype(jnp.float32)
     b = ljrow2_ref[:, :].astype(jnp.float32)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    dot_t = functools.partial(jax.lax.dot_general,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.DEFAULT)
     acc = acc_ref[:, :]
-    acc -= dot_t(ah, bh)
-    acc -= dot_t(ah, bl)
-    acc -= dot_t(al, bh)
+    for t in _bf16x3_terms(a, b, ((1,), (1,))):
+        acc -= t
     acc_ref[:, :] = acc
 
     @pl.when(k == n_k - 1)
@@ -467,18 +441,9 @@ def _below_trsm_kernel(k_ref, lrow_ref, ljrow_ref, invt_ref, out_ref,
 
     a = lrow_ref[:, :].astype(jnp.float32)
     b = ljrow_ref[:, :].astype(jnp.float32)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    dot_t = functools.partial(jax.lax.dot_general,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.DEFAULT)
     acc = acc_ref[:, :]
-    acc -= dot_t(ah, bh)
-    acc -= dot_t(ah, bl)
-    acc -= dot_t(al, bh)
+    for t in _bf16x3_terms(a, b, ((1,), (1,))):
+        acc -= t
     acc_ref[:, :] = acc
 
     @pl.when(k == n_k - 1)

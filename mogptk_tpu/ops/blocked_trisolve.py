@@ -184,20 +184,12 @@ def _syrk_lower_kernel(wi_ref, wj_ref, out_ref, acc_ref, *, nb, nk, kpb):
     # are zero - skip their MACs (their DMA is the grid's remaining waste)
     @pl.when(k >= i * kpb)
     def _():
+        from .blocked_cholesky import _bf16x3_terms
         a = wi_ref[:, :].astype(jnp.float32)
         b = wj_ref[:, :].astype(jnp.float32)
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        bh = b.astype(jnp.bfloat16)
-        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot_t = functools.partial(jax.lax.dot_general,
-                                  dimension_numbers=(((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.DEFAULT)
         acc = acc_ref[:, :]
-        acc += dot_t(ah, bh)
-        acc += dot_t(ah, bl)
-        acc += dot_t(al, bh)
+        for t in _bf16x3_terms(a, b, ((0,), (0,))):
+            acc += t
         acc_ref[:, :] = acc
 
     @pl.when(k == nk - 1)

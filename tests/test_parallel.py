@@ -601,3 +601,26 @@ def test_use_mesh_titsias_and_iterative(_mesh_off):
     np.testing.assert_allclose(i0.losses, m1.losses, rtol=1e-7)
     for a, b in zip(mu_i, mu1):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_use_mesh_model_pickles_and_restores_real_rows(_mesh_off):
+    """Saving a mesh-prepared model must not crash on the process-local
+    Mesh handle, and the padded X/y rows must NOT survive serialization
+    (the pad sentinels would resurrect as training data)."""
+    import pickle
+    import mogptk_tpu as mogptk
+
+    m = _quickstart_model(n=91, pct=0.1)   # 91 does not divide 8 devices
+    n_real = int(m.gpr.X.shape[0])
+    mogptk.use_mesh()
+    m.train(method="Adam", lr=0.02, iters=3)
+    assert m.gpr.X.shape[0] % 8 == 0 and m.gpr.X.shape[0] > n_real
+    blob = pickle.dumps(m)
+    mogptk.use_mesh(None)
+    m2 = pickle.loads(blob)
+    assert int(m2.gpr.X.shape[0]) == n_real
+    assert int(m2.gpr.y.shape[0]) == n_real
+    # the restored model trains/predicts single-device
+    m2.train(method="Adam", lr=0.02, iters=2)
+    _, mu, _, _ = m2.predict()
+    assert all(np.isfinite(np.asarray(v)).all() for v in mu)
